@@ -1,0 +1,97 @@
+"""Ragged word-level ops as dense one-hot matmuls (MXU-friendly).
+
+The reference does subword->word averaging and word-id remapping with
+per-sample Python loops over index tuples
+(/root/reference/taste_speech/modules_taste/audio_joint_encoder_segmenter.py:418-458,
+modeling_taste.py:1438-1473).  Here they are pure batched tensor ops under
+fixed padding, so they live inside the jitted graph.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+
+from taste_spokenlm_tpu.ops.masking import length_mask
+
+
+def consecutive_group_ids(word_ids: jnp.ndarray) -> jnp.ndarray:
+    """[B, T] word ids -> [B, T] 0-based consecutive-run ids.
+
+    Equivalent to torch.unique_consecutive group assignment: a new group
+    starts whenever the word id changes from the previous position.
+    """
+    change = word_ids[:, 1:] != word_ids[:, :-1]
+    return jnp.concatenate(
+        [jnp.zeros_like(word_ids[:, :1]), jnp.cumsum(change, axis=1)], axis=1)
+
+
+def segment_mean_pool(features: jnp.ndarray, word_ids: jnp.ndarray,
+                      lengths: jnp.ndarray) -> jnp.ndarray:
+    """Replace each valid position's feature by the mean of its
+    consecutive-word-id run (only valid positions contribute to the mean).
+
+    features: [B, T, C]; word_ids: [B, T]; lengths: [B] -> [B, T, C].
+    Positions beyond `lengths` are returned unchanged (they are padding and
+    masked downstream).  Matches the reference's
+    `_averaging_subword_to_word_level` on well-formed inputs (runs never
+    straddle the valid-length boundary).
+    """
+    b, t, c = features.shape
+    groups = consecutive_group_ids(word_ids)            # [B, T] in [0, T)
+    valid = length_mask(lengths, t)                     # [B, T]
+    oh = (groups[:, :, None] == jnp.arange(t)[None, None, :]).astype(features.dtype)
+    oh = oh * valid[:, :, None].astype(features.dtype)  # [B, T, G]
+    counts = jnp.sum(oh, axis=1)                        # [B, G]
+    sums = jnp.einsum("btg,btc->bgc", oh, features, preferred_element_type=jnp.float32)
+    means = (sums / jnp.maximum(counts, 1.0)[:, :, None]).astype(features.dtype)
+    pooled = jnp.einsum("btg,bgc->btc", oh, means, preferred_element_type=jnp.float32)
+    pooled = pooled.astype(features.dtype)
+    return jnp.where(valid[:, :, None], pooled, features)
+
+
+def word_start_mask(word_ids: jnp.ndarray, lengths: jnp.ndarray) -> jnp.ndarray:
+    """[B, T] -> bool [B, T]: True at the first token of each word run."""
+    t = word_ids.shape[1]
+    first = jnp.concatenate(
+        [jnp.ones_like(word_ids[:, :1], dtype=bool),
+         word_ids[:, 1:] != word_ids[:, :-1]], axis=1)
+    return jnp.logical_and(first, length_mask(lengths, t))
+
+
+def word_count(word_ids: jnp.ndarray, lengths: jnp.ndarray) -> jnp.ndarray:
+    """Number of word runs per sequence: [B]."""
+    return jnp.sum(word_start_mask(word_ids, lengths), axis=1)
+
+
+def cross_tokenizer_remap(
+    src_word_ids: jnp.ndarray,  # [B, Ts] word ids in source tokenization
+    src_lengths: jnp.ndarray,   # [B]
+    dst_word_ids: jnp.ndarray,  # [B, Td] word ids in destination tokenization
+    dst_lengths: jnp.ndarray,   # [B]
+) -> jnp.ndarray:
+    """Word-aligned remap matrix M: [B, Td, Ts] such that
+    `dst_feats = M @ src_feats` copies, for every destination token, the
+    feature of the FIRST source token of the same word run.
+
+    Replaces the reference's bmm-with-one-hot word-start remapping
+    (/root/reference/taste_speech/modeling_taste.py:1438-1473) used to carry
+    taste units from the ASR (whisper) tokenization onto the LLM (llama)
+    tokenization, which share word ids by construction
+    (processing_taste.py:173-206).
+    """
+    ts = src_word_ids.shape[1]
+    td = dst_word_ids.shape[1]
+    src_groups = consecutive_group_ids(src_word_ids)
+    dst_groups = consecutive_group_ids(dst_word_ids)
+    src_start = word_start_mask(src_word_ids, src_lengths)         # [B, Ts]
+    # [B, G, Ts]: indicator of the first source token of group g
+    src_sel = ((src_groups[:, None, :] == jnp.arange(ts)[None, :, None])
+               & src_start[:, None, :])
+    # [B, Td, G]: destination token t belongs to group g
+    dst_sel = (dst_groups[:, :, None] == jnp.arange(ts)[None, None, :])
+    dst_valid = length_mask(dst_lengths, td)
+    m = jnp.einsum("btg,bgs->bts", dst_sel.astype(jnp.float32),
+                   src_sel.astype(jnp.float32))
+    return m * dst_valid[:, :, None]

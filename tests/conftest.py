@@ -19,3 +19,6 @@ if "xla_force_host_platform_device_count" not in _flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_threefry_partitionable", True)
+# XLA-CPU's oneDNN fastmath makes f32 convs/matmuls ~1e-2 sloppy; parity
+# tests against torch need true f32 accumulation.
+jax.config.update("jax_default_matmul_precision", "highest")
