@@ -1,0 +1,278 @@
+"""ESPnet/WeNet-style Transformer/Conformer encoder stack, TPU-first.
+
+Re-design of the reference cosyvoice encoder family
+(/root/reference/taste_speech/modules_taste/cosyvoice/{encoder,encoder_layer,
+attention,embedding,subsampling,positionwise_feed_forward}.py) around XLA:
+
+* Relative-position (Transformer-XL / ESPnet) attention computed with the
+  skew trick as two batched matmuls — no per-chunk Python loops.
+* `static_chunk_size=1` (causal LM) and full-attention modes as static masks.
+* Incremental decode via a functional per-layer KV cache + a contiguous
+  slice of the relative-position table (replacing the reference's
+  `forward_chunk` full-prefix recompute, encoder.py:183-271 — SURVEY.md §7
+  calls this out as a required improvement for the RTF target).
+
+Parameter names mirror the reference state-dict layout (embed.out.*,
+encoders_{i}.self_attn.linear_{q,k,v,out,pos}, pos_bias_u/v, feed_forward.w_1/w_2,
+norm1/norm2 or norm_mha/norm_ff, after_norm) so converted CosyVoice/TASTE
+checkpoints load with a mechanical rename.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from taste_spokenlm_tpu.config import EncoderStackConfig
+from taste_spokenlm_tpu.ops.masking import chunk_causal_mask, length_mask
+
+_ACT = {
+    "relu": nn.relu,
+    "swish": nn.silu,
+    "gelu": lambda x: nn.gelu(x, approximate=False),
+    "tanh": jnp.tanh,
+}
+
+
+def espnet_rel_pos_table(d_model: int, max_len: int) -> np.ndarray:
+    """Relative-position sinusoid table of length 2*max_len-1.
+
+    Index p corresponds to relative position rel = (max_len-1) - p, matching
+    EspnetRelPositionalEncoding (embedding.py:201-255): positive rels first
+    (reversed), then negative.
+    """
+    pos = np.arange(max_len, dtype=np.float64)[:, None]
+    div = np.exp(np.arange(0, d_model, 2, dtype=np.float64)
+                 * -(math.log(10000.0) / d_model))
+    pe_pos = np.zeros((max_len, d_model))
+    pe_pos[:, 0::2] = np.sin(pos * div)
+    pe_pos[:, 1::2] = np.cos(pos * div)
+    pe_neg = np.zeros((max_len, d_model))
+    pe_neg[:, 0::2] = np.sin(-pos * div)
+    pe_neg[:, 1::2] = np.cos(-pos * div)
+    return np.concatenate([pe_pos[::-1], pe_neg[1:]], axis=0).astype(np.float32)
+
+
+def _rel_shift(x: jnp.ndarray) -> jnp.ndarray:
+    """[B, H, T, 2T-1] -> [B, H, T, T]: out[..., i, j] = x[..., i, (T-1)-i+j].
+
+    The Transformer-XL skew trick (attention.py:225-243) expressed with pad +
+    reshape, which XLA lowers to pure data movement.
+    """
+    b, h, t, _ = x.shape
+    x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (1, 0)))      # [B,H,T,2T]
+    x = x.reshape(b, h, 2 * t, t)[:, :, 1:]               # [B,H,2T-1,T]
+    x = x.reshape(b, h, t, 2 * t - 1)
+    return x[..., :t]
+
+
+class RelPositionAttention(nn.Module):
+    """Multi-head self-attention with ESPnet relative position encoding.
+
+    scores = ((q + u) k^T + rel_shift((q + v) p^T)) / sqrt(d)
+    (attention.py:200-326).
+    """
+
+    d_model: int
+    num_heads: int
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        d = self.d_model
+        self.linear_q = nn.Dense(d, dtype=self.dtype)
+        self.linear_k = nn.Dense(d, dtype=self.dtype)
+        self.linear_v = nn.Dense(d, dtype=self.dtype)
+        self.linear_out = nn.Dense(d, dtype=self.dtype)
+        self.linear_pos = nn.Dense(d, use_bias=False, dtype=self.dtype)
+        init = nn.initializers.xavier_uniform()
+        dk = d // self.num_heads
+        self.pos_bias_u = self.param("pos_bias_u", init, (self.num_heads, dk))
+        self.pos_bias_v = self.param("pos_bias_v", init, (self.num_heads, dk))
+
+    def _qkv(self, x):
+        b, t, _ = x.shape
+        h, dk = self.num_heads, self.d_model // self.num_heads
+        q = self.linear_q(x).reshape(b, t, h, dk)
+        k = self.linear_k(x).reshape(b, t, h, dk)
+        v = self.linear_v(x).reshape(b, t, h, dk)
+        return q, k, v
+
+    def __call__(
+        self,
+        x: jnp.ndarray,                  # [B, T, C]
+        pos_emb: jnp.ndarray,            # [P, C] slice of the rel-pos table
+        mask: Optional[jnp.ndarray] = None,   # bool [B, 1, Tq, Tk]
+        cache: Optional[Dict[str, jnp.ndarray]] = None,
+        cache_index: Optional[jnp.ndarray] = None,
+    ):
+        b, t, _ = x.shape
+        h, dk = self.num_heads, self.d_model // self.num_heads
+        q, k, v = self._qkv(x)
+
+        if cache is not None:
+            k = jax.lax.dynamic_update_slice_in_dim(cache["k"], k, cache_index, 1)
+            v = jax.lax.dynamic_update_slice_in_dim(cache["v"], v, cache_index, 1)
+            cache = {"k": k, "v": v}
+
+        p = self.linear_pos(pos_emb).reshape(-1, h, dk)      # [P, H, dk]
+
+        q_u = q + self.pos_bias_u[None, None]
+        q_v = q + self.pos_bias_v[None, None]
+        ac = jnp.einsum("bqhd,bkhd->bhqk", q_u, k,
+                        preferred_element_type=jnp.float32)
+        bd = jnp.einsum("bqhd,phd->bhqp", q_v, p,
+                        preferred_element_type=jnp.float32)
+        # pos_emb must have P = Tq + Tk - 1 entries where entry p encodes
+        # rel = (Tq - 1) - p + (key offset); align so bd[i, j] picks
+        # p = (Tq-1-i) + j.
+        tk = k.shape[1]
+        tq = t
+        assert p.shape[0] == tq + tk - 1, (p.shape, tq, tk)
+        if tq == tk:
+            bd = _rel_shift(bd)          # pad/reshape trick, pure data movement
+        elif tq > 1:
+            idx = (tq - 1 - jnp.arange(tq))[:, None] + jnp.arange(tk)[None, :]
+            bd = jnp.take_along_axis(
+                bd, jnp.broadcast_to(idx[None, None], (b, h, tq, tk)), axis=-1)
+        # tq == 1: bd is already [B, H, 1, Tk], aligned
+        scores = (ac + bd) * jnp.asarray(1.0 / math.sqrt(dk), jnp.float32)
+        if mask is not None:
+            scores = jnp.where(mask, scores,
+                               jnp.asarray(jnp.finfo(jnp.float32).min / 2))
+        probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+        out = jnp.einsum("bhqk,bkhd->bqhd", probs, v,
+                         preferred_element_type=jnp.float32).astype(x.dtype)
+        return self.linear_out(out.reshape(b, t, self.d_model)), cache
+
+
+class PositionwiseFeedForward(nn.Module):
+    d_model: int
+    hidden: int
+    activation: str = "relu"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.Dense(self.hidden, dtype=self.dtype, name="w_1")(x)
+        h = _ACT[self.activation](h)
+        return nn.Dense(self.d_model, dtype=self.dtype, name="w_2")(h)
+
+
+class EncoderLayer(nn.Module):
+    """Pre-LN (MHA -> FFN) layer; `conformer_names=True` uses the conformer
+    norm naming (norm_mha/norm_ff), False the transformer naming (norm1/norm2),
+    matching the reference state dicts."""
+
+    d_model: int
+    num_heads: int
+    ffn_dim: int
+    activation: str
+    conformer_names: bool = True
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        mha_norm = "norm_mha" if self.conformer_names else "norm1"
+        ffn_norm = "norm_ff" if self.conformer_names else "norm2"
+        self.attn = RelPositionAttention(self.d_model, self.num_heads,
+                                         self.dtype, name="self_attn")
+        self.attn_norm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=mha_norm)
+        self.ffn = PositionwiseFeedForward(self.d_model, self.ffn_dim,
+                                           self.activation, self.dtype,
+                                           name="feed_forward")
+        self.ffn_norm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=ffn_norm)
+
+    def __call__(self, x, pos_emb, mask=None, cache=None, cache_index=None):
+        h, new_cache = self.attn(self.attn_norm(x), pos_emb, mask=mask,
+                                 cache=cache, cache_index=cache_index)
+        x = x + h
+        x = x + self.ffn(self.ffn_norm(x))
+        return x, new_cache
+
+
+class ConformerEncoder(nn.Module):
+    """The full encoder stack (covers both reference `TransformerEncoder` and
+    cnn-less `ConformerEncoder` — TASTE never enables the conv module).
+
+    Input pipeline: Linear -> LayerNorm -> (ReLU if linear_legacy) ->
+    x*sqrt(d) + rel-pos table (subsampling.py:69-115, 338-368;
+    embedding.py:256-269).
+    """
+
+    config: EncoderStackConfig
+    max_len: int = 4096
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        cfg = self.config
+        self.embed_linear = nn.Dense(cfg.output_size, dtype=self.dtype)
+        self.embed_norm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
+        conformer_names = cfg.input_layer != "linear_legacy"
+        act = cfg.activation_type if conformer_names else "relu"
+        self.encoders = [
+            EncoderLayer(cfg.output_size, cfg.attention_heads, cfg.linear_units,
+                         act, conformer_names=conformer_names, dtype=self.dtype,
+                         name=f"encoders_{i}")
+            for i in range(cfg.num_blocks)
+        ]
+        self.after_norm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
+        self.pe_table = jnp.asarray(espnet_rel_pos_table(cfg.output_size, self.max_len))
+
+    def _embed(self, x):
+        cfg = self.config
+        x = self.embed_norm(self.embed_linear(x))
+        if cfg.input_layer == "linear_legacy":
+            x = nn.relu(x)
+        return x * jnp.asarray(math.sqrt(cfg.output_size), self.dtype)
+
+    def __call__(self, x: jnp.ndarray, lengths: Optional[jnp.ndarray] = None,
+                 causal: Optional[bool] = None):
+        """Full-sequence forward.  x: [B, T, input_size] -> [B, T, output_size]."""
+        cfg = self.config
+        b, t, _ = x.shape
+        x = self._embed(x.astype(self.dtype))
+        # pos table slice for rel in [T-1, -(T-1)] -> 2T-1 entries centered
+        pe = jax.lax.dynamic_slice_in_dim(
+            self.pe_table, self.max_len - t, 2 * t - 1, axis=0)
+        if causal is None:
+            causal = cfg.static_chunk_size > 0
+        mask = chunk_causal_mask(t, cfg.static_chunk_size if causal else 0)[None, None]
+        if lengths is not None:
+            mask = jnp.logical_and(mask, length_mask(lengths, t)[:, None, None, :])
+        for layer in self.encoders:
+            x, _ = layer(x, pe, mask=mask)
+        return self.after_norm(x)
+
+    # ---------------- incremental decode ----------------
+
+    def init_cache(self, batch: int, max_len: int):
+        cfg = self.config
+        h, dk = cfg.attention_heads, cfg.output_size // cfg.attention_heads
+        return tuple(
+            {"k": jnp.zeros((batch, max_len, h, dk), self.dtype),
+             "v": jnp.zeros((batch, max_len, h, dk), self.dtype)}
+            for _ in range(cfg.num_blocks))
+
+    def decode_step(self, x: jnp.ndarray, caches, index: jnp.ndarray):
+        """One-token (or small-chunk) step.  x: [B, S, input_size]; `index` is
+        the absolute position of x[:, 0].  Attends to cache positions <= index.
+        """
+        b, s, _ = x.shape
+        x = self._embed(x.astype(self.dtype))
+        tk = caches[0]["k"].shape[1]
+        # rel = (index + i) - j for key j in [0, tk): contiguous slice of table
+        # p index = (max_len-1) - rel ; j=0 -> max_len-1-index-i.  For s=1:
+        pe = jax.lax.dynamic_slice_in_dim(
+            self.pe_table, self.max_len - 1 - index - (s - 1), tk + s - 1, axis=0)
+        key_pos = jnp.arange(tk)[None, None, None, :]
+        q_pos = index + jnp.arange(s)[None, None, :, None]
+        mask = key_pos <= q_pos
+        new_caches = []
+        for layer, cache in zip(self.encoders, caches):
+            x, c = layer(x, pe, mask=mask, cache=cache, cache_index=index)
+            new_caches.append(c)
+        return self.after_norm(x), tuple(new_caches)

@@ -1,0 +1,125 @@
+"""Tests for the rel-pos Transformer/Conformer encoder stack."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from taste_spokenlm_tpu.config import EncoderStackConfig
+from taste_spokenlm_tpu.models.conformer import (
+    ConformerEncoder, RelPositionAttention, espnet_rel_pos_table)
+
+
+def _cfg(**kw):
+    base = dict(output_size=32, attention_heads=2, linear_units=64,
+                num_blocks=2, input_size=16, static_chunk_size=1)
+    base.update(kw)
+    return EncoderStackConfig(**base)
+
+
+def test_rel_attention_matches_naive():
+    """Skew-trick scores == direct per-pair relative-position computation."""
+    d, h, t = 32, 2, 7
+    attn = RelPositionAttention(d, h)
+    x = jnp.asarray(np.random.RandomState(0).randn(2, t, d), jnp.float32)
+    table = jnp.asarray(espnet_rel_pos_table(d, 64))
+    pe = jax.lax.dynamic_slice_in_dim(table, 64 - t, 2 * t - 1, axis=0)
+    params = attn.init(jax.random.PRNGKey(0), x, pe)
+    out, _ = attn.apply(params, x, pe)
+
+    # naive: recompute bd by explicit gather of the rel-pos vector per (i, j)
+    p = attn.apply(params, method=lambda m, pe_: m.linear_pos(pe_), pe_=pe)
+    p = np.asarray(p).reshape(2 * t - 1, h, d // h)
+    qkv = attn.apply(params, method=lambda m, x_: m._qkv(x_), x_=x)
+    q, k, v = (np.asarray(a) for a in qkv)
+    u = np.asarray(params["params"]["pos_bias_u"])
+    vb = np.asarray(params["params"]["pos_bias_v"])
+    dk = d // h
+    out_ref = np.zeros((2, t, h, dk), np.float32)
+    for b in range(2):
+        for head in range(h):
+            scores = np.zeros((t, t), np.float32)
+            for i in range(t):
+                for j in range(t):
+                    ac = (q[b, i, head] + u[head]) @ k[b, j, head]
+                    # rel = i - j -> table entry (t-1) - (i-j)... our pe slice
+                    # entry p corresponds to rel = (t-1) - p
+                    bd = (q[b, i, head] + vb[head]) @ p[(t - 1) - (i - j), head]
+                    scores[i, j] = (ac + bd) / np.sqrt(dk)
+            probs = np.exp(scores - scores.max(-1, keepdims=True))
+            probs /= probs.sum(-1, keepdims=True)
+            out_ref[b, :, head] = probs @ v[b, :, head]
+    w_out = np.asarray(params["params"]["linear_out"]["kernel"])
+    b_out = np.asarray(params["params"]["linear_out"]["bias"])
+    out_ref = out_ref.reshape(2, t, d) @ w_out + b_out
+    np.testing.assert_allclose(np.asarray(out), out_ref, atol=1e-4)
+
+
+def test_causal_encoder_is_causal():
+    cfg = _cfg()
+    enc = ConformerEncoder(cfg, max_len=64)
+    rng = np.random.RandomState(0)
+    x = rng.randn(1, 10, 16).astype(np.float32)
+    params = enc.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    y1 = enc.apply(params, jnp.asarray(x))
+    x2 = x.copy()
+    x2[:, 7:] += 10.0  # perturb the future
+    y2 = enc.apply(params, jnp.asarray(x2))
+    np.testing.assert_allclose(np.asarray(y1[:, :7]), np.asarray(y2[:, :7]),
+                               atol=1e-5)
+    assert np.abs(np.asarray(y1[:, 7:]) - np.asarray(y2[:, 7:])).max() > 1e-3
+
+
+def test_full_attention_mode():
+    cfg = _cfg(static_chunk_size=0)
+    enc = ConformerEncoder(cfg, max_len=64)
+    x = jnp.asarray(np.random.RandomState(0).randn(1, 10, 16), jnp.float32)
+    params = enc.init(jax.random.PRNGKey(0), x)
+    y1 = enc.apply(params, x)
+    x2 = x.at[:, 7:].add(10.0)
+    y2 = enc.apply(params, x2)
+    # bidirectional: early positions DO change
+    assert np.abs(np.asarray(y1[:, :7]) - np.asarray(y2[:, :7])).max() > 1e-3
+
+
+def test_decode_step_matches_full_forward():
+    cfg = _cfg()
+    enc = ConformerEncoder(cfg, max_len=64)
+    rng = np.random.RandomState(3)
+    t = 9
+    x = jnp.asarray(rng.randn(2, t, 16), jnp.float32)
+    params = enc.init(jax.random.PRNGKey(0), x)
+    full = enc.apply(params, x)
+
+    caches = enc.apply(params, 2, 16, method=ConformerEncoder.init_cache)
+    outs = []
+    for i in range(t):
+        y, caches = enc.apply(params, x[:, i:i + 1], caches, jnp.int32(i),
+                              method=ConformerEncoder.decode_step)
+        outs.append(y)
+    stepped = jnp.concatenate(outs, axis=1)
+    np.testing.assert_allclose(np.asarray(stepped), np.asarray(full), atol=2e-4)
+
+
+def test_legacy_input_layer_applies_relu():
+    x = jnp.asarray(np.random.RandomState(0).randn(1, 5, 16), jnp.float32)
+    out = {}
+    for layer in ["linear", "linear_legacy"]:
+        enc = ConformerEncoder(_cfg(input_layer=layer), max_len=64)
+        params = enc.init(jax.random.PRNGKey(0), x)
+        out[layer] = enc.apply(params, method=lambda m, x_: m._embed(x_), x_=x)
+    assert float(jnp.min(out["linear_legacy"])) >= 0.0
+    assert float(jnp.min(out["linear"])) < 0.0
+
+
+def test_length_mask_blocks_padding():
+    cfg = _cfg(static_chunk_size=0)
+    enc = ConformerEncoder(cfg, max_len=64)
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(1, 8, 16), jnp.float32)
+    params = enc.init(jax.random.PRNGKey(0), x)
+    y1 = enc.apply(params, x, jnp.asarray([5]))
+    x2 = x.at[:, 5:].set(99.0)  # garbage in padding
+    y2 = enc.apply(params, x2, jnp.asarray([5]))
+    np.testing.assert_allclose(np.asarray(y1[:, :5]), np.asarray(y2[:, :5]),
+                               atol=1e-5)
