@@ -1,0 +1,297 @@
+"""Residual vector quantization with EMA codebooks, TPU-first.
+
+Re-design of the reference's vendored vector-quantize-pytorch + ResidualVQ
+(/root/reference/taste_speech/modules_taste/vq/{vector_quantize_pytorch,
+residual_vq}.py) as pure functional JAX:
+
+* Codebook EMA state (embed / embed_avg / cluster_size / initted) lives in a
+  flax variable collection ``"quantizer"`` that the train step threads
+  explicitly (mutable=["quantizer"]) — a pure function of (state, batch,
+  rng), so training is deterministic and resumable.  Under a sharded batch
+  the EMA sums are written as global reductions, so pjit inserts the
+  cross-chip psum automatically (replacing the reference's
+  torch.distributed all_reduce, vector_quantize_pytorch.py:546-551).
+* Distance search is one [N, D] x [D, K] matmul per quantizer level (MXU),
+  not a cdist kernel.
+* Quantize-dropout takes an explicit rng (folded from the step counter by
+  the caller) instead of the reference's process-wide seed all_reduce
+  (residual_vq.py:284-307).
+* The four TASTE extension APIs are kept:
+  get_output_from_indices / get_codes_from_indices / get_code_from_indices /
+  get_indices_from_code / get_distributed_codes
+  (residual_vq.py:239-357).
+
+Also provides the simpler quantizer zoo of the reference
+(audio_quantizer.py:10-283): plain VQ, and a no-VQ linear bottleneck.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from taste_spokenlm_tpu.config import QuantizerConfig
+
+
+def kmeans(rng: jax.Array, samples: jnp.ndarray, k: int, iters: int,
+           sample_weight: Optional[jnp.ndarray] = None
+           ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Plain Lloyd k-means on [N, D] samples -> (centroids [K, D], sizes [K]).
+
+    Used for codebook initialization (vector_quantize_pytorch.py:162-253's
+    distributed kmeans; here the batch is already global under pjit).
+    """
+    n, d = samples.shape
+    init_idx = jax.random.choice(rng, n, (k,), replace=n < k)
+    init = samples[init_idx]
+    if sample_weight is None:
+        sample_weight = jnp.ones((n,), samples.dtype)
+
+    def body(_, centroids):
+        dists = (jnp.sum(samples ** 2, -1, keepdims=True)
+                 - 2.0 * samples @ centroids.T
+                 + jnp.sum(centroids ** 2, -1)[None, :])
+        assign = jnp.argmin(dists, axis=-1)
+        onehot = jax.nn.one_hot(assign, k, dtype=samples.dtype) * sample_weight[:, None]
+        counts = onehot.sum(0)
+        sums = onehot.T @ samples
+        new = sums / jnp.maximum(counts, 1e-9)[:, None]
+        return jnp.where(counts[:, None] > 0, new, centroids)
+
+    centroids = jax.lax.fori_loop(0, iters, body, init)
+    dists = (jnp.sum(samples ** 2, -1, keepdims=True)
+             - 2.0 * samples @ centroids.T
+             + jnp.sum(centroids ** 2, -1)[None, :])
+    assign = jnp.argmin(dists, axis=-1)
+    sizes = jax.nn.one_hot(assign, k, dtype=samples.dtype).T @ sample_weight
+    return centroids, sizes
+
+
+def _nearest(residual: jnp.ndarray, codebook: jnp.ndarray) -> jnp.ndarray:
+    """[N, D] x [K, D] -> [N] argmin indices by euclidean distance."""
+    # ||x - e||^2 = ||x||^2 - 2 x.e + ||e||^2 ; ||x||^2 constant over K
+    scores = 2.0 * residual @ codebook.T - jnp.sum(codebook ** 2, -1)[None, :]
+    return jnp.argmax(scores, axis=-1)
+
+
+class ResidualVQ(nn.Module):
+    """Residual VQ (SoundStream alg. 1) with EMA codebook learning.
+
+    Variable collections:
+      params:    project_in / project_out (when codebook_dim != dim)
+      quantizer: embed [Q,K,D], embed_avg [Q,K,D], cluster_size [Q,K],
+                 initted [] (bool)
+    """
+
+    config: QuantizerConfig
+
+    @property
+    def needs_projection(self) -> bool:
+        return self.config.codebook_dim != self.config.dim
+
+    def setup(self):
+        cfg = self.config
+        if self.needs_projection:
+            self.project_in = nn.Dense(cfg.codebook_dim)
+            self.project_out = nn.Dense(cfg.dim)
+        shape = (cfg.num_quantizers, cfg.codebook_size, cfg.codebook_dim)
+        self.embed = self.variable(
+            "quantizer", "embed",
+            lambda: jax.random.normal(jax.random.PRNGKey(0), shape) * 0.02)
+        self.embed_avg = self.variable(
+            "quantizer", "embed_avg", lambda: jnp.array(self.embed.value))
+        self.cluster_size = self.variable(
+            "quantizer", "cluster_size", lambda: jnp.zeros(shape[:2]))
+        self.initted = self.variable(
+            "quantizer", "initted", lambda: jnp.zeros((), jnp.bool_))
+
+    # ------------------------------------------------------------------
+    # encode / decode primitives
+    # ------------------------------------------------------------------
+
+    def _encode_residual(self, z: jnp.ndarray, drop_after: Optional[jnp.ndarray]
+                         ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        """z: [B, T, Dc] already in codebook space.  Returns
+        (quantized [B,T,Dc], indices [B,T,Q], residuals [Q,B,T,Dc])."""
+        cfg = self.config
+        b, t, dc = z.shape
+        embed = self.embed.value.astype(jnp.float32)
+        residual = z.astype(jnp.float32)
+        quantized_out = jnp.zeros_like(residual)
+        indices, residuals, quants = [], [], []
+        for qi in range(cfg.num_quantizers):
+            residuals.append(residual)
+            idx = _nearest(residual.reshape(-1, dc), embed[qi]).reshape(b, t)
+            quant = embed[qi][idx]
+            if drop_after is not None:
+                keep = qi <= drop_after
+                idx = jnp.where(keep, idx, -1)
+                quant = jnp.where(keep, quant, 0.0)
+            quantized_out = quantized_out + quant
+            residual = residual - quant
+            indices.append(idx)
+            quants.append(quant)
+        return (quantized_out, jnp.stack(indices, axis=-1),
+                jnp.stack(residuals, axis=0), jnp.stack(quants, axis=0))
+
+    def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray] = None,
+                 train: bool = False,
+                 dropout_rng: Optional[jax.Array] = None) -> Dict[str, Any]:
+        """x: [B, T, dim]; mask: bool [B, T].  Returns quantized feats (with
+        straight-through gradient), indices, per-level commit loss sum."""
+        cfg = self.config
+        z = self.project_in(x) if self.needs_projection else x
+        z = z.astype(jnp.float32)
+        if mask is None:
+            mask = jnp.ones(z.shape[:2], bool)
+
+        drop_after = None
+        if train and cfg.quantize_dropout and dropout_rng is not None:
+            drop_after = jax.random.randint(
+                dropout_rng, (), cfg.quantize_dropout_cutoff_index,
+                cfg.num_quantizers)
+
+        quantized, indices, residuals, quants = self._encode_residual(z, drop_after)
+
+        # per-level masked-MSE commit loss, summed over levels
+        # (vector_quantize_pytorch masked mse; audio_quantizer.py:118-121 sums)
+        maskf = mask.astype(jnp.float32)[:, :, None]
+        commit = 0.0
+        for qi in range(cfg.num_quantizers):
+            res_in = residuals[qi]
+            level_q = jax.lax.stop_gradient(quants[qi])
+            live = (indices[..., qi] >= 0)[..., None].astype(jnp.float32)
+            se = jnp.sum((level_q - res_in) ** 2 * maskf * live)
+            denom = jnp.maximum(jnp.sum(maskf) * res_in.shape[-1], 1.0)
+            commit = commit + se / denom
+        commit = commit * cfg.commitment_weight
+
+        # straight-through: gradient flows to z (and through project_in)
+        quantized_st = z + jax.lax.stop_gradient(quantized - z)
+
+        if train:
+            self._ema_update(z, indices, mask, dropout_rng)
+
+        out = self.project_out(quantized_st.astype(x.dtype)) \
+            if self.needs_projection else quantized_st.astype(x.dtype)
+        return {
+            "quantized_feats": out,
+            "quantized_indices": indices,
+            "commit_loss": commit,
+        }
+
+    def _ema_update(self, z, indices, mask, rng):
+        """EMA codebook update as a pure function of the (global) batch.
+
+        Under pjit with a batch sharded over the data axis, the one_hot
+        matmuls below are global sums — XLA inserts the cross-chip
+        reduction, which is the TPU-native replacement for the reference's
+        all_reduce EMA sync (vector_quantize_pytorch.py:546-551).
+        """
+        cfg = self.config
+        decay, eps = cfg.decay, cfg.epsilon
+        b, t, dc = z.shape
+        maskf = mask.astype(jnp.float32).reshape(-1)
+        zf = z.reshape(-1, dc)
+
+        new_embed, new_avg, new_size = [], [], []
+        embed = self.embed.value
+        for qi in range(cfg.num_quantizers):
+            idx = indices[..., qi].reshape(-1)
+            valid = maskf * (idx >= 0)
+            onehot = jax.nn.one_hot(jnp.maximum(idx, 0), cfg.codebook_size) * valid[:, None]
+            counts = onehot.sum(0)                                     # [K]
+            # residual input to this level:
+            sums = onehot.T @ self._residual_at(zf.reshape(b, t, dc), qi,
+                                                embed).reshape(-1, dc)  # [K, Dc]
+            size = self.cluster_size.value[qi] * decay + counts * (1 - decay)
+            avg = self.embed_avg.value[qi] * decay + sums * (1 - decay)
+            n = size.sum()
+            smoothed = (size + eps) / (n + cfg.codebook_size * eps) * n
+            emb = avg / jnp.maximum(smoothed[:, None], 1e-9)
+            emb = jnp.where(size[:, None] >= 1e-5, emb, embed[qi])
+            new_embed.append(emb)
+            new_avg.append(avg)
+            new_size.append(size)
+        self.embed.value = jnp.stack(new_embed)
+        self.embed_avg.value = jnp.stack(new_avg)
+        self.cluster_size.value = jnp.stack(new_size)
+
+    def _residual_at(self, z, qi, embed):
+        """Residual entering quantizer level qi (recomputed; cheap matmuls)."""
+        residual = z.astype(jnp.float32)
+        dc = z.shape[-1]
+        for j in range(qi):
+            idx = _nearest(residual.reshape(-1, dc), embed[j]).reshape(z.shape[:2])
+            residual = residual - embed[j][idx]
+        return residual
+
+    # ------------------------------------------------------------------
+    # TASTE extension APIs (residual_vq.py:239-357)
+    # ------------------------------------------------------------------
+
+    def get_codes_from_indices(self, indices: jnp.ndarray) -> jnp.ndarray:
+        """[B, T, Q] -> per-level codes [Q, B, T, Dc]; -1 indices give 0."""
+        embed = self.embed.value
+        codes = []
+        for qi in range(self.config.num_quantizers):
+            idx = indices[..., qi]
+            c = embed[qi][jnp.maximum(idx, 0)]
+            codes.append(jnp.where((idx >= 0)[..., None], c, 0.0))
+        return jnp.stack(codes, axis=0)
+
+    def get_code_from_indices(self, indices: jnp.ndarray) -> jnp.ndarray:
+        """[B, T, Q] -> summed codebook-space vectors [B, T, Dc]."""
+        return jnp.sum(self.get_codes_from_indices(indices), axis=0)
+
+    def get_output_from_indices(self, indices: jnp.ndarray) -> jnp.ndarray:
+        """[B, T, Q] -> model-space vectors [B, T, dim] (project_out applied)."""
+        summed = self.get_code_from_indices(indices)
+        return self.project_out(summed) if self.needs_projection else summed
+
+    def get_distributed_codes(self, logits: jnp.ndarray) -> jnp.ndarray:
+        """Soft codes from per-level logits [B, T, Q, K] -> [B, T, Q, Dc]."""
+        probs = jax.nn.softmax(logits, axis=-1)
+        return jnp.einsum("btqk,qkd->btqd", probs,
+                          jax.lax.stop_gradient(self.embed.value))
+
+    def get_indices_from_code(self, code: jnp.ndarray,
+                              mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        """Encode codebook-space latents [B, T, Dc] -> indices [B, T, Q]
+        (no project_in — matches residual_vq.py:258-357)."""
+        _, indices, _, _ = self._encode_residual(code.astype(jnp.float32), None)
+        return indices
+
+    # ------------------------------------------------------------------
+    # codebook initialization (host-side, once)
+    # ------------------------------------------------------------------
+
+    def init_codebook_state(self, rng: jax.Array, samples: jnp.ndarray) -> Dict:
+        """K-means-initialize all quantizer levels from a sample batch
+        [N, dim] (already project_in-ed by caller if needed).  Returns a fresh
+        "quantizer" collection."""
+        cfg = self.config
+        embeds, avgs, sizes = [], [], []
+        residual = samples.astype(jnp.float32)
+        for qi in range(cfg.num_quantizers):
+            rng, sub = jax.random.split(rng)
+            if cfg.kmeans_init:
+                emb, size = kmeans(sub, residual, cfg.codebook_size,
+                                   cfg.kmeans_iters)
+            else:
+                emb = jax.random.normal(sub, (cfg.codebook_size, cfg.codebook_dim)) * 0.02
+                size = jnp.ones((cfg.codebook_size,))
+            idx = _nearest(residual, emb)
+            residual = residual - emb[idx]
+            embeds.append(emb)
+            avgs.append(emb * size[:, None])
+            sizes.append(size)
+        return {
+            "embed": jnp.stack(embeds),
+            "embed_avg": jnp.stack(avgs),
+            "cluster_size": jnp.stack(sizes),
+            "initted": jnp.ones((), jnp.bool_),
+        }

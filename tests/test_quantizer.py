@@ -1,0 +1,144 @@
+"""Residual VQ tests: round-trips, EMA learning, dropout, extension APIs."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from taste_spokenlm_tpu.config import QuantizerConfig
+from taste_spokenlm_tpu.models.quantizer import ResidualVQ, kmeans
+
+
+def _cfg(**kw):
+    base = dict(dim=32, codebook_dim=8, codebook_size=16, num_quantizers=3,
+                kmeans_iters=8)
+    base.update(kw)
+    return QuantizerConfig(**base)
+
+
+def _make(cfg=None, seed=0, init_samples=None):
+    cfg = cfg or _cfg()
+    rvq = ResidualVQ(cfg)
+    x = jnp.asarray(np.random.RandomState(seed).randn(2, 6, cfg.dim), jnp.float32)
+    variables = rvq.init(jax.random.PRNGKey(seed), x)
+    if init_samples is not None:
+        proj = variables["params"].get("project_in") if cfg.codebook_dim != cfg.dim else None
+        z = init_samples
+        if proj is not None:
+            z = z @ proj["kernel"] + proj["bias"]
+        qstate = rvq.apply(variables, jax.random.PRNGKey(1), z.reshape(-1, cfg.codebook_dim),
+                           method=ResidualVQ.init_codebook_state)
+        variables = {"params": variables.get("params", {}), "quantizer": qstate}
+    return rvq, variables, x
+
+
+def test_kmeans_clusters_separable_data():
+    rng = np.random.RandomState(0)
+    centers = rng.randn(4, 8) * 10
+    pts = np.concatenate([centers[i] + 0.01 * rng.randn(50, 8) for i in range(4)])
+    c, sizes = kmeans(jax.random.PRNGKey(0), jnp.asarray(pts, jnp.float32), 4, 20)
+    # every true center is within 0.1 of some learned centroid
+    d = np.linalg.norm(np.asarray(c)[None] - centers[:, None], axis=-1).min(1)
+    assert (d < 0.1).all(), d
+    assert float(jnp.asarray(sizes).sum()) == 200
+
+
+def test_forward_shapes_and_roundtrip():
+    rvq, variables, x = _make(init_samples=jnp.asarray(
+        np.random.RandomState(0).randn(2, 6, 32), jnp.float32))
+    out = rvq.apply(variables, x)
+    assert out["quantized_feats"].shape == (2, 6, 32)
+    assert out["quantized_indices"].shape == (2, 6, 3)
+    assert out["commit_loss"].shape == ()
+    # decode from indices must reproduce the quantized output exactly
+    decoded = rvq.apply(variables, out["quantized_indices"],
+                        method=ResidualVQ.get_output_from_indices)
+    # straight-through output = z + sg(q - z); decode = project_out(q):
+    # compare in codebook space instead
+    code = rvq.apply(variables, out["quantized_indices"],
+                     method=ResidualVQ.get_code_from_indices)
+    reenc = rvq.apply(variables, code, method=ResidualVQ.get_indices_from_code)
+    np.testing.assert_array_equal(np.asarray(reenc),
+                                  np.asarray(out["quantized_indices"]))
+    assert decoded.shape == (2, 6, 32)
+
+
+def test_quantization_reduces_error_with_depth():
+    """More RVQ levels => smaller reconstruction error (on the init batch)."""
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(8, 32, 32), jnp.float32)
+    errs = []
+    for nq in (1, 2, 4):
+        cfg = _cfg(num_quantizers=nq, codebook_size=32, kmeans_iters=20)
+        rvq, variables, _ = _make(cfg, init_samples=x)
+        out = rvq.apply(variables, x)
+        z_in = x @ variables["params"]["project_in"]["kernel"] + \
+            variables["params"]["project_in"]["bias"]
+        code = rvq.apply(variables, out["quantized_indices"],
+                         method=ResidualVQ.get_code_from_indices)
+        errs.append(float(jnp.mean((code - z_in) ** 2)))
+    assert errs[0] > errs[1] > errs[2], errs
+
+
+def test_ema_update_moves_codebook():
+    cfg = _cfg()
+    rvq, variables, x = _make(cfg, init_samples=jnp.asarray(
+        np.random.RandomState(2).randn(2, 6, 32), jnp.float32))
+    out, mutated = rvq.apply(variables, x, None, True, jax.random.PRNGKey(7),
+                             mutable=["quantizer"])
+    # cluster_size and embed must change under training
+    assert not np.allclose(np.asarray(mutated["quantizer"]["cluster_size"]),
+                           np.asarray(variables["quantizer"]["cluster_size"]))
+    # dropout: some indices should be -1 at levels above the sampled cutoff
+    idx = np.asarray(out["quantized_indices"])
+    assert (idx >= -1).all() and (idx < cfg.codebook_size).all()
+
+
+def test_quantize_dropout_masks_levels():
+    cfg = _cfg(quantize_dropout=True, quantize_dropout_cutoff_index=1)
+    rvq, variables, x = _make(cfg)
+    seen_minus1 = False
+    for s in range(6):
+        out, _ = rvq.apply(variables, x, None, True, jax.random.PRNGKey(s),
+                           mutable=["quantizer"])
+        idx = np.asarray(out["quantized_indices"])
+        assert (idx[..., 0] >= 0).all()  # level 0 never dropped (cutoff 1)
+        if (idx == -1).any():
+            seen_minus1 = True
+            # dropped levels are a suffix
+            dropped_levels = sorted(set(np.where(idx == -1)[2]))
+            assert dropped_levels == list(range(dropped_levels[0], cfg.num_quantizers))
+    assert seen_minus1
+
+
+def test_get_codes_from_indices_handles_dropped():
+    rvq, variables, x = _make()
+    out = rvq.apply(variables, x)
+    idx = out["quantized_indices"].at[..., 2].set(-1)
+    codes = rvq.apply(variables, idx, method=ResidualVQ.get_codes_from_indices)
+    assert codes.shape == (3, 2, 6, 8)
+    np.testing.assert_allclose(np.asarray(codes[2]), 0.0)
+
+
+def test_get_distributed_codes():
+    rvq, variables, x = _make()
+    logits = jnp.asarray(np.random.RandomState(0).randn(2, 6, 3, 16), jnp.float32)
+    soft = rvq.apply(variables, logits, method=ResidualVQ.get_distributed_codes)
+    assert soft.shape == (2, 6, 3, 8)
+    # extreme logits ~ hard one-hot lookup
+    hard_idx = jnp.argmax(logits, -1)
+    soft2 = rvq.apply(variables, logits * 1e4, method=ResidualVQ.get_distributed_codes)
+    ref = np.stack([np.asarray(variables["quantizer"]["embed"])[q][np.asarray(hard_idx)[..., q]]
+                    for q in range(3)], axis=2)
+    np.testing.assert_allclose(np.asarray(soft2), ref, atol=1e-5)
+
+
+def test_commit_loss_gradient_flows_to_input():
+    rvq, variables, x = _make()
+
+    def loss_fn(xin):
+        out = rvq.apply(variables, xin)
+        return out["commit_loss"]
+
+    g = jax.grad(loss_fn)(x)
+    assert np.abs(np.asarray(g)).max() > 0
