@@ -120,6 +120,7 @@ class WhisperConfig(_Base):
             vocab_size=1000, d_model=64, encoder_layers=2, encoder_heads=4,
             decoder_layers=2, decoder_heads=4, ffn_dim=128, n_mels=128,
             max_source_positions=96, max_target_positions=64,
+            decoder_prompt=(1, 2, 3, 4), eos_token_id=5,
         )
 
 
@@ -186,6 +187,7 @@ class AudioTowerConfig(_Base):
             quantizer=QuantizerConfig.tiny().replace(dim=w.d_model),
             audio_embed_dim=w.d_model,
             text_token_size=w.vocab_size,
+            encoder_target_hidden_layer=1,
         )
 
 
@@ -252,10 +254,13 @@ class SpeechDecoderConfig(_Base):
     fuse_use_layer_norm: bool = False
     fuse_use_trainable_weight: bool = True
     fuse_weight_init_type: str = "balance"
+    # audio units (1280-d taste embeds) are first affined down to the shared
+    # encoder input size (512), then the audio conformer runs at 512->1024
+    # (reference modeling_taste.py:325-340)
     text_encoder: EncoderStackConfig = field(default_factory=lambda: EncoderStackConfig(
         output_size=1024, num_blocks=3, input_size=512, input_layer="linear"))
     audio_encoder: EncoderStackConfig = field(default_factory=lambda: EncoderStackConfig(
-        output_size=1024, num_blocks=2, input_size=1280, input_layer="linear"))
+        output_size=1024, num_blocks=2, input_size=512, input_layer="linear"))
     llm: EncoderStackConfig = field(default_factory=lambda: EncoderStackConfig(
         output_size=1024, num_blocks=7, input_size=1024, input_layer="linear_legacy"))
 
@@ -266,7 +271,7 @@ class SpeechDecoderConfig(_Base):
             text_encoder_input_size=32, audio_encoder_input_size=64,
             llm_input_size=32, llm_output_size=32, spk_embed_dim=16,
             text_encoder=EncoderStackConfig.tiny(32, 32, 2),
-            audio_encoder=EncoderStackConfig.tiny(64, 32, 2),
+            audio_encoder=EncoderStackConfig.tiny(32, 32, 2),
             llm=EncoderStackConfig.tiny(32, 32, 2).replace(input_layer="linear_legacy"),
         )
 

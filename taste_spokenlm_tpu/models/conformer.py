@@ -257,20 +257,25 @@ class ConformerEncoder(nn.Module):
              "v": jnp.zeros((batch, max_len, h, dk), self.dtype)}
             for _ in range(cfg.num_blocks))
 
-    def decode_step(self, x: jnp.ndarray, caches, index: jnp.ndarray):
-        """One-token (or small-chunk) step.  x: [B, S, input_size]; `index` is
-        the absolute position of x[:, 0].  Attends to cache positions <= index.
+    def decode_step(self, x: jnp.ndarray, caches, index: jnp.ndarray,
+                    key_valid: Optional[jnp.ndarray] = None):
+        """One-token (or prefill-chunk) step.  x: [B, S, input_size]; `index`
+        is the absolute position of x[:, 0].  Attends to cache positions
+        <= own position; `key_valid` [B, 1, 1, Tk] additionally masks
+        invalid (e.g. left-pad) cache slots.
         """
         b, s, _ = x.shape
         x = self._embed(x.astype(self.dtype))
         tk = caches[0]["k"].shape[1]
-        # rel = (index + i) - j for key j in [0, tk): contiguous slice of table
-        # p index = (max_len-1) - rel ; j=0 -> max_len-1-index-i.  For s=1:
+        # rel-pos table slice: entry p corresponds to rel = index+s-1-p, so
+        # the attention kernel's alignment p = (s-1-i)+j holds for key j.
         pe = jax.lax.dynamic_slice_in_dim(
             self.pe_table, self.max_len - 1 - index - (s - 1), tk + s - 1, axis=0)
         key_pos = jnp.arange(tk)[None, None, None, :]
         q_pos = index + jnp.arange(s)[None, None, :, None]
         mask = key_pos <= q_pos
+        if key_valid is not None:
+            mask = jnp.logical_and(mask, key_valid)
         new_caches = []
         for layer, cache in zip(self.encoders, caches):
             x, c = layer(x, pe, mask=mask, cache=cache, cache_index=index)

@@ -1,0 +1,261 @@
+"""Llama-3.2 backbone in flax.linen with LoRA, GQA, and llama3 rope scaling.
+
+The spoken-LM backbone (reference: HF Llama + peft LoRA r=64 a=128 over all
+linear projections, /root/reference/configs/model/taslm.json text_config +
+kwargs_for_lora; used by taste_speech/modeling_taste.py:546-1206).
+
+TPU-first notes:
+* grouped-query attention via ops.attention.gqa_attention (fp32 softmax);
+* functional KV cache for lax.scan/while_loop decode;
+* LoRA is part of the module (params live under lora_a/lora_b), so the
+  frozen-base + adapters split is an optax mask, not a wrapper library;
+* accepts `inputs_embeds` directly — the TASTE in-bridge fuses text+taste
+  embeddings before the backbone (modeling_taste.py:952-957);
+* can return all hidden states for the WeightedLayerExtract out-bridge.
+
+Parameter names mirror HF (embed_tokens, layers_N.self_attn.q_proj, ...,
+input_layernorm, post_attention_layernorm, mlp.gate_proj/up_proj/down_proj,
+norm) for mechanical checkpoint conversion.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from taste_spokenlm_tpu.config import LlamaConfig, LoraConfig
+from taste_spokenlm_tpu.ops.attention import gqa_attention
+
+
+class LoraDense(nn.Module):
+    """Dense with optional LoRA adapter: y = xW + (alpha/r) (xA)B.
+
+    A ~ kaiming-uniform, B = 0 (peft defaults), so the adapter starts as a
+    no-op and the base path stays checkpoint-compatible.
+    """
+
+    features: int
+    lora: Optional[LoraConfig] = None
+    use_bias: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        y = nn.Dense(self.features, use_bias=self.use_bias, dtype=self.dtype,
+                     name="base")(x)
+        if self.lora is not None and self.lora.r > 0:
+            in_dim = x.shape[-1]
+            a = self.param(
+                "lora_a",
+                lambda key, shape: jax.random.uniform(
+                    key, shape, jnp.float32,
+                    -math.sqrt(1.0 / shape[0]), math.sqrt(1.0 / shape[0])),
+                (in_dim, self.lora.r))
+            bmat = self.param("lora_b", nn.initializers.zeros,
+                              (self.lora.r, self.features))
+            h = x
+            if self.lora.dropout > 0 and not deterministic:
+                h = nn.Dropout(self.lora.dropout, deterministic=False)(h)
+            y = y + (self.lora.alpha / self.lora.r) * (
+                (h.astype(jnp.float32) @ a) @ bmat).astype(y.dtype)
+        return y
+
+
+def llama3_inv_freq(cfg: LlamaConfig) -> np.ndarray:
+    """Rope inverse frequencies with llama3 frequency-dependent scaling."""
+    head_dim = cfg.head_dim
+    inv = 1.0 / (cfg.rope_theta ** (np.arange(0, head_dim, 2, dtype=np.float64) / head_dim))
+    factor = cfg.rope_scaling_factor
+    low_wavelen = cfg.rope_original_max_position / cfg.rope_low_freq_factor
+    high_wavelen = cfg.rope_original_max_position / cfg.rope_high_freq_factor
+    wavelen = 2 * np.pi / inv
+    scaled = np.where(wavelen > low_wavelen, inv / factor, inv)
+    smooth = (cfg.rope_original_max_position / wavelen - cfg.rope_low_freq_factor) / (
+        cfg.rope_high_freq_factor - cfg.rope_low_freq_factor)
+    mid = (1 - smooth) * inv / factor + smooth * inv
+    is_mid = (wavelen >= high_wavelen) & (wavelen <= low_wavelen)
+    return np.where(is_mid, mid, scaled).astype(np.float32)
+
+
+def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarray:
+    """x: [B, T, H, D]; cos/sin: [T, D/2] -> rotate-half convention (HF)."""
+    d2 = x.shape[-1] // 2
+    x1, x2 = x[..., :d2], x[..., d2:]
+    cos = cos[None, :, None, :]
+    sin = sin[None, :, None, :]
+    return jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
+
+
+class RMSNorm(nn.Module):
+    eps: float = 1e-5
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        w = self.param("weight", nn.initializers.ones, (x.shape[-1],))
+        xf = x.astype(jnp.float32)
+        var = jnp.mean(xf ** 2, axis=-1, keepdims=True)
+        normed = xf * jax.lax.rsqrt(var + self.eps)
+        return (w * normed).astype(self.dtype)
+
+
+class LlamaAttention(nn.Module):
+    config: LlamaConfig
+    lora: Optional[LoraConfig] = None
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        cfg = self.config
+        hd = cfg.head_dim
+        self.q_proj = LoraDense(cfg.num_attention_heads * hd, self.lora,
+                                dtype=self.dtype)
+        self.k_proj = LoraDense(cfg.num_key_value_heads * hd, self.lora,
+                                dtype=self.dtype)
+        self.v_proj = LoraDense(cfg.num_key_value_heads * hd, self.lora,
+                                dtype=self.dtype)
+        self.o_proj = LoraDense(cfg.hidden_size, self.lora, dtype=self.dtype)
+
+    def __call__(self, x, cos, sin, mask=None, cache=None, cache_index=None):
+        cfg = self.config
+        b, t, _ = x.shape
+        hd = cfg.head_dim
+        q = self.q_proj(x).reshape(b, t, cfg.num_attention_heads, hd)
+        k = self.k_proj(x).reshape(b, t, cfg.num_key_value_heads, hd)
+        v = self.v_proj(x).reshape(b, t, cfg.num_key_value_heads, hd)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+        if cache is not None:
+            k = jax.lax.dynamic_update_slice_in_dim(cache["k"], k, cache_index, 1)
+            v = jax.lax.dynamic_update_slice_in_dim(cache["v"], v, cache_index, 1)
+            cache = {"k": k, "v": v}
+        out = gqa_attention(q, k, v, mask=mask)
+        return self.o_proj(out.reshape(b, t, -1)), cache
+
+
+class LlamaMLP(nn.Module):
+    config: LlamaConfig
+    lora: Optional[LoraConfig] = None
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        cfg = self.config
+        gate = LoraDense(cfg.intermediate_size, self.lora, dtype=self.dtype,
+                         name="gate_proj")(x)
+        up = LoraDense(cfg.intermediate_size, self.lora, dtype=self.dtype,
+                       name="up_proj")(x)
+        return LoraDense(cfg.hidden_size, self.lora, dtype=self.dtype,
+                         name="down_proj")(nn.silu(gate) * up)
+
+
+class LlamaLayer(nn.Module):
+    config: LlamaConfig
+    lora: Optional[LoraConfig] = None
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        cfg = self.config
+        self.input_layernorm = RMSNorm(cfg.rms_norm_eps, self.dtype)
+        self.self_attn = LlamaAttention(cfg, self.lora, self.dtype)
+        self.post_attention_layernorm = RMSNorm(cfg.rms_norm_eps, self.dtype)
+        self.mlp = LlamaMLP(cfg, self.lora, self.dtype)
+
+    def __call__(self, x, cos, sin, mask=None, cache=None, cache_index=None):
+        h, new_cache = self.self_attn(self.input_layernorm(x), cos, sin,
+                                      mask=mask, cache=cache,
+                                      cache_index=cache_index)
+        x = x + h
+        x = x + self.mlp(self.post_attention_layernorm(x))
+        return x, new_cache
+
+
+class LlamaModel(nn.Module):
+    """Backbone; `lm_head` is tied to embed_tokens (Llama-3.2-1B ties)."""
+
+    config: LlamaConfig
+    lora: Optional[LoraConfig] = None
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        cfg = self.config
+        self.embed_tokens = nn.Embed(cfg.vocab_size, cfg.hidden_size,
+                                     dtype=self.dtype)
+        self.layers = [LlamaLayer(cfg, self.lora, self.dtype, name=f"layers_{i}")
+                       for i in range(cfg.num_hidden_layers)]
+        self.norm = RMSNorm(cfg.rms_norm_eps, self.dtype)
+        self.inv_freq = jnp.asarray(llama3_inv_freq(cfg))
+
+    def _rope(self, positions: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        freqs = positions.astype(jnp.float32)[:, None] * self.inv_freq[None, :]
+        return jnp.cos(freqs).astype(self.dtype), jnp.sin(freqs).astype(self.dtype)
+
+    def __call__(
+        self,
+        input_ids: Optional[jnp.ndarray] = None,     # [B, T]
+        inputs_embeds: Optional[jnp.ndarray] = None, # [B, T, H]
+        attention_lengths: Optional[jnp.ndarray] = None,  # [B] valid lengths
+        position_offset: int | jnp.ndarray = 0,
+        caches=None,
+        cache_index: Optional[jnp.ndarray] = None,
+        output_hidden_states: bool = False,
+        key_valid: Optional[jnp.ndarray] = None,      # [B, Tk] for cached decode
+    ):
+        cfg = self.config
+        if inputs_embeds is None:
+            inputs_embeds = self.embed_tokens(input_ids)
+        x = inputs_embeds.astype(self.dtype)
+        b, t, _ = x.shape
+        positions = jnp.arange(t) + position_offset
+        cos, sin = self._rope(positions)
+
+        if caches is None:
+            mask = jnp.tril(jnp.ones((t, t), bool))[None, None]
+            if attention_lengths is not None:
+                valid = (jnp.arange(t)[None, :] < attention_lengths[:, None])
+                mask = jnp.logical_and(mask, valid[:, None, None, :])
+        else:
+            tk = caches[0]["k"].shape[1]
+            mask = (jnp.arange(tk)[None, None, None, :]
+                    <= (cache_index + t - 1))
+            if key_valid is not None:
+                mask = jnp.logical_and(mask, key_valid[:, None, None, :])
+
+        hidden_states = [x] if output_hidden_states else None
+        new_caches = []
+        for i, layer in enumerate(self.layers):
+            x, c = layer(x, cos, sin, mask=mask,
+                         cache=None if caches is None else caches[i],
+                         cache_index=cache_index)
+            new_caches.append(c)
+            if output_hidden_states:
+                hidden_states.append(x)
+        x = self.norm(x)
+
+        out = {"last_hidden": x}
+        if output_hidden_states:
+            # HF convention: hidden_states[-1] is the POST-norm final hidden
+            hidden_states[-1] = x
+            out["hidden_states"] = tuple(hidden_states)
+        if caches is not None:
+            out["caches"] = tuple(new_caches)
+        return out
+
+    def logits(self, hidden: jnp.ndarray) -> jnp.ndarray:
+        """Tied lm_head: hidden @ embed^T."""
+        emb = self.embed_tokens.embedding
+        return (hidden.astype(jnp.float32)
+                @ emb.astype(jnp.float32).T)
+
+    def init_cache(self, batch: int, max_len: int):
+        cfg = self.config
+        return tuple(
+            {"k": jnp.zeros((batch, max_len, cfg.num_key_value_heads,
+                             cfg.head_dim), self.dtype),
+             "v": jnp.zeros((batch, max_len, cfg.num_key_value_heads,
+                             cfg.head_dim), self.dtype)}
+            for _ in range(cfg.num_hidden_layers))

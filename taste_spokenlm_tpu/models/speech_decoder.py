@@ -1,0 +1,245 @@
+"""TASTE speech decoder: (taste units + text) -> S3 speech tokens.
+
+Re-design of the reference CosyVoice-style TTS LM
+(/root/reference/taste_speech/modeling_taste.py:214-543):
+
+  text ids  -> embed(512) -> 3-block causal conformer -> affine -> 1024
+  taste emb -> affine(512) -> 2-block causal conformer -> affine -> 1024
+  fuse (softmax-weighted sum, init balanced)           -> fused [B,T,1024]
+  lm input  = [sos | spk | fused(T) | task | speech-embeds(S)]   (ragged pack)
+  7-block causal transformer -> head(4097) ; labels [IGN*(2+T) | s3 | EOS]
+
+TPU-first differences from the reference:
+* ragged packing is a fixed-shape gather (ops/segment.ragged_concat), not
+  per-sample unpad/concat/pad loops (modeling_taste.py:400-433);
+* autoregressive generation runs on a real per-layer KV cache
+  (ConformerEncoder.decode_step) in a lax.while_loop — the reference
+  re-forwards the full prefix every token (modeling_taste.py:1607-1616);
+* EOS-rejection before min length = masking the EOS logit (equivalent
+  renormalized distribution), so the sampler is branchless.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from taste_spokenlm_tpu.config import SpeechDecoderConfig
+from taste_spokenlm_tpu.models.conformer import ConformerEncoder
+from taste_spokenlm_tpu.ops.losses import IGNORE_ID, label_smoothing_ce, masked_accuracy
+from taste_spokenlm_tpu.ops.masking import length_mask
+from taste_spokenlm_tpu.ops.sampling import sample
+from taste_spokenlm_tpu.ops.segment import ragged_concat
+
+
+class TasteSpeechDecoder(nn.Module):
+    config: SpeechDecoderConfig
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        cfg = self.config
+        self.text_embedding = nn.Embed(cfg.text_token_size,
+                                       cfg.text_encoder_input_size,
+                                       dtype=self.dtype)
+        self.text_encoder = ConformerEncoder(cfg.text_encoder, dtype=self.dtype)
+        self.text_encoder_affine_layer = nn.Dense(cfg.llm_input_size,
+                                                  dtype=self.dtype)
+        self.audio_embed_affine_layer = nn.Dense(cfg.text_encoder_input_size,
+                                                 dtype=self.dtype)
+        self.audio_token_encoder = ConformerEncoder(cfg.audio_encoder,
+                                                    dtype=self.dtype)
+        self.audio_token_encoder_affine_layer = nn.Dense(cfg.llm_input_size,
+                                                         dtype=self.dtype)
+        # fusion weights (softmax over [audio, text]; init balanced)
+        # (/root/reference/taste_speech/modules_taste/fusion.py:95-155)
+        init = {"balance": jnp.array([1.0, 1.0]),
+                "zero_audio": jnp.array([-2.0, 2.0])}[self.config.fuse_weight_init_type]
+        self.fuse_weights = self.param("fuse_weights", lambda key: init)
+        # llm_embedding row 0 = sos/eos, row 1 = task id
+        self.llm_embedding = nn.Embed(2, cfg.llm_input_size, dtype=self.dtype)
+        self.llm = ConformerEncoder(cfg.llm, dtype=self.dtype)
+        self.llm_decoder = nn.Dense(cfg.speech_token_size + 1, dtype=self.dtype)
+        self.speech_embedding = nn.Embed(cfg.speech_token_size,
+                                         cfg.llm_input_size, dtype=self.dtype)
+        self.spk_embed_affine_layer = nn.Dense(cfg.llm_input_size,
+                                               dtype=self.dtype)
+
+    # ------------------------------------------------------------------
+
+    def encode_text(self, asr_token_ids, asr_token_lengths):
+        emb = self.text_embedding(asr_token_ids)
+        enc = self.text_encoder(emb, asr_token_lengths)
+        return self.text_encoder_affine_layer(enc)
+
+    def encode_audio(self, audio_unit_embeds, audio_unit_lengths):
+        x = self.audio_embed_affine_layer(audio_unit_embeds)
+        enc = self.audio_token_encoder(x, audio_unit_lengths)
+        return self.audio_token_encoder_affine_layer(enc)
+
+    def fuse(self, audio_encoded, text_encoded):
+        if self.config.fuse_type == "weighted_sum":
+            w = jax.nn.softmax(self.fuse_weights)
+            return w[0] * audio_encoded + w[1] * text_encoded
+        raise NotImplementedError(self.config.fuse_type)
+
+    def prepare_conditional_embeds(
+        self, speaker_embeds, audio_unit_embeds, audio_unit_lengths,
+        asr_token_ids, asr_token_lengths, skip_audio: bool = False,
+    ):
+        """Returns (sos_emb [B,1,C], spk [B,1,C], fused [B,T,C], task [B,1,C])."""
+        b = asr_token_ids.shape[0]
+        spk = speaker_embeds / jnp.maximum(
+            jnp.linalg.norm(speaker_embeds, axis=-1, keepdims=True), 1e-8)
+        spk = self.spk_embed_affine_layer(spk.astype(self.dtype))[:, None, :]
+        text_enc = self.encode_text(asr_token_ids, asr_token_lengths)
+        if skip_audio:
+            fused = text_enc
+        else:
+            audio_enc = self.encode_audio(audio_unit_embeds, audio_unit_lengths)
+            fused = self.fuse(audio_enc, text_enc)
+        sos = jnp.tile(self.llm_embedding(jnp.array([0]))[None], (b, 1, 1))
+        task = jnp.tile(self.llm_embedding(jnp.array([1]))[None], (b, 1, 1))
+        return sos, spk, fused, task
+
+    # ------------------------------------------------------------------
+    # training forward
+    # ------------------------------------------------------------------
+
+    def __call__(
+        self,
+        speaker_embeds: jnp.ndarray,       # [B, spk_dim]
+        audio_unit_embeds: jnp.ndarray,    # [B, T, audio_dim]
+        audio_unit_lengths: jnp.ndarray,   # [B]
+        asr_token_ids: jnp.ndarray,        # [B, T]
+        asr_token_lengths: jnp.ndarray,    # [B]
+        speech_token_ids: jnp.ndarray,     # [B, S]
+        speech_token_lengths: jnp.ndarray, # [B]
+        skip_audio: bool = False,
+    ) -> Dict[str, jnp.ndarray]:
+        cfg = self.config
+        b, t = asr_token_ids.shape
+        s = speech_token_ids.shape[1]
+        sos, spk, fused, task = self.prepare_conditional_embeds(
+            speaker_embeds, audio_unit_embeds, audio_unit_lengths,
+            asr_token_ids, asr_token_lengths, skip_audio)
+        speech_emb = self.speech_embedding(speech_token_ids)
+
+        out_len = 3 + t + s
+        lm_input, lm_len = ragged_concat(
+            [(sos, None), (spk, None), (fused, asr_token_lengths),
+             (task, None), (speech_emb, speech_token_lengths)], out_len)
+
+        ign = jnp.full((b, 2 + t), IGNORE_ID, jnp.int32)
+        eos = jnp.full((b, 1), cfg.speech_token_size, jnp.int32)
+        lm_target, _ = ragged_concat(
+            [(ign, asr_token_lengths + 2),
+             (speech_token_ids.astype(jnp.int32), speech_token_lengths),
+             (eos, None)], out_len, pad_value=IGNORE_ID)
+
+        lm_out = self.llm(lm_input, lm_len)
+        logits = self.llm_decoder(lm_out)
+        loss = label_smoothing_ce(
+            logits, lm_target, smoothing=cfg.lsm_weight,
+            normalize_length=cfg.length_normalized_loss)
+        acc = masked_accuracy(logits, lm_target)
+        return {"loss": loss, "logits": logits, "labels": lm_target,
+                "speech_token_accuracy": acc}
+
+    # ------------------------------------------------------------------
+    # autoregressive generation (KV-cached)
+    # ------------------------------------------------------------------
+
+    def generate(
+        self,
+        rng: jax.Array,
+        speaker_embeds, audio_unit_embeds, audio_unit_lengths,
+        asr_token_ids, asr_token_lengths,
+        max_steps: int = 512,
+        sampling_k: int = 25,
+        min_token_text_ratio: float = 2.0,
+        max_token_text_ratio: float = 20.0,
+        skip_audio: bool = False,
+    ) -> Dict[str, jnp.ndarray]:
+        """Batched AR decode.  Prefix is packed LEFT-padded so all samples
+        share a global position index; per-sample min/max lengths follow the
+        reference ratios (modeling_taste.py:1595-1600).
+
+        Returns speech_token_ids [B, max_steps] (EOS-and-after = -1) and
+        speech_token_lengths [B].
+        """
+        cfg = self.config
+        b, t = asr_token_ids.shape
+        sos, spk, fused, task = self.prepare_conditional_embeds(
+            speaker_embeds, audio_unit_embeds, audio_unit_lengths,
+            asr_token_ids, asr_token_lengths, skip_audio)
+
+        prefix_max = 3 + t
+        # right-aligned (left-padded) packing: reverse, pack, reverse
+        packed, prefix_len = ragged_concat(
+            [(sos, None), (spk, None), (fused, asr_token_lengths),
+             (task, None)], prefix_max)
+        shift = prefix_max - prefix_len                      # [B]
+        pos = jnp.arange(prefix_max)[None, :]
+        src = jnp.clip(pos - shift[:, None], 0, prefix_max - 1)
+        prefix = jnp.take_along_axis(packed, src[:, :, None], axis=1)
+        prefix_valid = pos >= shift[:, None]                 # [B, P]
+        prefix = jnp.where(prefix_valid[:, :, None], prefix, 0.0)
+
+        total = prefix_max + max_steps
+        caches = self.llm.init_cache(b, total)
+        key_valid = jnp.concatenate(
+            [prefix_valid, jnp.ones((b, max_steps), bool)], axis=1)
+
+        # prefill
+        lm_out, caches = self.llm.decode_step(
+            prefix, caches, jnp.int32(0),
+            key_valid=key_valid[:, None, None, :])
+        last_hidden = lm_out[:, -1]
+
+        min_len = (prefix_len.astype(jnp.float32) * min_token_text_ratio).astype(jnp.int32)
+        max_len = jnp.minimum(
+            (prefix_len.astype(jnp.float32) * max_token_text_ratio).astype(jnp.int32),
+            max_steps)
+
+        class State(NamedTuple):
+            step: jnp.ndarray
+            rng: jax.Array
+            caches: Any
+            hidden: jnp.ndarray        # [B, C] last LM hidden
+            tokens: jnp.ndarray        # [B, max_steps]
+            done: jnp.ndarray          # [B]
+
+        init = State(jnp.int32(0), rng, caches, last_hidden,
+                     jnp.full((b, max_steps), -1, jnp.int32),
+                     jnp.zeros((b,), bool))
+
+        def cond(mdl, st: State):
+            return jnp.logical_and(st.step < max_steps, ~jnp.all(st.done))
+
+        def body(mdl, st: State):
+            rng, sub = jax.random.split(st.rng)
+            logits = mdl.llm_decoder(st.hidden).astype(jnp.float32)  # [B, V+1]
+            forbid = st.step < min_len
+            ids = sample(sub, logits, top_k=sampling_k,
+                         forbid_eos=forbid, eos_id=cfg.speech_token_size)
+            is_eos = ids == cfg.speech_token_size
+            over = st.step >= max_len
+            emit = jnp.where(st.done | is_eos | over, -1, ids)
+            tokens = st.tokens.at[:, st.step].set(emit)
+            newly_done = st.done | is_eos | over
+
+            emb = mdl.speech_embedding(jnp.maximum(ids, 0) %
+                                       cfg.speech_token_size)[:, None, :]
+            lm_out, caches = mdl.llm.decode_step(
+                emb, st.caches, prefix_max + st.step,
+                key_valid=key_valid[:, None, None, :])
+            return State(st.step + 1, rng, caches, lm_out[:, 0], tokens,
+                         newly_done)
+
+        final = nn.while_loop(cond, body, self, init)
+        lengths = jnp.sum(final.tokens >= 0, axis=1)
+        return {"speech_token_ids": final.tokens,
+                "speech_token_lengths": lengths}

@@ -1,0 +1,87 @@
+"""In-graph sampling ops: top-k / top-p (nucleus), repetition penalty,
+temperature — all branchless and jit/scan-friendly.
+
+Replaces the reference's host-side sampling loops
+(/root/reference/taste_speech/modeling_taste.py:356-369 `sampling_ids` with
+its EOS-rejection while-loop, modules_taste/sampler.py:85-111 top-p with
+repetition penalty).  EOS rejection before a minimum length is expressed as
+masking the EOS logit before sampling, which is distribution-identical to
+rejection re-sampling (renormalization over the non-EOS support).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = jnp.float32(jnp.finfo(jnp.float32).min / 2)
+
+
+def temperature_scale(logits: jnp.ndarray, temperature: float | jnp.ndarray) -> jnp.ndarray:
+    return logits / jnp.maximum(jnp.asarray(temperature, logits.dtype), 1e-6)
+
+
+def apply_repetition_penalty(logits: jnp.ndarray, token_counts: jnp.ndarray,
+                             penalty: float | jnp.ndarray) -> jnp.ndarray:
+    """CTRL-style repetition penalty over tokens already emitted.
+
+    logits: [..., V]; token_counts: [..., V] (>0 where the token appeared).
+    positive logits are divided by `penalty`, negative multiplied.
+    """
+    seen = token_counts > 0
+    penalized = jnp.where(logits > 0, logits / penalty, logits * penalty)
+    return jnp.where(seen, penalized, logits)
+
+
+def mask_top_k(logits: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Keep the top-k logits, set the rest to -inf.  Static k."""
+    kth = jax.lax.top_k(logits, k)[0][..., -1:]
+    return jnp.where(logits >= kth, logits, NEG_INF)
+
+
+def mask_top_p(logits: jnp.ndarray, p: float | jnp.ndarray) -> jnp.ndarray:
+    """Nucleus filtering: keep the smallest set of tokens with cumulative
+    probability >= p (the top-1 token is always kept).  p<=0 => argmax."""
+    sorted_logits = jnp.sort(logits, axis=-1)[..., ::-1]
+    probs = jax.nn.softmax(sorted_logits, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    # keep entries whose *previous* cumulative mass is < p
+    keep_sorted = jnp.concatenate(
+        [jnp.ones_like(cum[..., :1], bool), cum[..., :-1] < p], axis=-1)
+    # threshold logit = smallest kept logit
+    kth = jnp.min(jnp.where(keep_sorted, sorted_logits, jnp.inf), axis=-1,
+                  keepdims=True)
+    return jnp.where(logits >= kth, logits, NEG_INF)
+
+
+def sample(rng: jax.Array, logits: jnp.ndarray,
+           temperature: float | jnp.ndarray = 1.0,
+           top_k: Optional[int] = None,
+           top_p: Optional[float | jnp.ndarray] = None,
+           banned: Optional[jnp.ndarray] = None,
+           forbid_eos: Optional[jnp.ndarray] = None,
+           eos_id: Optional[int] = None) -> jnp.ndarray:
+    """Categorical sample with optional filters.  logits [..., V] -> ids [...].
+
+    `banned`: bool [V] or [..., V] mask of never-sample tokens.
+    `forbid_eos`: bool [...] — when True, the eos_id logit is masked (the
+    min-length EOS-rejection semantics of the reference decoders).
+    """
+    logits = logits.astype(jnp.float32)
+    if banned is not None:
+        logits = jnp.where(banned, NEG_INF, logits)
+    if forbid_eos is not None and eos_id is not None:
+        eos_mask = (jnp.arange(logits.shape[-1]) == eos_id) & forbid_eos[..., None]
+        logits = jnp.where(eos_mask, NEG_INF, logits)
+    logits = temperature_scale(logits, temperature)
+    if top_k is not None and top_k > 0:
+        logits = mask_top_k(logits, top_k)
+    if top_p is not None:
+        logits = jax.lax.cond(
+            jnp.asarray(top_p) > 0.0,
+            lambda l: mask_top_p(l, top_p),
+            lambda l: jnp.where(l >= jnp.max(l, axis=-1, keepdims=True), l, NEG_INF),
+            logits)
+    return jax.random.categorical(rng, logits, axis=-1)

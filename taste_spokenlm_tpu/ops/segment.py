@@ -95,3 +95,48 @@ def cross_tokenizer_remap(
     m = jnp.einsum("btg,bgs->bts", dst_sel.astype(jnp.float32),
                    src_sel.astype(jnp.float32))
     return m * dst_valid[:, :, None]
+
+
+def ragged_concat(segments, out_len: int, pad_value=0.0):
+    """Pack per-sample variable-length segments contiguously (left-aligned).
+
+    segments: list of (tensor, lengths) where tensor is [B, Ti, C] (or
+    [B, Ti] for ids) and lengths is [B] (None => all Ti valid).
+    Returns (packed [B, out_len, C], total_lengths [B]).
+
+    This is the fixed-shape replacement for the reference's
+    unpad_sequence/concat/pad_sequence packing
+    (/root/reference/taste_speech/modeling_taste.py:400-433
+    `pad_unpad_sequence`): one gather per output instead of per-sample
+    Python loops.
+    """
+    b = segments[0][0].shape[0]
+    is_2d = segments[0][0].ndim == 2
+    bufs, lens, starts = [], [], []
+    offset = 0
+    for tensor, seg_len in segments:
+        ti = tensor.shape[1]
+        bufs.append(tensor if not is_2d else tensor[..., None])
+        if seg_len is None:
+            seg_len = jnp.full((b,), ti, jnp.int32)
+        lens.append(jnp.asarray(seg_len, jnp.int32))
+        starts.append(offset)
+        offset += ti
+    buf = jnp.concatenate(bufs, axis=1)                  # [B, sumTi, C]
+    seg_lens = jnp.stack(lens, axis=1)                   # [B, K]
+    cum = jnp.concatenate(
+        [jnp.zeros((b, 1), jnp.int32), jnp.cumsum(seg_lens, axis=1)], axis=1)
+    total = cum[:, -1]
+    pos = jnp.arange(out_len)[None, :]                   # [1, L]
+    # segment id of each output position: number of cum[1:] values <= pos
+    seg_id = jnp.sum(pos[:, :, None] >= cum[:, None, 1:], axis=-1)  # [B, L]
+    seg_id = jnp.minimum(seg_id, len(segments) - 1)
+    within = pos - jnp.take_along_axis(cum, seg_id, axis=1)
+    src = jnp.asarray(starts, jnp.int32)[seg_id] + within
+    src = jnp.clip(src, 0, buf.shape[1] - 1)
+    packed = jnp.take_along_axis(buf, src[:, :, None], axis=1)
+    valid = pos < total[:, None]
+    packed = jnp.where(valid[:, :, None], packed, pad_value)
+    if is_2d:
+        packed = packed[..., 0]
+    return packed, total

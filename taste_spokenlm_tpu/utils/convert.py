@@ -72,6 +72,39 @@ def whisper_decoder_params(state_dict: Mapping[str, "np.ndarray"],
     return tree
 
 
+def llama_params(state_dict: Mapping[str, "np.ndarray"],
+                 prefix: str = "model.") -> Dict:
+    """HF LlamaModel state dict -> flax param tree for models.llama.LlamaModel.
+
+    Base projections land under `<proj>.base.kernel` (the LoRA wrapper's base
+    path); LoRA adapters, if any, are freshly initialized by the model.
+    """
+    tree: Dict = {}
+    for name, w in state_dict.items():
+        if prefix and not name.startswith(prefix):
+            continue
+        name = name[len(prefix):]
+        w = _np(w)
+        parts = name.split(".")
+        if parts[0] == "embed_tokens":
+            _set(tree, ["embed_tokens", "embedding"], w)
+        elif parts[0] == "norm":
+            _set(tree, ["norm", "weight"], w)
+        elif parts[0] == "layers":
+            i = parts[1]
+            lk = f"layers_{i}"
+            if parts[2] in ("input_layernorm", "post_attention_layernorm"):
+                _set(tree, [lk, parts[2], "weight"], w)
+            elif parts[2] in ("self_attn", "mlp"):
+                proj = parts[3]
+                _set(tree, [lk, parts[2], proj, "base", "kernel"], w.T)
+            else:
+                raise KeyError(name)
+        elif parts[0] == "rotary_emb":
+            continue
+    return tree
+
+
 def _set_layer(tree: Dict, layer_key: str, sub: list, w: np.ndarray):
     """Handle one encoder/decoder transformer-layer parameter."""
     if sub[0] in ("self_attn", "encoder_attn"):
