@@ -353,7 +353,7 @@ class SpokenLMConfig(_Base):
 
     @classmethod
     def tiny(cls) -> "SpokenLMConfig":
-        return cls(llama=LlamaConfig.tiny(), lora=LoraConfig.tiny())
+        return cls(llama=LlamaConfig.tiny(), lora=LoraConfig.tiny(), sos_id=1)
 
 
 # ---------------------------------------------------------------------------
@@ -428,8 +428,8 @@ class HiFTConfig(_Base):
         return cls(in_channels=16, base_channels=32, upsample_rates=(4, 4),
                    upsample_kernel_sizes=(8, 8),
                    resblock_kernel_sizes=(3,), resblock_dilation_sizes=((1, 3),),
-                   source_resblock_kernel_sizes=(7,),
-                   source_resblock_dilation_sizes=((1, 3),),
+                   source_resblock_kernel_sizes=(7, 11),
+                   source_resblock_dilation_sizes=((1, 3), (1, 3)),
                    f0_predictor_in_channels=16, f0_predictor_cond_channels=32)
 
 

@@ -1,0 +1,339 @@
+"""Flow-matching acoustic model: S3 speech tokens -> mel spectrogram.
+
+Re-design of the CosyVoice flow stack
+(/root/reference/taste_speech/modules_taste/cosyvoice/flow/{flow,
+flow_matching,length_regulator,decoder}.py + matcha components) for TPU:
+
+* channels-LAST layout ([B, T, C]) everywhere — convs and attention map
+  straight onto MXU tiles;
+* the Euler CFM solver runs as a `lax.scan` over timesteps, and
+  classifier-free guidance batches the conditional and unconditional
+  estimator passes as ONE 2B-batch call instead of two sequential calls
+  (flow_matching.py:75-88 does 2 calls/step — SURVEY.md §7 step 5);
+* nearest-neighbour length regulation is a static gather.
+
+Exact hyperparameters from the reference VoiceGenerator
+(modules_taste/inference_audio.py:22-72): 6-block full-attention conformer
+512d, mel 80, U-Net channels (256,256) with one real 2x downsample, 12 mid
+blocks, heads 8 x 64, 10 Euler steps, CFG rate 0.7, cosine t-schedule.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from taste_spokenlm_tpu.config import FlowConfig
+from taste_spokenlm_tpu.models.conformer import ConformerEncoder
+from taste_spokenlm_tpu.ops.attention import multi_head_attention
+from taste_spokenlm_tpu.ops.masking import length_mask
+
+
+def mish(x):
+    return x * jnp.tanh(jax.nn.softplus(x))
+
+
+def nearest_interpolate(x: jnp.ndarray, out_len: int) -> jnp.ndarray:
+    """[B, T, C] -> [B, out_len, C] nearest over time (torch F.interpolate
+    'nearest' semantics: src index = floor(i * T / out_len))."""
+    t = x.shape[1]
+    idx = (jnp.arange(out_len) * t) // out_len
+    return x[:, idx, :]
+
+
+class InterpolateRegulator(nn.Module):
+    """Length regulation: nearest-interpolate to mel frames, then conv stack
+    (length_regulator.py:21-50): 4x [Conv k3 + GroupNorm(1) + Mish] + 1x1."""
+
+    channels: int
+    n_layers: int = 4
+
+    @nn.compact
+    def __call__(self, x, out_len: int, out_lengths: jnp.ndarray):
+        h = nearest_interpolate(x, out_len)
+        for i in range(self.n_layers):
+            h = nn.Conv(self.channels, (3,), padding=1, name=f"conv_{i}")(h)
+            h = nn.GroupNorm(num_groups=1, epsilon=1e-5, name=f"norm_{i}")(h)
+            h = mish(h)
+        h = nn.Conv(self.channels, (1,), name="proj")(h)
+        return h * length_mask(out_lengths, out_len)[:, :, None]
+
+
+class Block1D(nn.Module):
+    dim_out: int
+    groups: int = 8
+
+    @nn.compact
+    def __call__(self, x, mask):
+        # x: [B, T, C]; mask: [B, T, 1]
+        h = nn.Conv(self.dim_out, (3,), padding=1, name="conv")(x * mask)
+        h = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5, name="norm")(h)
+        return mish(h) * mask
+
+
+class ResnetBlock1D(nn.Module):
+    dim_out: int
+    groups: int = 8
+
+    @nn.compact
+    def __call__(self, x, mask, t_emb):
+        h = Block1D(self.dim_out, self.groups, name="block1")(x, mask)
+        h = h + nn.Dense(self.dim_out, name="mlp")(mish(t_emb))[:, None, :]
+        h = Block1D(self.dim_out, self.groups, name="block2")(h, mask)
+        return h + nn.Conv(self.dim_out, (1,), name="res_conv")(x * mask)
+
+
+class DiffusersAttention(nn.Module):
+    """diffusers-style self-attention (to_q/k/v no bias, to_out)."""
+
+    heads: int
+    head_dim: int
+    out_dim: int
+
+    @nn.compact
+    def __call__(self, x, mask=None):
+        b, t, _ = x.shape
+        inner = self.heads * self.head_dim
+        q = nn.Dense(inner, use_bias=False, name="to_q")(x)
+        k = nn.Dense(inner, use_bias=False, name="to_k")(x)
+        v = nn.Dense(inner, use_bias=False, name="to_v")(x)
+        q = q.reshape(b, t, self.heads, self.head_dim)
+        k = k.reshape(b, t, self.heads, self.head_dim)
+        v = v.reshape(b, t, self.heads, self.head_dim)
+        out = multi_head_attention(q, k, v, mask=mask)
+        return nn.Dense(self.out_dim, name="to_out")(out.reshape(b, t, inner))
+
+
+class BasicTransformerBlock(nn.Module):
+    dim: int
+    heads: int
+    head_dim: int
+
+    @nn.compact
+    def __call__(self, x, mask=None):
+        h = nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
+        x = x + DiffusersAttention(self.heads, self.head_dim, self.dim,
+                                   name="attn1")(h, mask=mask)
+        h = nn.LayerNorm(epsilon=1e-5, name="norm3")(x)
+        h = nn.Dense(self.dim * 4, name="ff_in")(h)
+        h = nn.gelu(h, approximate=False)
+        x = x + nn.Dense(self.dim, name="ff_out")(h)
+        return x
+
+
+def sinusoidal_time_emb(t: jnp.ndarray, dim: int, scale: float = 1000.0) -> jnp.ndarray:
+    """matcha SinusoidalPosEmb: [B] -> [B, dim]."""
+    half = dim // 2
+    freqs = jnp.exp(-math.log(10000.0) / (half - 1) * jnp.arange(half))
+    ang = scale * t[:, None] * freqs[None, :]
+    return jnp.concatenate([jnp.sin(ang), jnp.cos(ang)], axis=-1)
+
+
+def _attn_mask(m):
+    """[B, T, 1] float mask -> bool [B, 1, T, T] pairwise mask."""
+    return (m[:, None, :, :] * m[:, None, None, :, 0]) > 0.5
+
+
+class ConditionalDecoder(nn.Module):
+    """1-D U-Net CFM estimator (decoder.py:21-222), channels-last."""
+
+    config: FlowConfig
+
+    @nn.compact
+    def __call__(self, x, mask, mu, t, spks=None, cond=None):
+        """x/mu/cond: [B, T, n_mels]; mask: [B, T] bool; t: [B]; spks: [B, n_mels]."""
+        cfg = self.config
+        channels = cfg.estimator_channels
+        n_mels = cfg.output_size
+        in_ch = n_mels * (2 + (spks is not None) + (cond is not None))
+
+        t_emb = sinusoidal_time_emb(t, in_ch)
+        time_dim = channels[0] * 4
+        t_emb = nn.Dense(time_dim, name="time_mlp_1")(t_emb)
+        t_emb = nn.Dense(time_dim, name="time_mlp_2")(nn.silu(t_emb))
+
+        parts = [x, mu]
+        if spks is not None:
+            parts.append(jnp.broadcast_to(spks[:, None, :],
+                                          (x.shape[0], x.shape[1], spks.shape[-1])))
+        if cond is not None:
+            parts.append(cond)
+        h = jnp.concatenate(parts, axis=-1)
+
+        m0 = mask.astype(h.dtype)[:, :, None]
+
+        def tf_stack(h, m, ch, name):
+            am = _attn_mask(m)
+            for bi in range(cfg.estimator_n_blocks):
+                h = BasicTransformerBlock(ch, cfg.estimator_num_heads,
+                                          cfg.estimator_attention_head_dim,
+                                          name=f"{name}_tf_{bi}")(h, am)
+            return h
+
+        # ---- down path: skips captured BEFORE downsampling ----
+        masks = [m0]
+        skips = []
+        for i, ch in enumerate(channels):
+            is_last = i == len(channels) - 1
+            m = masks[-1]
+            h = ResnetBlock1D(ch, name=f"down_{i}_resnet")(h, m, t_emb)
+            h = tf_stack(h, m, ch, f"down_{i}")
+            skips.append(h)
+            if not is_last:
+                h = nn.Conv(ch, (3,), strides=(2,), padding=1,
+                            name=f"down_{i}_downsample")(h * m)
+                masks.append(m[:, ::2])
+            else:
+                h = nn.Conv(ch, (3,), padding=1,
+                            name=f"down_{i}_downsample")(h * m)
+                masks.append(m)
+        masks = masks[:-1]
+
+        # ---- mid ----
+        m_mid = masks[-1]
+        for i in range(cfg.estimator_num_mid_blocks):
+            h = ResnetBlock1D(channels[-1], name=f"mid_{i}_resnet")(h, m_mid, t_emb)
+            h = tf_stack(h, m_mid, channels[-1], f"mid_{i}")
+
+        # ---- up path ----
+        rev = tuple(channels[::-1]) + (channels[0],)
+        for i in range(len(rev) - 1):
+            out_ch = rev[i + 1]
+            is_last = i == len(rev) - 2
+            m = masks.pop()
+            skip = skips.pop()
+            h = jnp.concatenate([h[:, : skip.shape[1]], skip], axis=-1)
+            h = ResnetBlock1D(out_ch, name=f"up_{i}_resnet")(h, m, t_emb)
+            h = tf_stack(h, m, out_ch, f"up_{i}")
+            if not is_last:
+                h = nn.ConvTranspose(out_ch, (4,), strides=(2,), padding="SAME",
+                                     name=f"up_{i}_upsample")(h * m)
+            else:
+                h = nn.Conv(out_ch, (3,), padding=1, name=f"up_{i}_upsample")(h * m)
+            m_final = m
+
+        h = h[:, : m_final.shape[1]]
+        h = Block1D(rev[-1], name="final_block")(h, m_final)
+        out = nn.Conv(n_mels, (1,), name="final_proj")(h * m_final)
+        return out * m_final
+
+
+class ConditionalCFM(nn.Module):
+    """Optimal-transport conditional flow matching (flow_matching.py:18-138)."""
+
+    config: FlowConfig
+
+    def setup(self):
+        self.estimator = ConditionalDecoder(self.config, name="estimator")
+
+    def __call__(self, rng, mu, mask, spks, cond, n_timesteps: Optional[int] = None,
+                 temperature: float = 1.0):
+        """Euler ODE solve: noise -> mel.  mu/cond: [B, T, M]; mask [B, T]."""
+        cfg = self.config
+        n = n_timesteps or cfg.n_timesteps
+        z = jax.random.normal(rng, mu.shape, jnp.float32) * temperature
+        t_span = jnp.linspace(0.0, 1.0, n + 1)
+        if cfg.t_scheduler == "cosine":
+            t_span = 1.0 - jnp.cos(t_span * 0.5 * jnp.pi)
+
+        cfg_rate = cfg.inference_cfg_rate
+        b = mu.shape[0]
+
+        def step(mdl, x, i):
+            t = t_span[i]
+            dt = t_span[i + 1] - t_span[i]
+            if cfg_rate > 0:
+                # one batched 2B estimator call: [cond | uncond]
+                x2 = jnp.concatenate([x, x], axis=0)
+                mu2 = jnp.concatenate([mu, jnp.zeros_like(mu)], axis=0)
+                spks2 = jnp.concatenate([spks, jnp.zeros_like(spks)], axis=0)
+                cond2 = jnp.concatenate([cond, jnp.zeros_like(cond)], axis=0)
+                mask2 = jnp.concatenate([mask, mask], axis=0)
+                v2 = mdl.estimator(x2, mask2, mu2, jnp.full((2 * b,), t),
+                                   spks2, cond2)
+                v = (1.0 + cfg_rate) * v2[:b] - cfg_rate * v2[b:]
+            else:
+                v = mdl.estimator(x, mask, mu, jnp.full((b,), t), spks, cond)
+            return x + dt * v, None
+
+        x, _ = nn.scan(step, variable_broadcast="params",
+                       split_rngs={"params": False})(self, z, jnp.arange(n))
+        return x
+
+    def compute_loss(self, rng, x1, mask, mu, spks, cond):
+        """OT-CFM training loss (flow_matching.py:99-138)."""
+        cfg = self.config
+        b = x1.shape[0]
+        rng_t, rng_z, rng_cfg = jax.random.split(rng, 3)
+        t = jax.random.uniform(rng_t, (b, 1, 1))
+        if cfg.t_scheduler == "cosine":
+            t = 1.0 - jnp.cos(t * 0.5 * jnp.pi)
+        z = jax.random.normal(rng_z, x1.shape)
+        y = (1.0 - (1.0 - cfg.sigma_min) * t) * z + t * x1
+        u = x1 - (1.0 - cfg.sigma_min) * z
+        if cfg.training_cfg_rate > 0:
+            keep = (jax.random.uniform(rng_cfg, (b,)) > cfg.training_cfg_rate)
+            mu = mu * keep[:, None, None]
+            spks = spks * keep[:, None]
+            cond = cond * keep[:, None, None]
+        pred = self.estimator(y, mask, mu, t[:, 0, 0], spks, cond)
+        maskf = mask.astype(jnp.float32)[:, :, None]
+        return jnp.sum((pred - u) ** 2 * maskf) / (jnp.sum(maskf) * x1.shape[-1])
+
+
+class MaskedDiffWithXvec(nn.Module):
+    """Token->mel flow model (flow.py:24-136)."""
+
+    config: FlowConfig
+
+    def setup(self):
+        cfg = self.config
+        self.input_embedding = nn.Embed(cfg.vocab_size, cfg.input_size)
+        self.spk_embed_affine_layer = nn.Dense(cfg.output_size)
+        self.encoder = ConformerEncoder(cfg.encoder, name="encoder")
+        self.encoder_proj = nn.Dense(cfg.output_size)
+        self.length_regulator = InterpolateRegulator(cfg.output_size,
+                                                     name="length_regulator")
+        self.decoder = ConditionalCFM(cfg, name="decoder")
+
+    def _encode(self, token, token_len, mel_len_max, mel_lengths):
+        cfg = self.config
+        mask = length_mask(token_len, token.shape[1])
+        emb = self.input_embedding(jnp.maximum(token, 0)) * mask[:, :, None]
+        h = self.encoder(emb, token_len, causal=False)
+        h = self.encoder_proj(h)
+        return self.length_regulator(h, mel_len_max, mel_lengths)
+
+    def mel_lengths(self, token_len: jnp.ndarray) -> jnp.ndarray:
+        """Token count -> mel frame count: len/50 * 22050/256 (flow.py:116)."""
+        cfg = self.config
+        return (token_len.astype(jnp.float32) / cfg.input_frame_rate
+                * 22050.0 / 256.0).astype(jnp.int32)
+
+    def __call__(self, rng, token, token_len, feat, feat_len, embedding):
+        """Training loss.  feat: [B, Tm, M] target mel."""
+        spk = embedding / jnp.maximum(
+            jnp.linalg.norm(embedding, axis=-1, keepdims=True), 1e-8)
+        spk = self.spk_embed_affine_layer(spk)
+        h = self._encode(token, token_len, feat.shape[1], feat_len)
+        conds = jnp.zeros_like(feat)
+        mask = length_mask(feat_len, feat.shape[1])
+        loss = self.decoder.compute_loss(rng, feat, mask, h, spk, conds)
+        return {"loss": loss}
+
+    def inference(self, rng, token, token_len, embedding,
+                  mel_len_max: int, n_timesteps: Optional[int] = None):
+        """token [B, T] -> mel [B, mel_len_max, M] (masked beyond length)."""
+        spk = embedding / jnp.maximum(
+            jnp.linalg.norm(embedding, axis=-1, keepdims=True), 1e-8)
+        spk = self.spk_embed_affine_layer(spk)
+        mel_lengths = jnp.minimum(self.mel_lengths(token_len), mel_len_max)
+        h = self._encode(token, token_len, mel_len_max, mel_lengths)
+        conds = jnp.zeros((token.shape[0], mel_len_max, self.config.output_size))
+        mask = length_mask(mel_lengths, mel_len_max)
+        mel = self.decoder(rng, h, mask, spk, conds, n_timesteps)
+        return mel * mask[:, :, None], mel_lengths

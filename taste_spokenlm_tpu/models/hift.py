@@ -1,0 +1,249 @@
+"""HiFT vocoder: NSF source-filter + iSTFT head (HiFTNet), mel -> waveform.
+
+Re-design of /root/reference/taste_speech/modules_taste/cosyvoice/hifigan/
+{generator,f0_predictor}.py + activation.Snake for TPU:
+
+* channels-last convs; transposed convs implemented with torch-equivalent
+  semantics via lhs-dilated `lax.conv_general_dilated` (exact output
+  lengths, so converted checkpoints align sample-for-sample);
+* STFT/iSTFT (n_fft 16, hop 4) via XLA rfft/irfft + overlap-add
+  scatter-add;
+* the sine source generator is a pure function of (f0, rng) — cumsum phase,
+  random initial phase per harmonic, voiced/unvoiced noise mixing
+  (generator.py:103-166).
+
+Weight-norm convs are stored collapsed (effective weight = g * v/||v||);
+the checkpoint converter collapses torch's weight_v/weight_g pairs.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from taste_spokenlm_tpu.config import HiFTConfig
+
+
+def conv1d(x, w, b=None, stride=1, padding=0, dilation=1):
+    """torch-semantics Conv1d on channels-last x [B, T, C]; w [k, Cin, Cout]."""
+    out = jax.lax.conv_general_dilated(
+        x, w, window_strides=(stride,), padding=[(padding, padding)],
+        rhs_dilation=(dilation,), dimension_numbers=("NHC", "HIO", "NHC"))
+    if b is not None:
+        out = out + b
+    return out
+
+
+def conv_transpose1d(x, w, b=None, stride=1, padding=0):
+    """torch ConvTranspose1d semantics: x [B, T, C]; w [k, Cout, Cin]
+    (flipped + transposed inside).  out_len = (T-1)*stride + k - 2*padding."""
+    k = w.shape[0]
+    w_conv = jnp.flip(w, axis=0).transpose(0, 2, 1)  # -> [k, Cin, Cout]
+    out = jax.lax.conv_general_dilated(
+        x, w_conv, window_strides=(1,),
+        padding=[(k - 1 - padding, k - 1 - padding)],
+        lhs_dilation=(stride,), dimension_numbers=("NHC", "HIO", "NHC"))
+    if b is not None:
+        out = out + b
+    return out
+
+
+class WNConv(nn.Module):
+    """Plain conv storing collapsed weight-norm weights, torch padding."""
+
+    features: int
+    kernel: int
+    stride: int = 1
+    padding: int = 0
+    dilation: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[-1]
+        w = self.param("kernel", nn.initializers.lecun_normal(),
+                       (self.kernel, cin, self.features))
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        return conv1d(x, w, b, self.stride, self.padding, self.dilation)
+
+
+class WNConvTranspose(nn.Module):
+    features: int
+    kernel: int
+    stride: int
+    padding: int
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[-1]
+        w = self.param("kernel", nn.initializers.lecun_normal(),
+                       (self.kernel, self.features, cin))
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        return conv_transpose1d(x, w, b, self.stride, self.padding)
+
+
+def snake(x, alpha):
+    """Snake activation x + sin^2(alpha x)/alpha (activation.py:34-80)."""
+    return x + (1.0 / (alpha + 1e-9)) * jnp.sin(alpha * x) ** 2
+
+
+class ResBlock(nn.Module):
+    """HiFiGAN residual block with Snake activations (generator.py:41-100)."""
+
+    channels: int
+    kernel: int = 3
+    dilations: Tuple[int, ...] = (1, 3, 5)
+
+    @nn.compact
+    def __call__(self, x):
+        for i, d in enumerate(self.dilations):
+            a1 = self.param(f"alpha1_{i}", nn.initializers.ones, (self.channels,))
+            a2 = self.param(f"alpha2_{i}", nn.initializers.ones, (self.channels,))
+            pad1 = (self.kernel * d - d) // 2
+            pad2 = (self.kernel - 1) // 2
+            h = snake(x, a1)
+            h = WNConv(self.channels, self.kernel, padding=pad1, dilation=d,
+                       name=f"conv1_{i}")(h)
+            h = snake(h, a2)
+            h = WNConv(self.channels, self.kernel, padding=pad2,
+                       name=f"conv2_{i}")(h)
+            x = x + h
+        return x
+
+
+class ConvRNNF0Predictor(nn.Module):
+    """5x (WNConv k3 + ELU) + linear classifier -> |f0| (f0_predictor.py)."""
+
+    in_channels: int = 80
+    cond_channels: int = 512
+
+    @nn.compact
+    def __call__(self, mel):
+        h = mel
+        for i in range(5):
+            h = WNConv(self.cond_channels, 3, padding=1, name=f"cond_{i}")(h)
+            h = nn.elu(h)
+        f0 = nn.Dense(1, name="classifier")(h)[..., 0]
+        return jnp.abs(f0)
+
+
+def sine_source(rng, f0_up: jnp.ndarray, sampling_rate: int, harmonics: int,
+                sine_amp: float, noise_std: float, voiced_threshold: float
+                ) -> jnp.ndarray:
+    """f0 at sample rate [B, T] -> harmonic source [B, T] (SineGen +
+    SourceModuleHnNSF merge happens in the caller)."""
+    b, t = f0_up.shape
+    h = jnp.arange(1, harmonics + 2, dtype=jnp.float32)     # [H+1]
+    rads = f0_up[:, None, :] * h[None, :, None] / sampling_rate  # [B, H+1, T]
+    theta = 2.0 * jnp.pi * (jnp.cumsum(rads, axis=-1) % 1.0)
+    rng_phase, rng_noise = jax.random.split(rng)
+    phase = jax.random.uniform(rng_phase, (b, harmonics + 1, 1),
+                               minval=-jnp.pi, maxval=jnp.pi)
+    phase = phase.at[:, 0, :].set(0.0)
+    sines = sine_amp * jnp.sin(theta + phase)
+    uv = (f0_up > voiced_threshold).astype(jnp.float32)[:, None, :]
+    noise_amp = uv * noise_std + (1.0 - uv) * sine_amp / 3.0
+    noise = noise_amp * jax.random.normal(rng_noise, sines.shape)
+    return sines * uv + noise                               # [B, H+1, T]
+
+
+def stft_16(x: jnp.ndarray, n_fft: int, hop: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """torch.stft(center=True, reflect) real/imag, [B, F, TT]."""
+    win = jnp.asarray(np.hanning(n_fft + 1)[:-1].astype(np.float32))
+    pad = n_fft // 2
+    xp = jnp.pad(x, ((0, 0), (pad, pad)), mode="reflect")
+    nfrm = 1 + (xp.shape[1] - n_fft) // hop
+    idx = (np.arange(nfrm)[:, None] * hop + np.arange(n_fft)[None, :])
+    frames = xp[:, idx] * win
+    spec = jnp.fft.rfft(frames, n=n_fft, axis=-1)           # [B, TT, F]
+    return spec.real.transpose(0, 2, 1), spec.imag.transpose(0, 2, 1)
+
+
+def istft_16(mag: jnp.ndarray, phase: jnp.ndarray, n_fft: int, hop: int) -> jnp.ndarray:
+    """torch.istft(center=True) with hann window: [B, F, TT] -> [B, (TT-1)*hop]."""
+    win = jnp.asarray(np.hanning(n_fft + 1)[:-1].astype(np.float32))
+    real = mag * jnp.cos(phase)
+    imag = mag * jnp.sin(phase)
+    spec = (real + 1j * imag).transpose(0, 2, 1)            # [B, TT, F]
+    frames = jnp.fft.irfft(spec, n=n_fft, axis=-1) * win    # [B, TT, n_fft]
+    b, tt, _ = frames.shape
+    out_len = n_fft + hop * (tt - 1)
+    pos = (np.arange(tt)[:, None] * hop + np.arange(n_fft)[None, :]).reshape(-1)
+    sig = jnp.zeros((b, out_len)).at[:, pos].add(frames.reshape(b, -1))
+    wsum = jnp.zeros((out_len,)).at[pos].add(
+        jnp.tile(win ** 2, (tt,)))
+    sig = sig / jnp.maximum(wsum, 1e-8)
+    pad = n_fft // 2
+    return sig[:, pad:-pad] if pad else sig
+
+
+class HiFTGenerator(nn.Module):
+    """mel [B, T, 80] -> waveform [B, T*256] (generator.py:214-391)."""
+
+    config: HiFTConfig
+
+    @nn.compact
+    def __call__(self, mel: jnp.ndarray, rng: jax.Array) -> jnp.ndarray:
+        cfg = self.config
+        nfft, hop = cfg.istft_n_fft, cfg.istft_hop_len
+        up_total = int(np.prod(cfg.upsample_rates)) * hop
+
+        # --- F0 -> harmonic source ---
+        f0 = ConvRNNF0Predictor(cfg.f0_predictor_in_channels,
+                                cfg.f0_predictor_cond_channels,
+                                name="f0_predictor")(mel)   # [B, T]
+        f0_up = jnp.repeat(f0, up_total, axis=1)            # nearest upsample
+        rng_src, rng = jax.random.split(rng)
+        sines = sine_source(rng_src, f0_up, cfg.sampling_rate, cfg.nb_harmonics,
+                            cfg.nsf_alpha, cfg.nsf_sigma,
+                            cfg.nsf_voiced_threshold)       # [B, H+1, Ts]
+        merged = jnp.tanh(nn.Dense(1, name="source_linear")(
+            sines.transpose(0, 2, 1)))[..., 0]              # [B, Ts]
+        s_real, s_imag = stft_16(merged, nfft, hop)
+        s_stft = jnp.concatenate([s_real, s_imag], axis=1).transpose(0, 2, 1)
+        # [B, TT, nfft+2]
+
+        # --- filter path ---
+        x = WNConv(cfg.base_channels, 7, padding=3, name="conv_pre")(mel)
+        num_up = len(cfg.upsample_rates)
+        downsample_rates = [1] + list(cfg.upsample_rates[::-1][:-1])
+        down_cum = np.cumprod(downsample_rates)[::-1]
+        for i, (u, k) in enumerate(zip(cfg.upsample_rates,
+                                       cfg.upsample_kernel_sizes)):
+            ch = cfg.base_channels // (2 ** (i + 1))
+            x = nn.leaky_relu(x, cfg.lrelu_slope)
+            x = WNConvTranspose(ch, k, u, (k - u) // 2, name=f"ups_{i}")(x)
+            if i == num_up - 1:
+                # reflection pad (1, 0) on time
+                x = jnp.concatenate([x[:, 1:2], x], axis=1)
+
+            u_i = int(down_cum[i])
+            if u_i == 1:
+                si = WNConv(ch, 1, name=f"source_downs_{i}")(s_stft)
+            else:
+                si = WNConv(ch, u_i * 2, stride=u_i, padding=u_i // 2,
+                            name=f"source_downs_{i}")(s_stft)
+            si = ResBlock(ch, cfg.source_resblock_kernel_sizes[i],
+                          cfg.source_resblock_dilation_sizes[i],
+                          name=f"source_resblocks_{i}")(si)
+            x = x + si[:, : x.shape[1]]
+
+            acc = None
+            for j, (k_r, d_r) in enumerate(zip(cfg.resblock_kernel_sizes,
+                                               cfg.resblock_dilation_sizes)):
+                r = ResBlock(ch, k_r, d_r,
+                             name=f"resblocks_{i}_{j}")(x)
+                acc = r if acc is None else acc + r
+            x = acc / len(cfg.resblock_kernel_sizes)
+
+        x = nn.leaky_relu(x, 0.01)
+        x = WNConv(nfft + 2, 7, padding=3, name="conv_post")(x)
+        mag = jnp.exp(x[..., : nfft // 2 + 1]).transpose(0, 2, 1)
+        mag = jnp.minimum(mag, 1e2)
+        phase = jnp.sin(x[..., nfft // 2 + 1:]).transpose(0, 2, 1)
+        wav = istft_16(mag, phase, nfft, hop)
+        return jnp.clip(wav, -cfg.audio_limit, cfg.audio_limit)

@@ -27,13 +27,69 @@ Also provides the simpler quantizer zoo of the reference
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
 from taste_spokenlm_tpu.config import QuantizerConfig
+
+
+class Codebook(NamedTuple):
+    """RVQ codebooks + output projection as a plain pytree of arrays.
+
+    Lets consumers (spoken LM, bridges) use the quantizer inside lifted
+    control flow (`nn.while_loop`) without crossing flax module scopes: the
+    composite model extracts this from its bound ResidualVQ and passes it
+    down as data.
+    """
+
+    embed: jnp.ndarray                       # [Q, K, Dc]
+    proj_kernel: Optional[jnp.ndarray] = None  # [Dc, dim] (project_out)
+    proj_bias: Optional[jnp.ndarray] = None    # [dim]
+
+
+def codebook_codes_from_indices(cb: Codebook, indices: jnp.ndarray) -> jnp.ndarray:
+    """[..., Q] -> per-level codes [Q, ..., Dc]; negative indices give 0."""
+    q = cb.embed.shape[0]
+    out = []
+    for qi in range(q):
+        idx = indices[..., qi]
+        c = cb.embed[qi][jnp.maximum(idx, 0)]
+        out.append(jnp.where((idx >= 0)[..., None], c, 0.0))
+    return jnp.stack(out, axis=0)
+
+
+def codebook_code_from_indices(cb: Codebook, indices: jnp.ndarray) -> jnp.ndarray:
+    return jnp.sum(codebook_codes_from_indices(cb, indices), axis=0)
+
+
+def codebook_output_from_indices(cb: Codebook, indices: jnp.ndarray) -> jnp.ndarray:
+    summed = codebook_code_from_indices(cb, indices)
+    if cb.proj_kernel is not None:
+        summed = summed @ cb.proj_kernel + cb.proj_bias
+    return summed
+
+
+def codebook_indices_from_code(cb: Codebook, code: jnp.ndarray) -> jnp.ndarray:
+    """Codebook-space latents [..., Dc] -> nearest residual indices [..., Q]."""
+    q, k, dc = cb.embed.shape
+    residual = code.astype(jnp.float32)
+    indices = []
+    for qi in range(q):
+        emb = cb.embed[qi].astype(jnp.float32)
+        flat = residual.reshape(-1, dc)
+        idx = _nearest(flat, emb).reshape(residual.shape[:-1])
+        residual = residual - emb[idx]
+        indices.append(idx)
+    return jnp.stack(indices, axis=-1)
+
+
+def codebook_distributed_codes(cb: Codebook, logits: jnp.ndarray) -> jnp.ndarray:
+    probs = jax.nn.softmax(logits, axis=-1)
+    return jnp.einsum("...qk,qkd->...qd", probs,
+                      jax.lax.stop_gradient(cb.embed))
 
 
 def kmeans(rng: jax.Array, samples: jnp.ndarray, k: int, iters: int,
@@ -264,6 +320,16 @@ class ResidualVQ(nn.Module):
         (no project_in — matches residual_vq.py:258-357)."""
         _, indices, _, _ = self._encode_residual(code.astype(jnp.float32), None)
         return indices
+
+    def codebook(self) -> Codebook:
+        """Export the codebooks (+ project_out) as plain data (see Codebook)."""
+        if self.needs_projection:
+            if "params" not in self.project_out.variables:
+                # during init: materialize the projection params
+                self.project_out(jnp.zeros((1, self.config.codebook_dim)))
+            p = self.project_out.variables["params"]
+            return Codebook(self.embed.value, p["kernel"], p["bias"])
+        return Codebook(self.embed.value)
 
     # ------------------------------------------------------------------
     # codebook initialization (host-side, once)

@@ -1,0 +1,466 @@
+"""TasteSpokenLM: joint text+taste autoregressive LM (Llama + bridges).
+
+Re-design of /root/reference/taste_speech/modeling_taste.py:546-1206 for TPU:
+
+* the per-sample Python word-delay construction (`_prepare_single`,
+  :715-857) is replaced by fully batched tensor ops: word-start masks,
+  word-start-position tables and a `delay`-word shift, all as gathers under
+  fixed shapes (SURVEY.md §7 step 7c);
+* generation is a KV-cached `lax.while_loop` over single tokens with the
+  TasteSampler state machine expressed as pure state (models/sampler.py) —
+  the reference re-runs the full llama forward over the whole prefix per
+  token with no cache (:1112-1117);
+* losses: text CE (+ optional 0.9KL/0.1CE against a frozen base model,
+  :968-975) and, for the default continue-latent bridge, the
+  0.5*MSE + 0.5*KL latent regularization (:859-905).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from taste_spokenlm_tpu.config import SpokenLMConfig
+from taste_spokenlm_tpu.models.bridges import (BRIDGE_EXTRACT_CLASSES,
+                                               BRIDGE_FUSION_CLASSES)
+from taste_spokenlm_tpu.models.llama import LlamaModel
+from taste_spokenlm_tpu.models.quantizer import (Codebook, codebook_code_from_indices, codebook_output_from_indices)
+from taste_spokenlm_tpu.models.sampler import (SamplerConfig, SamplerState,
+                                               StepOutput, init_state,
+                                               sampler_step)
+from taste_spokenlm_tpu.ops.losses import IGNORE_ID, kl_to_reference
+from taste_spokenlm_tpu.ops.masking import length_mask
+from taste_spokenlm_tpu.ops.segment import ragged_concat, word_start_mask
+
+
+def fill_forward_indices(indices: jnp.ndarray) -> jnp.ndarray:
+    """[B, T, L]: replace rows that are all -1 by the last previous valid row
+    (reference `_fill_indices_forward`, modeling_taste.py:659-669).  Rows
+    before the first valid row keep -1."""
+    b, t, l = indices.shape
+    valid = jnp.all(indices != IGNORE_ID, axis=-1)            # [B, T]
+    pos = jnp.where(valid, jnp.arange(t)[None, :], -1)
+    cummax = jax.lax.associative_scan(jnp.maximum, pos, axis=1)
+    src = jnp.maximum(cummax, 0)
+    filled = jnp.take_along_axis(indices, src[:, :, None], axis=1)
+    return jnp.where((cummax >= 0)[:, :, None], filled, IGNORE_ID)
+
+
+def word_start_positions(word_ids: jnp.ndarray, lengths: jnp.ndarray
+                         ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """[B, T] word ids -> (start_pos [B, T] position of word w's first token
+    (0 where w >= word count), word_count [B])."""
+    b, t = word_ids.shape
+    ws = word_start_mask(word_ids, lengths)                   # [B, T]
+    onehot = (word_ids[:, :, None] == jnp.arange(t)[None, None, :])
+    onehot = onehot & ws[:, :, None]
+    start_pos = jnp.einsum("btw,t->bw", onehot.astype(jnp.int32),
+                           jnp.arange(t, dtype=jnp.int32))
+    return start_pos, jnp.sum(ws, axis=1)
+
+
+class TasteSpokenLM(nn.Module):
+    config: SpokenLMConfig
+    audio_dim: int = 1280
+    taste_k: int = 512
+    taste_d: int = 256
+    taste_l: int = 4
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        cfg = self.config
+        self.language_model = LlamaModel(
+            cfg.llama, lora=cfg.lora if cfg.use_lora else None,
+            dtype=self.dtype, name="language_model")
+        self.fuse_for_bridge_in_llm = BRIDGE_FUSION_CLASSES[cfg.in_llm_module](
+            llm_dim=cfg.llama.hidden_size, dtype=self.dtype)
+        extract_cls = BRIDGE_EXTRACT_CLASSES[cfg.out_llm_module]
+        kwargs = dict(k=self.taste_k, dtype=self.dtype)
+        if "continue_latent" in cfg.out_llm_module:
+            kwargs.update(d=self.taste_d)
+            if "weighted_layer" in cfg.out_llm_module:
+                kwargs.update(num_layers=cfg.llama.num_hidden_layers + 1)
+        elif cfg.out_llm_module in ("weighted_layer",):
+            kwargs.update(l=self.taste_l,
+                          num_layers=cfg.llama.num_hidden_layers + 1)
+        else:
+            kwargs.update(l=self.taste_l)
+            if cfg.out_llm_module == "multi_linear_last":
+                kwargs.update(d=self.taste_d)
+        self.extract_for_bridge_out_llm = extract_cls(**kwargs)
+
+        if cfg.delay > 0:
+            self.pad_text_unit_embed = self.param(
+                "pad_text_unit_embed", nn.initializers.zeros,
+                (cfg.llama.hidden_size,))
+            self.pad_audio_unit_embed = self.param(
+                "pad_audio_unit_embed", nn.initializers.zeros, (self.audio_dim,))
+
+        self.do_continue = "continue_" in cfg.out_llm_module
+        self.do_multihead = "multi_" in cfg.out_llm_module
+
+    # ------------------------------------------------------------------
+    # audio-index -> embedding conversion (modeling_taste.py:671-713)
+    # ------------------------------------------------------------------
+
+    def encode_audio(self, llm_indices: jnp.ndarray, cb: Codebook) -> jnp.ndarray:
+        mode = self.config.audio_embed_conv_mode
+        if mode == "fill_forward":
+            filled = fill_forward_indices(llm_indices)
+            emb = codebook_output_from_indices(cb, jnp.maximum(filled, 0))
+            has_valid = filled[..., 0] >= 0
+            return jnp.where(has_valid[..., None], emb,
+                             self.pad_audio_unit_embed[None, None, :])
+        raise NotImplementedError(mode)
+
+    # ------------------------------------------------------------------
+    # batched word-delay construction (modeling_taste.py:715-857)
+    # ------------------------------------------------------------------
+
+    def prepare_conditional_embeds(
+        self,
+        cb: Codebook,
+        llm_indices: jnp.ndarray,      # [B, T, L]
+        llm_token_ids: jnp.ndarray,    # [B, T]
+        llm_token_lengths: jnp.ndarray,# [B]
+        llm_word_ids: jnp.ndarray,     # [B, T]
+    ):
+        """Returns (inputs_embeds [B, 1+T+D, H], output_lengths [B],
+        taste_labels [B, 1+T+D, L], delayed_audio_embeds [B, T+D, Adim])."""
+        cfg = self.config
+        d = cfg.delay
+        assert d > 0 and cfg.delay_level == "word", "word delay only (reference default)"
+        b, t = llm_token_ids.shape
+        l = llm_indices.shape[-1]
+        embed_tokens = self.language_model.embed_tokens
+
+        ws = word_start_mask(llm_word_ids, llm_token_lengths)   # [B, T]
+        start_pos, word_count = word_start_positions(llm_word_ids,
+                                                     llm_token_lengths)
+
+        # delayed_pre[b, p] = indices of word (word_id[p] - d) if p is a
+        # word start of a word >= d, else IGNORE
+        wp = llm_word_ids.astype(jnp.int32)
+        src_word = wp - d
+        src_ok = jnp.logical_and(ws, src_word >= 0)
+        src_tok = jnp.take_along_axis(start_pos, jnp.maximum(src_word, 0), axis=1)
+        gathered = jnp.take_along_axis(llm_indices, src_tok[:, :, None], axis=1)
+        delayed_pre = jnp.where(src_ok[:, :, None], gathered, IGNORE_ID)
+        # mask positions beyond valid length
+        valid_t = length_mask(llm_token_lengths, t)
+        delayed_pre = jnp.where(valid_t[:, :, None], delayed_pre, IGNORE_ID)
+
+        # post rows: words W-d .. W-1 appended after position T_i
+        wi = word_count[:, None] - d + jnp.arange(d)[None, :]   # [B, D]
+        post_ok = wi >= 0
+        post_tok = jnp.take_along_axis(start_pos, jnp.maximum(wi, 0), axis=1)
+        post = jnp.take_along_axis(llm_indices, post_tok[:, :, None], axis=1)
+        post = jnp.where(post_ok[:, :, None], post, IGNORE_ID)
+
+        # audio embeds: fill-forward over the delayed stream, pad embed
+        # before the first valid row; post rows likewise
+        emb_pre = self.encode_audio(delayed_pre, cb)            # [B, T, A]
+        emb_post = self.encode_audio(post, cb)                  # [B, D, A]
+
+        audio_stream, _ = ragged_concat(
+            [(emb_pre, llm_token_lengths), (emb_post, None)], t + d)
+        text_emb = embed_tokens(llm_token_ids).astype(self.dtype)
+        pad_text = jnp.tile(
+            self.pad_text_unit_embed[None, None, :].astype(self.dtype),
+            (b, d, 1))
+        text_stream, _ = ragged_concat(
+            [(text_emb, llm_token_lengths), (pad_text, None)], t + d)
+
+        fused = self.fuse_for_bridge_in_llm(text_stream,
+                                            audio_stream.astype(self.dtype))
+        sos = embed_tokens(jnp.full((b, 1), cfg.sos_id)).astype(self.dtype)
+        inputs_embeds = jnp.concatenate([sos, fused], axis=1)   # [B, 1+T+D, H]
+        output_lengths = llm_token_lengths + d + 1
+
+        ign_tail = jnp.full((b, 1, l), IGNORE_ID, jnp.int32)
+        taste_labels_flat, _ = ragged_concat(
+            [(delayed_pre.astype(jnp.int32), llm_token_lengths),
+             (post.astype(jnp.int32), None),
+             (ign_tail.reshape(b, 1, l), None)], 1 + t + d,
+            pad_value=IGNORE_ID)
+        taste_labels = taste_labels_flat
+        return inputs_embeds, output_lengths, taste_labels, audio_stream
+
+    # ------------------------------------------------------------------
+    # training forward (modeling_taste.py:922-1004)
+    # ------------------------------------------------------------------
+
+    def __call__(
+        self,
+        cb: Codebook,
+        llm_indices: jnp.ndarray,
+        llm_token_ids: jnp.ndarray,
+        llm_token_lengths: jnp.ndarray,
+        llm_word_ids: jnp.ndarray,
+        train: bool = False,
+        rng: Optional[jax.Array] = None,
+        ref_logits: Optional[jnp.ndarray] = None,  # frozen-base logits for KL
+    ) -> Dict[str, jnp.ndarray]:
+        cfg = self.config
+        b, t = llm_token_ids.shape
+        inputs_embeds, output_lengths, taste_labels, _ = \
+            self.prepare_conditional_embeds(
+                cb, llm_indices, llm_token_ids, llm_token_lengths, llm_word_ids)
+
+        out = self.language_model(
+            inputs_embeds=inputs_embeds, attention_lengths=output_lengths,
+            output_hidden_states=True)
+        text_logits = self.language_model.logits(out["last_hidden"])
+        taste_logits, info = self.extract_for_bridge_out_llm(
+            out["last_hidden"], out["hidden_states"], cb, train=train, rng=rng)
+
+        # text labels: next-token targets (sos-shifted), IGNORE beyond T_i
+        total = inputs_embeds.shape[1]
+        pos = jnp.arange(total)[None, :]
+        padded_ids = jnp.pad(llm_token_ids, ((0, 0), (0, total - t)),
+                             constant_values=0)
+        text_labels = jnp.where(
+            pos < llm_token_lengths[:, None], padded_ids, IGNORE_ID)
+
+        result = {"text_logits": text_logits, "text_labels": text_labels,
+                  "taste_logits": taste_logits, "taste_labels": taste_labels,
+                  "output_lengths": output_lengths}
+
+        # ---- losses ----
+        w = [float(x) for x in cfg.loss_weights.split("-")]
+        valid = text_labels != IGNORE_ID
+        logp = jax.nn.log_softmax(text_logits.astype(jnp.float32), -1)
+        nll = -jnp.take_along_axis(
+            logp, jnp.maximum(text_labels, 0)[..., None], axis=-1)[..., 0]
+        text_ce = jnp.sum(jnp.where(valid, nll, 0.0)) / jnp.maximum(
+            jnp.sum(valid), 1)
+        if ref_logits is not None:
+            kl = kl_to_reference(text_logits[:, :ref_logits.shape[1]],
+                                 ref_logits, valid[:, :ref_logits.shape[1]])
+            text_loss = (cfg.text_kl_weight * kl
+                         + (1.0 - cfg.text_kl_weight) * text_ce)
+            result["text_kl"] = kl
+        else:
+            text_loss = text_ce
+
+        taste_valid = jnp.all(taste_labels != IGNORE_ID, axis=-1)
+        if self.do_continue:
+            z, mu, logvar = info["z"], info["mu"], info["logvar"]
+            target_code = codebook_code_from_indices(
+                cb, jnp.maximum(taste_labels, 0))
+            maskf = taste_valid[..., None].astype(jnp.float32)
+            denom = jnp.maximum(jnp.sum(maskf) * self.taste_d, 1.0)
+            l_reg = jnp.sum((z - target_code) ** 2 * maskf) / denom
+            l_kl = 0.5 * (jnp.sum(
+                jnp.mean(jnp.exp(logvar) + (mu - target_code) ** 2 - 1 - logvar,
+                         axis=-1) * taste_valid) /
+                jnp.maximum(jnp.sum(taste_valid), 1.0))
+            taste_loss = 0.5 * l_reg + 0.5 * l_kl
+        else:
+            # per-level CE averaged (modeling_taste.py:908-919)
+            logp_t = jax.nn.log_softmax(taste_logits.astype(jnp.float32), -1)
+            tl = jnp.maximum(taste_labels, 0)
+            nll_t = -jnp.take_along_axis(logp_t, tl[..., None], axis=-1)[..., 0]
+            per_level_valid = taste_labels != IGNORE_ID
+            taste_loss = jnp.sum(jnp.where(per_level_valid, nll_t, 0.0)) / \
+                jnp.maximum(jnp.sum(per_level_valid), 1)
+
+        result["text_loss"] = text_loss
+        result["taste_loss"] = taste_loss
+        result["loss"] = w[0] * text_loss + w[1] * taste_loss
+        return result
+
+    # ------------------------------------------------------------------
+    # joint AR generation (modeling_taste.py:1030-1206)
+    # ------------------------------------------------------------------
+
+    def generate(
+        self,
+        rng: jax.Array,
+        cb: Codebook,
+        sampler_cfg: SamplerConfig,
+        tables: Dict[str, jnp.ndarray],
+        llm_indices: Optional[jnp.ndarray] = None,      # [1, T, L]
+        llm_token_ids: Optional[jnp.ndarray] = None,    # [1, T]
+        llm_token_lengths: Optional[jnp.ndarray] = None,
+        llm_word_ids: Optional[jnp.ndarray] = None,
+        conditional_mode: str = "audio",
+        max_steps: int = 256,
+    ) -> Dict[str, jnp.ndarray]:
+        """Single-sequence joint decode with KV cache.
+
+        Returns generated llm token ids [max_steps], taste indices
+        [max_steps, L] (IGNORE at non-word-start), word ids [max_steps], and
+        their length.
+        """
+        cfg = self.config
+        embed_tokens = self.language_model.embed_tokens
+        d = cfg.delay
+        t = llm_token_ids.shape[1]
+
+        # ---- build the conditional prefix ----
+        if conditional_mode == "audio":
+            inputs_embeds, _, _, audio_stream = self.prepare_conditional_embeds(
+                cb, llm_indices, llm_token_ids, llm_token_lengths, llm_word_ids)
+            text_len = llm_token_lengths[0] + 1
+            # prefix embeds: positions [0, text_len) of [sos|fused]
+            prefix_embeds = inputs_embeds[0]                    # [1+T+D, H]
+            # pending audio embeds consumed at future word starts
+            # (modeling_taste.py:1086: single_audio_embed[text_len-1:])
+            pending = audio_stream[0]                           # [T+D, A]
+            pending_start = text_len - 1
+            prefix_len = text_len
+        elif conditional_mode == "text":
+            prefix_embeds = embed_tokens(llm_token_ids[0]).astype(self.dtype)
+            pending = jnp.zeros((t + d, self.audio_dim), self.dtype)
+            pending_start = jnp.int32(0)
+            prefix_len = llm_token_lengths[0]
+        else:
+            raise NotImplementedError(conditional_mode)
+
+        max_prefix = prefix_embeds.shape[0]
+        total = max_prefix + max_steps
+        caches = self.language_model.init_cache(1, total)
+        key_valid0 = jnp.arange(total)[None, :] < prefix_len
+
+        out0 = self.language_model(
+            inputs_embeds=prefix_embeds[None], caches=caches,
+            cache_index=jnp.int32(0), output_hidden_states=True,
+            key_valid=key_valid0)
+        # hidden at the LAST VALID prefix position
+        last_h = out0["last_hidden"][0, prefix_len - 1]
+        hs = tuple(h[0, prefix_len - 1] for h in out0["hidden_states"])
+        caches = out0["caches"]
+
+        sampler0 = init_state(cfg.llama.vocab_size, d)
+        token_counts0 = sampler0.token_counts
+        if conditional_mode in ("text", "audio"):
+            # count prefix tokens for repetition penalty
+            onehot = jax.nn.one_hot(llm_token_ids[0], cfg.llama.vocab_size,
+                                    dtype=jnp.int32)
+            counts = jnp.sum(
+                onehot * (jnp.arange(t)[:, None] < llm_token_lengths[0]), axis=0)
+            sampler0 = sampler0._replace(token_counts=counts)
+
+        class GenState(NamedTuple):
+            step: jnp.ndarray
+            rng: jax.Array
+            caches: Any
+            hidden: jnp.ndarray           # [H] last hidden
+            all_hidden: Any               # tuple of [H] per layer (for bridge)
+            sampler: SamplerState
+            last_audio_embed: jnp.ndarray # [A] fill-forward audio embed
+            pending_ptr: jnp.ndarray
+            out_tokens: jnp.ndarray       # [max_steps]
+            out_taste: jnp.ndarray        # [max_steps, L] one row per WORD
+            out_words: jnp.ndarray        # [max_steps] word id per out token
+            n_out: jnp.ndarray            # emitted token count
+            n_taste: jnp.ndarray          # sampled taste-word count
+            word_id_cur: jnp.ndarray
+            done: jnp.ndarray
+
+        gen0 = GenState(jnp.int32(0), rng, caches, last_h, hs, sampler0,
+                        jnp.zeros((self.audio_dim,), jnp.float32),
+                        jnp.asarray(pending_start, jnp.int32),
+                        jnp.full((max_steps,), IGNORE_ID, jnp.int32),
+                        jnp.full((max_steps, self.taste_l), IGNORE_ID, jnp.int32),
+                        jnp.full((max_steps,), IGNORE_ID, jnp.int32),
+                        jnp.int32(0), jnp.int32(0), jnp.int32(-1),
+                        jnp.asarray(False))
+
+        def cond(mdl, st):
+            return jnp.logical_and(st.step < max_steps, ~st.done)
+
+        def body(mdl, st: GenState):
+            rng, sub = jax.random.split(st.rng)
+            text_logits = mdl.language_model.logits(st.hidden[None, None])[0, 0]
+            taste_logits, _ = mdl.extract_for_bridge_out_llm(
+                st.hidden[None, None].astype(jnp.float32),
+                tuple(h[None, None] for h in st.all_hidden), cb)
+            taste_logits = taste_logits[0, 0]
+
+            sampler, step_out = sampler_step(sub, st.sampler, text_logits,
+                                             taste_logits, sampler_cfg, tables)
+
+            # ---- record text/word outputs ----
+            emit = jnp.logical_and(step_out.emit_text, ~st.done)
+            out_tokens = st.out_tokens.at[st.n_out].set(
+                jnp.where(emit, step_out.text_id, st.out_tokens[st.n_out]))
+            word_id_cur = jnp.where(
+                jnp.logical_and(emit, step_out.is_word_start),
+                st.word_id_cur + 1, st.word_id_cur)
+            out_words = st.out_words.at[st.n_out].set(
+                jnp.where(emit, word_id_cur, st.out_words[st.n_out]))
+            n_out = st.n_out + emit.astype(jnp.int32)
+
+            # ---- record taste (one dense row per word, in order) ----
+            do_taste = jnp.logical_and(step_out.taste_sample, ~st.done)
+            out_taste = st.out_taste.at[st.n_taste].set(
+                jnp.where(do_taste, step_out.taste_ids,
+                          st.out_taste[st.n_taste]))
+            n_taste = st.n_taste + do_taste.astype(jnp.int32)
+
+            # ---- next-step audio embed (fill-forward semantics,
+            #      modeling_taste.py:1158-1194) ----
+            taste_embed = codebook_output_from_indices(
+                cb, jnp.maximum(step_out.taste_ids, 0)[None, None])[0, 0]
+            prefix_audio = pending[jnp.minimum(st.pending_ptr,
+                                               pending.shape[0] - 1)]
+            pending_ptr = st.pending_ptr + step_out.use_prefix.astype(jnp.int32)
+            last_audio = jnp.where(
+                do_taste, taste_embed.astype(jnp.float32),
+                jnp.where(step_out.use_prefix,
+                          prefix_audio.astype(jnp.float32),
+                          st.last_audio_embed))
+            # before taste sampling starts and with no prefix: pad embedding
+            started_or_prefix = jnp.logical_or(
+                sampler.word_start_count > d, jnp.asarray(sampler_cfg.has_prefix))
+            audio_embed = jnp.where(started_or_prefix, last_audio,
+                                    mdl.pad_audio_unit_embed.astype(jnp.float32))
+
+            text_embed = embed_tokens(step_out.text_id[None])[0]
+            fused = mdl.fuse_for_bridge_in_llm(
+                text_embed[None, None].astype(mdl.dtype),
+                audio_embed[None, None].astype(mdl.dtype))
+
+            out_step = mdl.language_model(
+                inputs_embeds=fused, caches=st.caches,
+                cache_index=prefix_len + st.step,
+                output_hidden_states=True,
+                key_valid=(jnp.arange(total)[None, :] < prefix_len + st.step + 1))
+            return GenState(
+                st.step + 1, rng, out_step["caches"],
+                out_step["last_hidden"][0, 0],
+                tuple(h[0, 0] for h in out_step["hidden_states"]),
+                sampler, last_audio, pending_ptr, out_tokens, out_taste,
+                out_words, n_out, n_taste, word_id_cur,
+                jnp.logical_or(st.done, step_out.terminate))
+
+        final = nn.while_loop(cond, body, self, gen0)
+        return {
+            "llm_token_ids": final.out_tokens,
+            "llm_word_ids": final.out_words,
+            "taste_indices": final.out_taste,
+            "num_tokens": final.n_out,
+            "num_taste_words": final.n_taste,
+        }
+
+    # ------------------------------------------------------------------
+
+    def get_audio_embeds_from_taste(
+        self, cb: Codebook,
+        asr_token_lengths: jnp.ndarray,   # [B]
+        asr_word_ids: jnp.ndarray,        # [B, Ta]
+        taste_preds: jnp.ndarray,         # [B, Tw, L] per-WORD taste (dense)
+    ) -> jnp.ndarray:
+        """Map per-word taste indices onto asr tokens by word id and decode to
+        embeddings (modeling_taste.py:1006-1028).  `taste_preds` here is
+        already compacted to one row per word (IGNORE rows removed)."""
+        gathered = jnp.take_along_axis(
+            taste_preds, asr_word_ids[:, :, None].astype(jnp.int32), axis=1)
+        emb = codebook_output_from_indices(cb, jnp.maximum(gathered, 0))
+        mask = length_mask(asr_token_lengths, asr_word_ids.shape[1])
+        return emb * mask[:, :, None]

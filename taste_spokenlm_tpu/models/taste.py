@@ -1,0 +1,258 @@
+"""TasteForCausalLM: the composite TASTE model (public API surface).
+
+Re-design of /root/reference/taste_speech/modeling_taste.py:1209-1881.
+Composes TasteAudioTower + TasteSpeechDecoder + TasteSpokenLM +
+VoiceGenerator and exposes the reference's entry points:
+
+  mode 'SpeechAutoEncoder' forward  (:1532-1557)  stage-1 training
+  mode 'SpokenLLM'        forward   (:1497-1531)  stage-2 training
+  extract_vq                        (:1859-1881)
+  scoring                           (:1627-1660)
+  inference_reconstruction          (:1793-1857)
+  generate_completion (device part of inference_completion, :1663-1791 —
+    the tokenizer round-trip glue lives in frontend/api.py)
+
+Everything here is jittable; mode switches are Python-level (static).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from taste_spokenlm_tpu.config import TasteConfig
+from taste_spokenlm_tpu.models.audio_tower import TasteAudioTower
+from taste_spokenlm_tpu.models.generator import VoiceGenerator
+from taste_spokenlm_tpu.models.quantizer import Codebook
+from taste_spokenlm_tpu.models.sampler import SamplerConfig
+from taste_spokenlm_tpu.models.speech_decoder import TasteSpeechDecoder
+from taste_spokenlm_tpu.models.spoken_lm import TasteSpokenLM
+from taste_spokenlm_tpu.ops.losses import IGNORE_ID
+from taste_spokenlm_tpu.ops.segment import compact_valid_rows, word_start_remap
+
+
+class TasteForCausalLM(nn.Module):
+    config: TasteConfig
+    weight_commit_loss: float = 1.0
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        cfg = self.config
+        self.audio_tower = TasteAudioTower(cfg.audio_tower, dtype=self.dtype)
+        self.speech_decoder = TasteSpeechDecoder(cfg.speech_decoder,
+                                                 dtype=self.dtype)
+        self.spoken_lm = TasteSpokenLM(
+            cfg.spoken_lm,
+            audio_dim=cfg.audio_tower.audio_embed_dim,
+            taste_k=cfg.audio_tower.quantizer.codebook_size,
+            taste_d=cfg.audio_tower.quantizer.codebook_dim,
+            taste_l=cfg.audio_tower.quantizer.num_quantizers,
+            dtype=self.dtype)
+        self.voice_generator = VoiceGenerator(cfg.flow, cfg.hift)
+
+    def _cb(self) -> Codebook:
+        return self.audio_tower.vq.codebook()
+
+    def init_all(self, rng, speaker_embeds, asr_token_ids, asr_token_lengths,
+                 asr_word_ids, audio_features, speech_token_ids,
+                 speech_token_lengths, llm_token_ids, llm_token_lengths,
+                 llm_word_ids):
+        """Single forward pass touching EVERY parameter, so one `init` call
+        materializes the full tree (the decode loops run under lifted
+        control flow and cannot create params)."""
+        out1 = self.forward_speech_autoencoder(
+            speaker_embeds, asr_token_ids, asr_token_lengths, asr_word_ids,
+            audio_features, speech_token_ids, speech_token_lengths)
+        _, llm_indices = self.extract_vq(
+            asr_token_ids, asr_token_lengths, asr_word_ids, llm_token_ids,
+            llm_token_lengths, llm_word_ids, audio_features)
+        out2 = self.forward_spoken_llm(
+            llm_indices, llm_token_ids, llm_token_lengths, llm_word_ids)
+        wav, _ = self.voice_generator(
+            rng, jnp.maximum(speech_token_ids, 0), speech_token_lengths,
+            speaker_embeds, mel_len_max=8)
+        return out1["loss"] + out2["loss"] + jnp.sum(wav) * 0.0
+
+    # ------------------------------------------------------------------
+    # training forwards
+    # ------------------------------------------------------------------
+
+    def forward_speech_autoencoder(
+        self, speaker_embeds, asr_token_ids, asr_token_lengths, asr_word_ids,
+        audio_features, speech_token_ids, speech_token_lengths,
+        train: bool = False, dropout_rng=None,
+        skip_vq: bool = False, skip_audio_in_decoder: bool = False,
+    ) -> Dict[str, jnp.ndarray]:
+        """Stage-1: tokenize audio and reconstruct S3 tokens
+        (modeling_taste.py:1532-1557)."""
+        encoded = self.audio_tower(
+            audio_features, asr_token_ids, asr_token_lengths, asr_word_ids,
+            train=train, dropout_rng=dropout_rng, skip_vq=skip_vq)
+        decoded = self.speech_decoder(
+            speaker_embeds, encoded["audio_unit_embeds"],
+            encoded["audio_unit_lengths"], asr_token_ids, asr_token_lengths,
+            speech_token_ids, speech_token_lengths,
+            skip_audio=skip_audio_in_decoder)
+        loss = decoded["loss"]
+        out = {
+            "speech_logits": decoded["logits"],
+            "speech_labels": decoded["labels"],
+            "speech_token_accuracy": decoded["speech_token_accuracy"],
+        }
+        if "commit_loss" in encoded:
+            loss = loss + self.weight_commit_loss * encoded["commit_loss"]
+            out["commit_loss"] = encoded["commit_loss"]
+            out["quantized_indices"] = encoded["quantized_indices"]
+        out["loss"] = loss
+        return out
+
+    def forward_spoken_llm(
+        self, llm_indices, llm_token_ids, llm_token_lengths, llm_word_ids,
+        speaker_embeds=None, asr_token_ids=None, asr_token_lengths=None,
+        asr_word_ids=None, speech_token_ids=None, speech_token_lengths=None,
+        train: bool = False, rng=None, ref_logits=None,
+    ) -> Dict[str, jnp.ndarray]:
+        """Stage-2 joint LM (modeling_taste.py:1497-1531); optionally runs the
+        frozen speech decoder on predicted taste for eval metrics."""
+        cb = self._cb()
+        out = self.spoken_lm(cb, llm_indices, llm_token_ids, llm_token_lengths,
+                             llm_word_ids, train=train, rng=rng,
+                             ref_logits=ref_logits)
+        if speech_token_ids is not None and asr_token_ids is not None:
+            audio_unit_embeds = self._taste_to_audio_embeds(
+                cb, out["taste_logits"], out["taste_labels"],
+                asr_token_lengths, asr_word_ids)
+            decoded = self.speech_decoder(
+                speaker_embeds, audio_unit_embeds, asr_token_lengths,
+                asr_token_ids, asr_token_lengths, speech_token_ids,
+                speech_token_lengths)
+            out["speech_logits"] = decoded["logits"]
+            out["speech_labels"] = decoded["labels"]
+            out["speech_token_accuracy"] = decoded["speech_token_accuracy"]
+        return out
+
+    def _taste_to_audio_embeds(self, cb, taste_logits, taste_labels,
+                               asr_token_lengths, asr_word_ids):
+        """Predicted taste (at delayed positions) -> per-asr-token embeddings
+        (modeling_taste.py:1006-1028)."""
+        preds = jnp.where(taste_labels != IGNORE_ID,
+                          jnp.argmax(taste_logits, axis=-1), IGNORE_ID)
+        valid = jnp.all(taste_labels != IGNORE_ID, axis=-1)
+        dense = compact_valid_rows(preds, valid, asr_word_ids.shape[1],
+                                   pad_value=0)
+        return self.spoken_lm.get_audio_embeds_from_taste(
+            cb, asr_token_lengths, asr_word_ids, dense)
+
+    # ------------------------------------------------------------------
+    # tokenization / scoring
+    # ------------------------------------------------------------------
+
+    def extract_vq(self, asr_token_ids, asr_token_lengths, asr_word_ids,
+                   llm_token_ids, llm_token_lengths, llm_word_ids,
+                   audio_features) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """audio -> (asr_indices [B,Ta,L], llm_indices [B,Tl,L]); llm
+        positions that are not word starts hold -1 (modeling_taste.py:1859-1881)."""
+        encoded = self.audio_tower(audio_features, asr_token_ids,
+                                   asr_token_lengths, asr_word_ids)
+        asr_indices = encoded["quantized_indices"]
+        m = word_start_remap(asr_word_ids, asr_token_lengths,
+                             llm_word_ids, llm_token_lengths)
+        llm_indices = jnp.einsum("bts,bsl->btl", m,
+                                 asr_indices.astype(jnp.float32))
+        empty = jnp.sum(m, axis=-1, keepdims=True) == 0
+        llm_indices = llm_indices - empty.astype(jnp.float32)
+        return asr_indices, llm_indices.astype(asr_indices.dtype)
+
+    def scoring(self, asr_token_ids, asr_token_lengths, asr_word_ids,
+                llm_token_ids, llm_token_lengths, llm_word_ids,
+                audio_features) -> jnp.ndarray:
+        """Sequence log-likelihood-style loss for ranking
+        (modeling_taste.py:1627-1660)."""
+        _, llm_indices = self.extract_vq(
+            asr_token_ids, asr_token_lengths, asr_word_ids, llm_token_ids,
+            llm_token_lengths, llm_word_ids, audio_features)
+        out = self.spoken_lm(self._cb(), llm_indices, llm_token_ids,
+                             llm_token_lengths, llm_word_ids)
+        return out["loss"]
+
+    # ------------------------------------------------------------------
+    # inference
+    # ------------------------------------------------------------------
+
+    def inference_reconstruction(
+        self, rng, speaker_embeds, asr_token_ids, asr_token_lengths,
+        asr_word_ids, audio_features,
+        llm_token_ids=None, llm_token_lengths=None, llm_word_ids=None,
+        mode: str = "SpeechAutoEncoder",
+        max_speech_steps: int = 512, mel_len_max: int = 1024,
+    ) -> Dict[str, jnp.ndarray]:
+        """audio -> taste -> S3 tokens -> waveform (modeling_taste.py:1793-1857
+        + _voice_decoder_generate + VoiceGenerator)."""
+        if mode == "SpeechAutoEncoder":
+            encoded = self.audio_tower(audio_features, asr_token_ids,
+                                       asr_token_lengths, asr_word_ids)
+            audio_unit_embeds = encoded["audio_unit_embeds"]
+            audio_unit_lengths = encoded["audio_unit_lengths"]
+        elif mode == "SpokenLLM":
+            cb = self._cb()
+            _, llm_indices = self.extract_vq(
+                asr_token_ids, asr_token_lengths, asr_word_ids, llm_token_ids,
+                llm_token_lengths, llm_word_ids, audio_features)
+            lm_out = self.spoken_lm(cb, llm_indices, llm_token_ids,
+                                    llm_token_lengths, llm_word_ids)
+            audio_unit_embeds = self._taste_to_audio_embeds(
+                cb, lm_out["taste_logits"], lm_out["taste_labels"],
+                asr_token_lengths, asr_word_ids)
+            audio_unit_lengths = asr_token_lengths
+        else:
+            raise ValueError(mode)
+
+        rng_dec, rng_voc = jax.random.split(rng)
+        gen = self.speech_decoder.generate(
+            rng_dec, speaker_embeds, audio_unit_embeds, audio_unit_lengths,
+            asr_token_ids, asr_token_lengths, max_steps=max_speech_steps)
+        tokens = jnp.maximum(gen["speech_token_ids"], 0)
+        wav, wav_lengths = self.voice_generator(
+            rng_voc, tokens, gen["speech_token_lengths"], speaker_embeds,
+            mel_len_max)
+        return {"speech_token_ids": gen["speech_token_ids"],
+                "speech_token_lengths": gen["speech_token_lengths"],
+                "waveform": wav, "waveform_lengths": wav_lengths}
+
+    def generate_completion(
+        self, rng, sampler_cfg: SamplerConfig, tables,
+        llm_indices, llm_token_ids, llm_token_lengths, llm_word_ids,
+        conditional_mode: str = "audio", max_steps: int = 256,
+    ) -> Dict[str, jnp.ndarray]:
+        """Device part of inference_completion: the joint text+taste decode
+        (modeling_taste.py:1663-1741).  The host-side tokenizer round trip
+        (decode words, re-tokenize with the asr tokenizer) and the subsequent
+        voice decoding are composed in frontend/api.py."""
+        return self.spoken_lm.generate(
+            rng, self._cb(), sampler_cfg, tables, llm_indices, llm_token_ids,
+            llm_token_lengths, llm_word_ids, conditional_mode, max_steps)
+
+    def synthesize_from_taste(
+        self, rng, speaker_embeds, taste_indices_per_word, asr_token_ids,
+        asr_token_lengths, asr_word_ids,
+        max_speech_steps: int = 512, mel_len_max: int = 1024,
+    ) -> Dict[str, jnp.ndarray]:
+        """Per-word taste indices + asr tokens -> waveform: the tail of
+        inference_completion (:1742-1791)."""
+        cb = self._cb()
+        audio_unit_embeds = self.spoken_lm.get_audio_embeds_from_taste(
+            cb, asr_token_lengths, asr_word_ids, taste_indices_per_word)
+        rng_dec, rng_voc = jax.random.split(rng)
+        gen = self.speech_decoder.generate(
+            rng_dec, speaker_embeds, audio_unit_embeds, asr_token_lengths,
+            asr_token_ids, asr_token_lengths, max_steps=max_speech_steps)
+        tokens = jnp.maximum(gen["speech_token_ids"], 0)
+        wav, wav_lengths = self.voice_generator(
+            rng_voc, tokens, gen["speech_token_lengths"], speaker_embeds,
+            mel_len_max)
+        return {"speech_token_ids": gen["speech_token_ids"],
+                "speech_token_lengths": gen["speech_token_lengths"],
+                "waveform": wav, "waveform_lengths": wav_lengths}

@@ -97,6 +97,37 @@ def cross_tokenizer_remap(
     return m * dst_valid[:, :, None]
 
 
+def word_start_remap(
+    src_word_ids: jnp.ndarray, src_lengths: jnp.ndarray,
+    dst_word_ids: jnp.ndarray, dst_lengths: jnp.ndarray,
+) -> jnp.ndarray:
+    """Word-START to word-START map M: [B, Td, Ts], 1 only at (first dst
+    token of word w, first src token of word w).  Reference
+    `_get_word_start_mapping_matrix` (modeling_taste.py:1439-1451): rows for
+    non-word-start dst tokens are all zero, so `M @ values - (M.sum==0)`
+    yields -1 at non-word-start positions (extract_vq, :1878-1880).
+    """
+    src_start = word_start_mask(src_word_ids, src_lengths)
+    dst_start = word_start_mask(dst_word_ids, dst_lengths)
+    same_word = (dst_word_ids[:, :, None] == src_word_ids[:, None, :])
+    m = same_word & dst_start[:, :, None] & src_start[:, None, :]
+    return m.astype(jnp.float32)
+
+
+def compact_valid_rows(x: jnp.ndarray, valid: jnp.ndarray, out_len: int,
+                       pad_value=0) -> jnp.ndarray:
+    """Gather the valid rows of x [B, T, C] (bool valid [B, T]) into a dense
+    left-aligned [B, out_len, C], preserving order.  Replaces the reference's
+    per-sample boolean-mask compaction (modeling_taste.py:1014-1020)."""
+    b, t = valid.shape
+    order = jnp.cumsum(valid.astype(jnp.int32), axis=1) - 1     # [B, T]
+    order = jnp.where(valid, order, -1)
+    sel = (order[:, :, None] == jnp.arange(out_len)[None, None, :])  # [B,T,W]
+    out = jnp.einsum("btw,btc->bwc", sel.astype(x.dtype), x)
+    any_row = jnp.any(sel, axis=1)[..., None]
+    return jnp.where(any_row, out, pad_value)
+
+
 def ragged_concat(segments, out_len: int, pad_value=0.0):
     """Pack per-sample variable-length segments contiguously (left-aligned).
 

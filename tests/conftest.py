@@ -6,7 +6,14 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# force CPU: the ambient environment presets JAX_PLATFORMS=axon (the real
+# TPU tunnel) and a sitecustomize imports jax before this conftest runs, so
+# the env var alone is too late — update the live jax config below too.
+os.environ["JAX_PLATFORMS"] = "cpu"
+# zero-egress environment: stop transformers/datasets probing the network
+os.environ.setdefault("HF_HUB_OFFLINE", "1")
+os.environ.setdefault("TRANSFORMERS_OFFLINE", "1")
+os.environ.setdefault("HF_DATASETS_OFFLINE", "1")
 os.environ.setdefault(
     "JAX_COMPILATION_CACHE_DIR",
     os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"),
@@ -18,6 +25,7 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_threefry_partitionable", True)
 # XLA-CPU's oneDNN fastmath makes f32 convs/matmuls ~1e-2 sloppy; parity
 # tests against torch need true f32 accumulation.

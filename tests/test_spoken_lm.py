@@ -1,0 +1,153 @@
+"""Spoken LM tests: word-delay construction, losses, joint decode."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from taste_spokenlm_tpu.config import SpokenLMConfig
+from taste_spokenlm_tpu.models.quantizer import Codebook, codebook_output_from_indices
+from taste_spokenlm_tpu.models.sampler import SamplerConfig
+from taste_spokenlm_tpu.models.spoken_lm import (TasteSpokenLM,
+                                                 fill_forward_indices,
+                                                 word_start_positions)
+from taste_spokenlm_tpu.ops.losses import IGNORE_ID
+
+AUDIO_DIM, K, D, L = 64, 32, 16, 4
+
+
+def _codebook(seed=0):
+    rng = np.random.RandomState(seed)
+    return Codebook(
+        embed=jnp.asarray(rng.randn(L, K, D), jnp.float32),
+        proj_kernel=jnp.asarray(rng.randn(D, AUDIO_DIM) * 0.1, jnp.float32),
+        proj_bias=jnp.zeros((AUDIO_DIM,), jnp.float32),
+    )
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = SpokenLMConfig.tiny()
+    model = TasteSpokenLM(cfg, audio_dim=AUDIO_DIM, taste_k=K, taste_d=D,
+                          taste_l=L)
+    cb = _codebook()
+    rng = np.random.RandomState(0)
+    b, t = 2, 6
+    ids = jnp.asarray(rng.randint(0, cfg.llama.vocab_size, (b, t)))
+    word_ids = jnp.asarray([[0, 0, 1, 2, 2, 3], [0, 1, 1, 2, 0, 0]])
+    lens = jnp.asarray([6, 4])
+    indices = jnp.asarray(rng.randint(0, K, (b, t, L)))
+    args = (cb, indices, ids, lens, word_ids)
+    variables = model.init(jax.random.PRNGKey(0), *args)
+    return cfg, model, variables, args
+
+
+def test_fill_forward_indices():
+    x = jnp.asarray([[[-1, -1], [1, 2], [-1, -1], [3, 4], [-1, -1]]])
+    f = np.asarray(fill_forward_indices(x))
+    assert f.tolist() == [[[-1, -1], [1, 2], [1, 2], [3, 4], [3, 4]]]
+
+
+def test_word_start_positions():
+    word_ids = jnp.asarray([[0, 0, 1, 2, 2, 3]])
+    pos, count = word_start_positions(word_ids, jnp.asarray([6]))
+    assert np.asarray(count).tolist() == [4]
+    assert np.asarray(pos)[0, :4].tolist() == [0, 2, 3, 5]
+
+
+def test_delay_construction(setup):
+    cfg, model, variables, (cb, indices, ids, lens, word_ids) = setup
+    inputs_embeds, out_lens, taste_labels, audio_stream = model.apply(
+        variables, cb, indices, ids, lens, word_ids,
+        method=TasteSpokenLM.prepare_conditional_embeds)
+    t, dly = 6, cfg.delay
+    assert inputs_embeds.shape == (2, 1 + t + dly, cfg.llama.hidden_size)
+    assert np.asarray(out_lens).tolist() == [6 + 2, 4 + 2]
+
+    lab = np.asarray(taste_labels)
+    idx = np.asarray(indices)
+    # sample 0: words start at 0,2,3,5; word w's taste lands at start(w+1)
+    assert (lab[0, 0] == IGNORE_ID).all()      # pos0: word0 start, src -1
+    assert (lab[0, 1] == IGNORE_ID).all()      # pos1: not a start
+    assert lab[0, 2].tolist() == idx[0, 0].tolist()   # word1 start <- word0
+    assert lab[0, 3].tolist() == idx[0, 2].tolist()   # word2 start <- word1
+    assert lab[0, 5].tolist() == idx[0, 3].tolist()   # word3 start <- word2
+    assert lab[0, 6].tolist() == idx[0, 5].tolist()   # post row <- word3
+    assert (lab[0, 7] == IGNORE_ID).all()      # trailing ignore
+
+    # audio stream: positions before the first delayed word use the pad embed
+    # (zero-init) and positions after fill forward
+    astream = np.asarray(audio_stream)
+    np.testing.assert_allclose(astream[0, 0], 0.0, atol=1e-6)  # pad embed
+    expected_w0 = np.asarray(codebook_output_from_indices(cb, indices[0:1, 0:1]))
+    np.testing.assert_allclose(astream[0, 2], expected_w0[0, 0], atol=1e-5)
+    # fill forward: position 4 (not a word start) keeps word1's delayed code
+    np.testing.assert_allclose(astream[0, 4], astream[0, 3], atol=1e-5)
+
+
+def test_forward_losses(setup):
+    cfg, model, variables, args = setup
+    out = model.apply(variables, *args)
+    assert np.isfinite(float(out["loss"]))
+    assert np.isfinite(float(out["text_loss"]))
+    assert np.isfinite(float(out["taste_loss"]))
+    labels = np.asarray(out["text_labels"])
+    ids = np.asarray(args[2])
+    assert labels[0, :6].tolist() == ids[0].tolist()
+    assert (labels[0, 6:] == IGNORE_ID).all()
+    assert (labels[1, 4:] == IGNORE_ID).all()
+    # taste logits from the continue-latent bridge are scaled one-hots
+    tl = np.asarray(out["taste_logits"])
+    assert tl.shape[-2:] == (L, K)
+    assert set(np.unique(tl)).issubset({0.0, 1000.0})
+
+
+def test_generate_joint_decode(setup):
+    cfg, model, variables, (cb, indices, ids, lens, word_ids) = setup
+    v = cfg.llama.vocab_size
+    rng = np.random.RandomState(3)
+    tables = {
+        "word_start": jnp.asarray(rng.rand(v) < 0.4),
+        "banned": jnp.zeros((v,), bool),
+        "sentence_end": jnp.asarray(rng.rand(v) < 0.3),
+    }
+    scfg = SamplerConfig(delay=cfg.delay, delay_level="word", extra_words=3,
+                         has_prefix=True)
+    out = model.apply(
+        variables, jax.random.PRNGKey(0), cb, scfg, tables,
+        indices[:1], ids[:1], lens[:1], word_ids[:1], "audio", 48,
+        method=TasteSpokenLM.generate)
+    n = int(out["num_tokens"])
+    nt = int(out["num_taste_words"])
+    toks = np.asarray(out["llm_token_ids"])
+    words = np.asarray(out["llm_word_ids"])
+    taste = np.asarray(out["taste_indices"])
+    assert 0 < n <= 48
+    assert (toks[:n] >= 0).all() and (toks[:n] < v).all()
+    assert (toks[n:] == IGNORE_ID).all()
+    # word ids start at 0 and are non-decreasing
+    assert words[0] == 0
+    assert (np.diff(words[:n]) >= 0).all()
+    # sampled taste rows are dense and valid
+    assert nt > 0
+    assert (taste[:nt] >= 0).all() and (taste[:nt] < K).all()
+    assert (taste[nt:] == IGNORE_ID).all()
+
+
+def test_generate_deterministic(setup):
+    cfg, model, variables, (cb, indices, ids, lens, word_ids) = setup
+    v = cfg.llama.vocab_size
+    tables = {
+        "word_start": jnp.asarray(np.arange(v) % 3 == 0),
+        "banned": jnp.zeros((v,), bool),
+        "sentence_end": jnp.asarray(np.arange(v) % 7 == 0),
+    }
+    scfg = SamplerConfig(delay=1, extra_words=2, text_top_p=0.8,
+                         text_temperature=0.7, repetition_penalty=1.1)
+    outs = []
+    for _ in range(2):
+        o = model.apply(variables, jax.random.PRNGKey(11), cb, scfg, tables,
+                        indices[:1], ids[:1], lens[:1], word_ids[:1],
+                        "audio", 32, method=TasteSpokenLM.generate)
+        outs.append(np.asarray(o["llm_token_ids"]))
+    np.testing.assert_array_equal(outs[0], outs[1])
