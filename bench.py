@@ -1,0 +1,113 @@
+"""Benchmark: end-to-end speech-reconstruction RTF on one TPU chip.
+
+Measures the full-size inference path audio -> taste tokenization (whisper
+large tower + RVQ) -> S3 speech tokens (KV-cached AR speech decoder) ->
+mel (10-step CFM with batched CFG) -> waveform (HiFT), with random weights
+(speed is weight-independent), and reports
+
+    rtf = wall_seconds / generated_audio_seconds      (target < 0.1, BASELINE.md)
+
+as ONE JSON line: {"metric": "reconstruction_rtf", "value": rtf,
+"unit": "wall_s_per_audio_s", "vs_baseline": 0.1 / rtf}.
+"""
+
+import functools
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache_tpu")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+
+def main():
+    import jax
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ["JAX_COMPILATION_CACHE_DIR"])
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+    import jax.numpy as jnp
+    from taste_spokenlm_tpu.config import TasteConfig
+    from taste_spokenlm_tpu.models.taste import TasteForCausalLM
+
+    dtype = jnp.bfloat16
+    cfg = TasteConfig.full()
+    model = TasteForCausalLM(cfg, dtype=dtype)
+
+    # ~14 s of source audio -> ~40 asr tokens; decode up to 512 S3 tokens
+    # (~10.2 s at 50 Hz) and vocode them.
+    b, t_tok = 1, 40
+    max_speech = 512
+    mel_len_max = 904  # ceil(512/50*22050/256) + headroom
+    rng = np.random.RandomState(0)
+    batch = dict(
+        speaker_embeds=jnp.asarray(
+            rng.randn(b, cfg.speech_decoder.spk_embed_dim), jnp.float32),
+        asr_token_ids=jnp.asarray(
+            rng.randint(100, 20000, (b, t_tok)), jnp.int32),
+        asr_token_lengths=jnp.asarray([t_tok] * b),
+        asr_word_ids=jnp.asarray(
+            np.minimum(np.arange(t_tok) // 2, t_tok - 1)[None].repeat(b, 0)),
+        audio_features=jnp.asarray(
+            rng.randn(b, cfg.audio_tower.whisper.n_mels, 3000) * 0.3,
+            jnp.float32),
+    )
+
+    print("initializing full-size model...", file=sys.stderr)
+    t0 = time.perf_counter()
+    init_fn = jax.jit(functools.partial(
+        model.init, method=TasteForCausalLM.init_reconstruction))
+    variables = init_fn(
+        {"params": jax.random.PRNGKey(0)}, jax.random.PRNGKey(1),
+        batch["speaker_embeds"], batch["asr_token_ids"],
+        batch["asr_token_lengths"], batch["asr_word_ids"],
+        batch["audio_features"])
+    jax.block_until_ready(variables)
+    n_params = sum(x.size for x in jax.tree_util.tree_leaves(variables["params"]))
+    print(f"init done in {time.perf_counter()-t0:.1f}s; params={n_params/1e6:.0f}M",
+          file=sys.stderr)
+
+    @jax.jit
+    def run(variables, rng, batch):
+        return model.apply(
+            variables, rng, batch["speaker_embeds"], batch["asr_token_ids"],
+            batch["asr_token_lengths"], batch["asr_word_ids"],
+            batch["audio_features"],
+            max_speech_steps=max_speech, mel_len_max=mel_len_max,
+            method=TasteForCausalLM.inference_reconstruction)
+
+    print("compiling + warmup...", file=sys.stderr)
+    t0 = time.perf_counter()
+    out = run(variables, jax.random.PRNGKey(2), batch)
+    jax.block_until_ready(out["waveform"])
+    print(f"compile+first run: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
+
+    times = []
+    for i in range(3):
+        t0 = time.perf_counter()
+        out = run(variables, jax.random.PRNGKey(3 + i), batch)
+        jax.block_until_ready(out["waveform"])
+        times.append(time.perf_counter() - t0)
+    wall = min(times)
+
+    # audio seconds actually generated: the decoder runs its full while_loop
+    # budget with random weights, so count the fixed decode budget
+    audio_sec = max_speech / cfg.frontend.s3_token_rate  # 512/50 = 10.24 s
+    rtf = wall / audio_sec
+    print(f"walls={['%.2f' % t for t in times]} audio_s={audio_sec:.2f}",
+          file=sys.stderr)
+    print(json.dumps({
+        "metric": "reconstruction_rtf",
+        "value": round(rtf, 4),
+        "unit": "wall_s_per_audio_s",
+        "vs_baseline": round(0.1 / rtf, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -56,6 +56,20 @@ class TasteForCausalLM(nn.Module):
     def _cb(self) -> Codebook:
         return self.audio_tower.vq.codebook()
 
+    def init_reconstruction(self, rng, speaker_embeds, asr_token_ids,
+                            asr_token_lengths, asr_word_ids, audio_features):
+        """Init pass touching only the reconstruction-path params (tower +
+        speech decoder + voice generator); decode loops cannot create params."""
+        b, t = asr_token_ids.shape
+        out1 = self.forward_speech_autoencoder(
+            speaker_embeds, asr_token_ids, asr_token_lengths, asr_word_ids,
+            audio_features, jnp.zeros((b, 4), jnp.int32),
+            jnp.full((b,), 4, jnp.int32))
+        wav, _ = self.voice_generator(
+            rng, jnp.zeros((b, 4), jnp.int32), jnp.full((b,), 4, jnp.int32),
+            speaker_embeds, mel_len_max=8)
+        return out1["loss"] + jnp.sum(wav) * 0.0
+
     def init_all(self, rng, speaker_embeds, asr_token_ids, asr_token_lengths,
                  asr_word_ids, audio_features, speech_token_ids,
                  speech_token_lengths, llm_token_ids, llm_token_lengths,
