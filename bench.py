@@ -60,14 +60,24 @@ def main():
 
     print("initializing full-size model...", file=sys.stderr)
     t0 = time.perf_counter()
-    init_fn = jax.jit(functools.partial(
-        model.init, method=TasteForCausalLM.init_reconstruction))
-    variables = init_fn(
+    # init weights host-side from eval_shape (speed benchmark only — the
+    # values are irrelevant; avoids compiling a 1B-param init graph)
+    shapes = jax.eval_shape(
+        functools.partial(model.init,
+                          method=TasteForCausalLM.init_reconstruction),
         {"params": jax.random.PRNGKey(0)}, jax.random.PRNGKey(1),
         batch["speaker_embeds"], batch["asr_token_ids"],
         batch["asr_token_lengths"], batch["asr_word_ids"],
         batch["audio_features"])
-    jax.block_until_ready(variables)
+    host_rng = np.random.RandomState(42)
+
+    def make(leaf):
+        scale = 0.02 if leaf.ndim >= 2 else 1e-3
+        return jnp.asarray(
+            host_rng.randn(*leaf.shape).astype(np.float32) * scale,
+            dtype=leaf.dtype)
+
+    variables = jax.tree_util.tree_map(make, shapes)
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(variables["params"]))
     print(f"init done in {time.perf_counter()-t0:.1f}s; params={n_params/1e6:.0f}M",
           file=sys.stderr)
