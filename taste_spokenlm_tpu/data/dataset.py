@@ -1,0 +1,203 @@
+"""Data pipeline: TASTE-Dump arrow shards -> fixed-shape TPU batches.
+
+Re-design of the reference pipelines
+(/root/reference/taste_speech/data/dataset.py:37-312 HF-arrow stage-1 set;
+STAGE1_TRAIN/CosyVoice/cosyvoice/dataset/{dataset,processor}.py iterable
+chain with dynamic 2000-frame batching) for jit-friendliness:
+
+* deterministic per-host shard partitioning (shard k goes to host
+  k % num_hosts — replacing the rank->worker DistributedSampler,
+  dataset.py:52-123);
+* the dynamic frame-budget batching (processor.py:449-477) is replaced by
+  FIXED bucket shapes: each example is routed to the smallest (token, speech)
+  bucket, so every emitted batch has one of a small, static set of shapes
+  and XLA compiles once per bucket (SURVEY.md §7 step 8);
+* per-sample audio preprocessing (resample + whisper mel) reuses the jitted
+  ops from ops/audio.py, batched per bucket.
+
+The arrow reading path uses `datasets` lazily (gated import) so unit tests
+run on synthetic examples.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Iterable, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+REQUIRED_COLUMNS = (
+    "speaker_embeds",
+    "asr_token_ids", "asr_token_lengths", "asr_word_ids",
+    "llm_token_ids", "llm_token_lengths", "llm_word_ids",
+    "audio_features", "audio_feature_lengths",
+    "speech_token_ids", "speech_token_lengths",
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class BucketSpec:
+    """Static bucket shapes: (max asr tokens, max llm tokens, max speech
+    tokens).  Audio features are always the fixed whisper 30 s window."""
+
+    asr_tokens: int
+    llm_tokens: int
+    speech_tokens: int
+
+
+DEFAULT_BUCKETS = (
+    BucketSpec(32, 48, 256),
+    BucketSpec(64, 96, 512),
+    BucketSpec(96, 144, 768),
+    BucketSpec(128, 192, 1024),
+)
+
+
+def shard_files(files: Sequence[str], host_index: int, host_count: int
+                ) -> List[str]:
+    """Deterministic per-host shard assignment."""
+    return [f for i, f in enumerate(sorted(files))
+            if i % host_count == host_index]
+
+
+def pick_bucket(example: Dict[str, Any],
+                buckets: Sequence[BucketSpec]) -> Optional[int]:
+    na = len(example["asr_token_ids"])
+    nl = len(example["llm_token_ids"])
+    ns = len(example["speech_token_ids"])
+    for i, b in enumerate(buckets):
+        if na <= b.asr_tokens and nl <= b.llm_tokens and ns <= b.speech_tokens:
+            return i
+    return None  # too long -> dropped (reference length filter)
+
+
+def _pad_to(x: np.ndarray, n: int, value=0) -> np.ndarray:
+    pad = [(0, n - x.shape[0])] + [(0, 0)] * (x.ndim - 1)
+    return np.pad(np.asarray(x), pad, constant_values=value)
+
+
+def collate(examples: List[Dict[str, Any]], bucket: BucketSpec,
+            n_mels: int = 128, mel_frames: int = 3000) -> Dict[str, np.ndarray]:
+    """Pad a bucket's examples to its static shape
+    (pad_seq_collate_fn equivalent, dataset.py:154-172)."""
+    b = len(examples)
+    out: Dict[str, np.ndarray] = {}
+    out["speaker_embeds"] = np.stack(
+        [np.asarray(e["speaker_embeds"], np.float32) for e in examples])
+    for key, n in (("asr_token_ids", bucket.asr_tokens),
+                   ("asr_word_ids", bucket.asr_tokens),
+                   ("llm_token_ids", bucket.llm_tokens),
+                   ("llm_word_ids", bucket.llm_tokens),
+                   ("speech_token_ids", bucket.speech_tokens)):
+        out[key] = np.stack([
+            _pad_to(np.asarray(e[key], np.int32), n) for e in examples])
+    for key, src in (("asr_token_lengths", "asr_token_ids"),
+                     ("llm_token_lengths", "llm_token_ids"),
+                     ("speech_token_lengths", "speech_token_ids")):
+        out[key] = np.asarray([len(e[src]) for e in examples], np.int32)
+    feats = []
+    feat_lens = []
+    for e in examples:
+        f = np.asarray(e["audio_features"], np.float32)
+        if f.shape[-1] < mel_frames:
+            f = np.pad(f, ((0, 0), (0, mel_frames - f.shape[-1])))
+        feats.append(f[:, :mel_frames])
+        feat_lens.append(int(e.get("audio_feature_lengths", f.shape[-1])))
+    out["audio_features"] = np.stack(feats)
+    out["audio_feature_lengths"] = np.asarray(feat_lens, np.int32)
+    return out
+
+
+class BucketBatcher:
+    """Route examples to static buckets; emit a batch when a bucket fills.
+
+    Batch size per bucket is chosen so every batch carries a similar token
+    budget (the TPU replacement for dynamic_batch(max_frames_in_batch),
+    processor.py:449-477)."""
+
+    def __init__(self, buckets: Sequence[BucketSpec] = DEFAULT_BUCKETS,
+                 token_budget: int = 2048, min_batch: int = 1,
+                 drop_overlong: bool = True):
+        self.buckets = tuple(buckets)
+        self.batch_sizes = [max(min_batch, token_budget // b.speech_tokens)
+                            for b in self.buckets]
+        self.pending: List[List[Dict]] = [[] for _ in self.buckets]
+        self.drop_overlong = drop_overlong
+        self.n_dropped = 0
+
+    def __call__(self, examples: Iterable[Dict[str, Any]]
+                 ) -> Iterator[Tuple[BucketSpec, List[Dict]]]:
+        for ex in examples:
+            i = pick_bucket(ex, self.buckets)
+            if i is None:
+                self.n_dropped += 1
+                continue
+            self.pending[i].append(ex)
+            if len(self.pending[i]) >= self.batch_sizes[i]:
+                yield self.buckets[i], self.pending[i]
+                self.pending[i] = []
+
+    def flush(self) -> Iterator[Tuple[BucketSpec, List[Dict]]]:
+        for i, pend in enumerate(self.pending):
+            if pend:
+                yield self.buckets[i], pend
+                self.pending[i] = []
+
+
+class Stage1Dataset:
+    """Streams (bucket, batch-dict) pairs from TASTE-Dump-style arrow shards.
+
+    Each raw example provides: mp3 (array + sampling_rate), json.text,
+    s3_token, spk_emb (dataset.py:37-80).  Tokenization callbacks are
+    injected (whisper/llama tokenizers with shared word ids,
+    processing_taste.py:173-206).
+    """
+
+    def __init__(self, files: Sequence[str], tokenize_fn,
+                 host_index: int = 0, host_count: int = 1,
+                 seed: int = 0, buckets=DEFAULT_BUCKETS,
+                 token_budget: int = 2048):
+        self.files = shard_files(files, host_index, host_count)
+        self.tokenize_fn = tokenize_fn
+        self.seed = seed
+        self.batcher = BucketBatcher(buckets, token_budget)
+
+    def _iter_raw(self, epoch: int) -> Iterator[Dict]:
+        import datasets  # lazy: offline unit tests use synthetic examples
+        rng = np.random.RandomState(self.seed + epoch)
+        files = list(self.files)
+        rng.shuffle(files)
+        for f in files:
+            ds = datasets.Dataset.from_file(f)
+            order = rng.permutation(len(ds))
+            for i in order:
+                yield ds[int(i)]
+
+    def _prepare(self, raw: Dict) -> Optional[Dict]:
+        from taste_spokenlm_tpu.ops import audio as audio_ops
+        import jax.numpy as jnp
+        wav = np.asarray(raw["mp3"]["array"], np.float32)
+        sr = int(raw["mp3"]["sampling_rate"])
+        if wav.ndim > 1:
+            wav = wav.mean(0)
+        wav16 = np.asarray(audio_ops.resample(jnp.asarray(wav[None]), sr, 16000))[0]
+        mel = np.asarray(audio_ops.whisper_log_mel(jnp.asarray(wav16[None])))[0]
+        tok = self.tokenize_fn(raw["json"]["text"])
+        if tok is None:
+            return None
+        return {
+            "speaker_embeds": np.asarray(raw["spk_emb"], np.float32),
+            "audio_features": mel,
+            "audio_feature_lengths": len(wav16) // 160,
+            "speech_token_ids": np.asarray(raw["s3_token"], np.int32),
+            **tok,
+        }
+
+    def batches(self, epoch: int = 0) -> Iterator[Dict[str, np.ndarray]]:
+        def gen():
+            for raw in self._iter_raw(epoch):
+                ex = self._prepare(raw)
+                if ex is not None:
+                    yield ex
+        for bucket, group in self.batcher(gen()):
+            yield collate(group, bucket)

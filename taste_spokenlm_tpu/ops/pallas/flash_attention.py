@@ -1,0 +1,129 @@
+"""Pallas TPU flash attention (streaming softmax, O(T) memory).
+
+The TPU-native replacement for the reference's FlashAttention-2 CUDA kernels
+(`flash-attn==2.8.0.post2`, requirements.txt:31 — SURVEY.md §2.4 item 2),
+used for the whisper encoder's 1500-position self-attention (the tokenizer
+hot path, 32 layers x 20 heads) and other long-sequence attention.
+
+Design:
+* grid (batch*heads, q_blocks); the kv loop runs inside the kernel with a
+  fori_loop over k blocks, carrying the running max / normalizer / output
+  accumulator in VMEM scratch (the standard flash recurrence);
+* fp32 accumulation regardless of input dtype; MXU matmuls via jnp.dot with
+  preferred_element_type;
+* optional causal masking by skipping fully-masked k blocks via the block
+  index comparison (branchless @pl.when).
+
+Falls back to the XLA einsum path (ops/attention.py) off-TPU or for shapes
+that don't tile (see `flash_attention`).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, causal: bool,
+                  block_k: int, seq_len: int):
+    # q_ref: [block_q, d]; k_ref/v_ref: [seq_len, d]; o_ref: [block_q, d]
+    block_q, d = q_ref.shape
+    qi = pl.program_id(1)
+    q = q_ref[:].astype(jnp.float32) * scale
+
+    m0 = jnp.full((block_q, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((block_q, 1), jnp.float32)
+    acc0 = jnp.zeros((block_q, d), jnp.float32)
+
+    num_k_blocks = seq_len // block_k
+
+    def body(ki, carry):
+        m_prev, l_prev, acc = carry
+        k = k_ref[pl.ds(ki * block_k, block_k), :].astype(jnp.float32)
+        v = v_ref[pl.ds(ki * block_k, block_k), :].astype(jnp.float32)
+        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)  # [bq, bk]
+        if causal:
+            q_pos = qi * block_q + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 0)
+            k_pos = ki * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 1)
+            s = jnp.where(k_pos <= q_pos, s, NEG_INF)
+        m_cur = jnp.max(s, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m_prev - m_new)
+        l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc = acc * alpha + jnp.dot(p, v, preferred_element_type=jnp.float32)
+        return m_new, l_new, acc
+
+    if causal:
+        # only k blocks with k_start <= q_end contribute
+        last_block = jnp.minimum((qi + 1) * block_q // block_k + 1,
+                                 num_k_blocks)
+    else:
+        last_block = num_k_blocks
+    m, l, acc = jax.lax.fori_loop(0, last_block, body, (m0, l0, acc0))
+    o_ref[:] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+
+def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                    causal: bool = False,
+                    scale: Optional[float] = None,
+                    block_q: int = 128, block_k: int = 128,
+                    interpret: bool = False) -> jnp.ndarray:
+    """q,k,v: [B, T, H, D] -> [B, T, H, D].  T must be a multiple of the
+    block sizes (the whisper encoder's fixed 1500 positions pads to 1536 at
+    the caller); D padded to >= 128 lanes internally."""
+    b, tq, h, d = q.shape
+    tk = k.shape[1]
+    if scale is None:
+        scale = d ** -0.5
+    assert tq % block_q == 0 and tk % block_k == 0, (tq, tk, block_q, block_k)
+
+    d_pad = max(128, int(2 ** math.ceil(math.log2(max(d, 1)))))
+    if d_pad != d:
+        pad = [(0, 0), (0, 0), (0, 0), (0, d_pad - d)]
+        q, k, v = (jnp.pad(x, pad) for x in (q, k, v))
+
+    # [B, T, H, D] -> [B*H, T, D]
+    def to_bh(x):
+        return x.transpose(0, 2, 1, 3).reshape(b * h, x.shape[1], d_pad)
+
+    qb, kb, vb = to_bh(q), to_bh(k), to_bh(v)
+
+    kernel = functools.partial(_flash_kernel, scale=scale, causal=causal,
+                               block_k=block_k, seq_len=tk)
+    out = pl.pallas_call(
+        kernel,
+        grid=(b * h, tq // block_q),
+        in_specs=[
+            pl.BlockSpec((None, block_q, d_pad), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, tk, d_pad), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, tk, d_pad), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((None, block_q, d_pad), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b * h, tq, d_pad), q.dtype),
+        interpret=interpret,
+    )(qb, kb, vb)
+
+    out = out.reshape(b, h, tq, d_pad).transpose(0, 2, 1, 3)
+    return out[..., :d]
+
+
+def can_use_flash(tq: int, tk: int, block_q: int = 128,
+                  block_k: int = 128) -> bool:
+    return tq % block_q == 0 and tk % block_k == 0 and tq >= block_q \
+        and tk >= block_k
