@@ -30,7 +30,12 @@ def main():
     p.add_argument("--num-batches", type=int, default=2)
     p.add_argument("--batch-size", type=int, default=4)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--platform", default=None,
+                   help="cpu | tpu | default (sitecustomize-proof)")
     args = p.parse_args()
+
+    from taste_spokenlm_tpu.utils.platform import force_platform
+    force_platform(args.platform)
 
     import jax
     import jax.numpy as jnp

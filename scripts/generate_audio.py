@@ -49,7 +49,12 @@ def main():
     p.add_argument("--max-speech-steps", type=int, default=64)
     p.add_argument("--mel-len-max", type=int, default=128)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--platform", default=None,
+                   help="cpu | tpu | default (sitecustomize-proof)")
     args = p.parse_args()
+
+    from taste_spokenlm_tpu.utils.platform import force_platform
+    force_platform(args.platform)
 
     import jax
     import jax.numpy as jnp

@@ -84,7 +84,12 @@ def main():
     p.add_argument("--model-parallel", type=int, default=1)
     p.add_argument("--log-every", type=int, default=50)
     p.add_argument("--save-every", type=int, default=1000)
+    p.add_argument("--platform", default=None,
+                   help="cpu | tpu | default (sitecustomize-proof)")
     args = p.parse_args()
+
+    from taste_spokenlm_tpu.utils.platform import force_platform
+    force_platform(args.platform)
 
     import jax
     import numpy as np

@@ -1,0 +1,234 @@
+"""TASLM: the earlier-generation stage-2 spoken LM (SURVEY.md §2.3).
+
+Re-design of /root/reference/STAGE1_TRAIN/SpokenLM/taslm/
+{modeling_taslm,modules_taslm,configuration_taslm}.py:
+
+Llama backbone + a parallel speech channel: per-step speech tokens (4 RVQ
+channels, vocab 4096 + bos 4096 / eos 4097) are embedded via the frozen RVQ
+codebooks, projected to the llm width, fused with the text embedding
+(addition / gated / weighted-sum), and the hidden state predicts both the
+next text token and the next speech token(s) — either with a multi-channel
+CE head (per-channel decay, modeling_taslm.py:656-676) or a MELLE-style
+latent sampling layer (modules_taslm.py:97-151) trained with
+L_reg + 2*L_kl (modeling_taslm.py:631-655).  Loss = 0.5 text + 0.5 speech
+(:700).  Optional text-KL against the adapter-disabled base model
+(:599-629).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from taste_spokenlm_tpu.config import LlamaConfig, LoraConfig, _Base
+from taste_spokenlm_tpu.models.llama import LlamaModel
+from taste_spokenlm_tpu.models.quantizer import (Codebook,
+                                                 codebook_output_from_indices)
+from taste_spokenlm_tpu.ops.losses import IGNORE_ID, kl_to_reference
+
+
+@dataclass(frozen=True)
+class TaslmConfig(_Base):
+    llama: LlamaConfig = field(default_factory=LlamaConfig)
+    lora: Optional[LoraConfig] = field(default_factory=LoraConfig)
+    use_lora: bool = True
+    speech_vocab_size: int = 4096
+    speech_num_channels: int = 4
+    speech_bos_id: int = 4096
+    speech_eos_id: int = 4097
+    speech_hidden_size: int = 1280          # RVQ model-space width
+    fusion_method: str = "addition"         # addition | gated | weighted_sum
+    fusion_normalize_speech: bool = False
+    speech_multi_channel_loss_decay_factor: float = 1.0
+    speech_token_adopt_latent_sampling: bool = False
+    latent_dim: int = 256
+    text_conduct_kl_loss: bool = False
+    text_kl_vocab_cutoff: int = 80000       # KL over the plain-text vocab slice
+
+    @classmethod
+    def tiny(cls) -> "TaslmConfig":
+        return cls(llama=LlamaConfig.tiny(), lora=LoraConfig.tiny(),
+                   speech_vocab_size=32, speech_num_channels=4,
+                   speech_bos_id=32, speech_eos_id=33, speech_hidden_size=64,
+                   latent_dim=16, text_kl_vocab_cutoff=256)
+
+
+class TaslmFusion(nn.Module):
+    """addition / gated / weighted_sum fusion (modules_taslm.py:6-94)."""
+
+    method: str
+    hidden_size: int
+    normalize_speech: bool = False
+
+    @nn.compact
+    def __call__(self, text_embeds, speech_embeds):
+        if self.normalize_speech:
+            speech_embeds = nn.LayerNorm(epsilon=1e-5,
+                                         name="layer_norm_speech")(speech_embeds)
+        if self.method == "addition":
+            return text_embeds + speech_embeds
+        if self.method == "gated":
+            gate = jax.nn.sigmoid(nn.Dense(2, use_bias=False, name="gate")(
+                jnp.concatenate([text_embeds, speech_embeds], -1)))
+            return gate[..., 0:1] * text_embeds + gate[..., 1:2] * speech_embeds
+        if self.method == "weighted_sum":
+            w = jax.nn.softmax(self.param(
+                "weights", lambda key: jnp.array([-2.0, 2.0])))
+            return w[0] * speech_embeds + w[1] * text_embeds
+        raise ValueError(self.method)
+
+
+class LatentSamplingLayer(nn.Module):
+    """MELLE-style mu/logvar head + reparameterized latent
+    (modules_taslm.py:97-151)."""
+
+    latent_dim: int
+
+    @nn.compact
+    def __call__(self, hidden, train: bool = False, rng=None):
+        mu = nn.Dense(self.latent_dim, name="fc_mu")(hidden.astype(jnp.float32))
+        logvar = jnp.broadcast_to(
+            self.param("b_logvar", nn.initializers.zeros, (self.latent_dim,)),
+            mu.shape)
+        sigma = jnp.exp(0.5 * logvar)
+        if train and rng is not None:
+            base = mu + sigma
+            eps = jax.random.normal(rng, sigma.shape)
+            z = base + jax.lax.stop_gradient(mu + sigma * eps - base)
+        else:
+            z = mu + sigma
+        return mu, logvar, z
+
+
+class TaslmForCausalLM(nn.Module):
+    config: TaslmConfig
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        cfg = self.config
+        self.language_model = LlamaModel(
+            cfg.llama, lora=cfg.lora if cfg.use_lora else None,
+            dtype=self.dtype, name="language_model")
+        self.fusion_layer = TaslmFusion(cfg.fusion_method,
+                                        cfg.llama.hidden_size,
+                                        cfg.fusion_normalize_speech)
+        if cfg.speech_num_channels > 1:
+            # RVQ-embedded speech channel + projection to llm width; special
+            # (bos/eos/pad) ids embed as learned rows
+            self.speech_special_embed = nn.Embed(
+                4, cfg.speech_hidden_size, dtype=self.dtype)
+            self.speech_token_embed_proj_layer = nn.Dense(
+                cfg.llama.hidden_size, dtype=self.dtype)
+        else:
+            self.speech_embed_tokens = nn.Embed(
+                cfg.speech_vocab_size + 2, cfg.llama.hidden_size,
+                dtype=self.dtype)
+        if cfg.speech_token_adopt_latent_sampling:
+            self.speech_latent_sampler = LatentSamplingLayer(cfg.latent_dim)
+        else:
+            self.speech_head = nn.Dense(
+                cfg.speech_num_channels * cfg.speech_vocab_size,
+                use_bias=False, dtype=self.dtype)
+
+    def embed_speech(self, cb: Optional[Codebook], speech_ids: jnp.ndarray
+                     ) -> jnp.ndarray:
+        """[B, T, C] multi-channel ids (or [B, T] single-channel) -> llm-width
+        embeddings.  bos/eos (>= vocab) use learned special rows."""
+        cfg = self.config
+        if cfg.speech_num_channels == 1:
+            return self.speech_embed_tokens(speech_ids)
+        is_special = speech_ids[..., 0] >= cfg.speech_vocab_size
+        rvq = codebook_output_from_indices(
+            cb, jnp.clip(speech_ids, 0, cfg.speech_vocab_size - 1))
+        special = self.speech_special_embed(
+            jnp.clip(speech_ids[..., 0] - cfg.speech_vocab_size, 0, 3))
+        h = jnp.where(is_special[..., None], special, rvq.astype(self.dtype))
+        return self.speech_token_embed_proj_layer(h)
+
+    def __call__(
+        self,
+        cb: Optional[Codebook],
+        text_input_ids: jnp.ndarray,            # [B, T]
+        speech_input_ids: jnp.ndarray,          # [B, T, C] or [B, T]
+        text_labels: Optional[jnp.ndarray] = None,
+        speech_labels: Optional[jnp.ndarray] = None,
+        attention_lengths: Optional[jnp.ndarray] = None,
+        train: bool = False,
+        rng: Optional[jax.Array] = None,
+        ref_logits: Optional[jnp.ndarray] = None,
+    ) -> Dict[str, jnp.ndarray]:
+        cfg = self.config
+        embed_tokens = self.language_model.embed_tokens
+        text_embeds = embed_tokens(text_input_ids).astype(self.dtype)
+        speech_embeds = self.embed_speech(cb, speech_input_ids)
+        combined = self.fusion_layer(text_embeds, speech_embeds)
+
+        out = self.language_model(inputs_embeds=combined,
+                                  attention_lengths=attention_lengths)
+        hidden = out["last_hidden"]
+        text_logits = self.language_model.logits(hidden)
+
+        result: Dict[str, jnp.ndarray] = {"text_logits": text_logits}
+        total_text, total_speech = 0.0, 0.0
+
+        if text_labels is not None:
+            tl = text_labels[:, 1:]
+            logp = jax.nn.log_softmax(
+                text_logits[:, :-1].astype(jnp.float32), -1)
+            valid = tl != IGNORE_ID
+            nll = -jnp.take_along_axis(
+                logp, jnp.maximum(tl, 0)[..., None], -1)[..., 0]
+            total_text = jnp.sum(jnp.where(valid, nll, 0.0)) / \
+                jnp.maximum(jnp.sum(valid), 1)
+            result["text_ce_loss"] = total_text
+            if cfg.text_conduct_kl_loss and ref_logits is not None:
+                cut = cfg.text_kl_vocab_cutoff
+                kl = kl_to_reference(text_logits[:, :-1, :cut],
+                                     ref_logits[:, :-1, :cut], ~valid)
+                total_text = total_text + kl
+                result["text_kl_loss"] = kl
+
+        if cfg.speech_token_adopt_latent_sampling:
+            mu, logvar, z = self.speech_latent_sampler(hidden, train, rng)
+            result["speech_y_pred"] = z
+            if speech_labels is not None:
+                target = codebook_output_from_indices(
+                    cb, jnp.clip(speech_labels, 0, cfg.speech_vocab_size - 1)
+                ).astype(jnp.float32)
+                tgt, pred = target[:, 1:], z[:, :-1]
+                mu_s, lv_s = mu[:, :-1], logvar[:, :-1]
+                valid = (speech_labels[:, 1:, 0] != IGNORE_ID)[..., None]
+                denom = jnp.maximum(jnp.sum(valid) * tgt.shape[-1], 1.0)
+                l_reg = jnp.sum((pred - tgt) ** 2 * valid) / denom
+                l_kl = 0.5 * jnp.sum(jnp.mean(
+                    jnp.exp(lv_s) + (mu_s - tgt) ** 2 - 1 - lv_s, -1,
+                    keepdims=True) * valid) / jnp.maximum(jnp.sum(valid), 1.0)
+                total_speech = l_reg + 2.0 * l_kl
+                result["speech_latent_reg_loss"] = l_reg
+                result["speech_latent_kl_loss"] = l_kl
+        else:
+            b, t = text_input_ids.shape
+            sp_logits = self.speech_head(hidden).reshape(
+                b, t, cfg.speech_num_channels, cfg.speech_vocab_size)
+            result["speech_logits"] = sp_logits
+            if speech_labels is not None:
+                decay = cfg.speech_multi_channel_loss_decay_factor
+                for c in range(cfg.speech_num_channels):
+                    sl = speech_labels[:, 1:, c]
+                    logp = jax.nn.log_softmax(
+                        sp_logits[:, :-1, c].astype(jnp.float32), -1)
+                    valid = (sl != IGNORE_ID) & (sl < cfg.speech_vocab_size)
+                    nll = -jnp.take_along_axis(
+                        logp, jnp.clip(sl, 0, cfg.speech_vocab_size - 1)[..., None],
+                        -1)[..., 0]
+                    ce = jnp.sum(jnp.where(valid, nll, 0.0)) / \
+                        jnp.maximum(jnp.sum(valid), 1)
+                    total_speech = total_speech + decay ** (c + 1) * ce
+                    result[f"speech_layer_{c}_ce_loss"] = ce
+
+        result["loss"] = 0.5 * total_text + 0.5 * total_speech
+        return result
