@@ -335,6 +335,8 @@ class ResidualVQ(nn.Module):
     # codebook initialization (host-side, once)
     # ------------------------------------------------------------------
 
+    # see QUANTIZER_CLASSES at module bottom for the zoo
+
     def init_codebook_state(self, rng: jax.Array, samples: jnp.ndarray) -> Dict:
         """K-means-initialize all quantizer levels from a sample batch
         [N, dim] (already project_in-ed by caller if needed).  Returns a fresh
@@ -361,3 +363,87 @@ class ResidualVQ(nn.Module):
             "cluster_size": jnp.stack(sizes),
             "initted": jnp.ones((), jnp.bool_),
         }
+
+
+# ---------------------------------------------------------------------------
+# quantizer zoo (reference audio_quantizer.py:10-283)
+# ---------------------------------------------------------------------------
+
+
+class VectorQuantizer(nn.Module):
+    """Plain (single-level) VQ: ResidualVQ with num_quantizers=1."""
+
+    config: QuantizerConfig
+
+    def setup(self):
+        self.rvq = ResidualVQ(self.config.replace(num_quantizers=1,
+                                                  quantize_dropout=False),
+                              name="vq")
+
+    def __call__(self, x, mask=None, train=False, dropout_rng=None):
+        return self.rvq(x, mask=mask, train=train, dropout_rng=dropout_rng)
+
+
+class KmeansQuantizer(nn.Module):
+    """Frozen external codebook nearest-neighbour quantizer
+    (audio_quantizer.py:155-208).  Codebook rows are a (frozen) param loaded
+    by the checkpoint converter."""
+
+    codebook_size: int
+    dim: int
+
+    @nn.compact
+    def __call__(self, x, mask=None, train=False, dropout_rng=None):
+        codebook = self.param("codebook", nn.initializers.normal(0.02),
+                              (self.codebook_size, self.dim))
+        codebook = jax.lax.stop_gradient(codebook)
+        b, t, d = x.shape
+        idx = _nearest(x.reshape(-1, d).astype(jnp.float32),
+                       codebook.astype(jnp.float32)).reshape(b, t)
+        quant = codebook[idx]
+        if mask is not None:
+            quant = quant * mask[:, :, None]
+        return {"quantized_feats": quant.astype(x.dtype),
+                "quantized_indices": idx[..., None],
+                "commit_loss": jnp.zeros(())}
+
+
+class NoQuantizer(nn.Module):
+    """Linear bottleneck without quantization (audio_quantizer.py:211-275);
+    optional frozen kmeans codebook in the bottleneck space."""
+
+    dim: int
+    codebook_dim: int
+    codebook_size: int = 0   # >0 enables the kmeans lookup
+
+    @nn.compact
+    def __call__(self, x, mask=None, train=False, dropout_rng=None):
+        z = nn.Dense(self.codebook_dim, name="proj_in")(x)
+        hidden = z
+        indices = None
+        if self.codebook_size:
+            codebook = jax.lax.stop_gradient(self.param(
+                "codebook", nn.initializers.normal(0.02),
+                (self.codebook_size, self.codebook_dim)))
+            b, t, d = z.shape
+            idx = _nearest(z.reshape(-1, d).astype(jnp.float32),
+                           codebook.astype(jnp.float32)).reshape(b, t)
+            z = codebook[idx].astype(x.dtype)
+            indices = idx[..., None]
+        out = nn.Dense(self.dim, name="proj_out")(z)
+        if mask is not None:
+            out = out * mask[:, :, None]
+        result = {"quantized_feats": out,
+                  "commit_loss": jnp.zeros(()),
+                  "intermediate_hiddens": jax.lax.stop_gradient(hidden)}
+        if indices is not None:
+            result["quantized_indices"] = indices
+        return result
+
+
+QUANTIZER_CLASSES = {
+    "rvq": ResidualVQ,
+    "vq": VectorQuantizer,
+    "kmeans": KmeansQuantizer,
+    "no": NoQuantizer,
+}

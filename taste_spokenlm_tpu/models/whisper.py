@@ -245,3 +245,72 @@ class WhisperDecoder(nn.Module):
             {"k": jnp.zeros((batch, max_len, h, d), self.dtype),
              "v": jnp.zeros((batch, max_len, h, d), self.dtype)}
             for _ in range(cfg.decoder_layers))
+
+
+class WhisperForASR(nn.Module):
+    """Whisper encoder + decoder with greedy transcription.
+
+    The TPU-side replacement for the reference's HF ASR pipeline used in
+    preprocessing (/root/reference/taste_speech/processing_taste.py:256-266):
+    mel -> encoder -> KV-cached greedy decode from the task prompt until EOS.
+    Plugs into frontend.TasteProcessor as the `transcriber` hook (token ids
+    out; text decoding happens with the host tokenizer).
+    """
+
+    config: WhisperConfig
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.encoder = WhisperEncoder(self.config, dtype=self.dtype,
+                                      name="encoder")
+        self.decoder = WhisperDecoder(self.config, dtype=self.dtype,
+                                      name="decoder")
+
+    def __call__(self, mel: jnp.ndarray, max_tokens: int = 224):
+        """mel [B, n_mels, 3000] -> token ids [B, max_tokens] (EOS-padded)."""
+        cfg = self.config
+        b = mel.shape[0]
+        enc = self.encoder(mel)["last_hidden"]
+        prompt = jnp.tile(jnp.asarray(cfg.decoder_prompt, jnp.int32)[None],
+                          (b, 1))
+        p = prompt.shape[1]
+        total = p + max_tokens
+        caches = self.decoder.init_cache(b, total)
+
+        # prefill the prompt
+        hidden, caches = self.decoder(prompt, enc, caches=caches,
+                                      cache_index=jnp.int32(0))
+        # logits via tied embedding (whisper ties lm head to embed_tokens)
+        emb = self.decoder.embed_tokens.embedding
+
+        from typing import NamedTuple as _NT
+
+        class S(_NT):
+            step: jnp.ndarray
+            last_hidden: jnp.ndarray   # [B, C]
+            caches: Any
+            tokens: jnp.ndarray        # [B, max_tokens]
+            done: jnp.ndarray          # [B]
+
+        init = S(jnp.int32(0), hidden[:, -1], caches,
+                 jnp.full((b, max_tokens), cfg.eos_token_id, jnp.int32),
+                 jnp.zeros((b,), bool))
+
+        def cond(mdl, s):
+            return jnp.logical_and(s.step < max_tokens, ~jnp.all(s.done))
+
+        def body(mdl, s):
+            logits = (s.last_hidden.astype(jnp.float32)
+                      @ mdl.decoder.embed_tokens.embedding.astype(jnp.float32).T)
+            ids = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            is_eos = ids == cfg.eos_token_id
+            emit = jnp.where(s.done, cfg.eos_token_id, ids)
+            tokens = s.tokens.at[:, s.step].set(emit)
+            hidden, caches = mdl.decoder(
+                emit[:, None], enc, position_offset=p + s.step,
+                caches=s.caches, cache_index=p + s.step)
+            return S(s.step + 1, hidden[:, 0], caches, tokens,
+                     s.done | is_eos)
+
+        final = nn.while_loop(cond, body, self, init)
+        return final.tokens

@@ -97,6 +97,29 @@ def cross_tokenizer_remap(
     return m * dst_valid[:, :, None]
 
 
+def alignment_mean_pool(feats: jnp.ndarray, feat_lengths: jnp.ndarray,
+                        alignments: jnp.ndarray,
+                        token_lengths: jnp.ndarray) -> jnp.ndarray:
+    """Average encoder frames inside each token's alignment interval.
+
+    The legacy (non-joint) segmenter
+    (/root/reference/taste_speech/modules_taste/audio_segmenter.py:15-50):
+    alignments [B, Ttok, 2] hold normalized (start, end) in [0, 1]; frames
+    with start <= i <= end (scaled by feat length) are mean-pooled per token.
+
+    feats: [B, Tf, C] -> [B, Ttok, C].
+    """
+    b, tf, c = feats.shape
+    bounds = (alignments * feat_lengths[:, None, None]).astype(jnp.int32)
+    frame = jnp.arange(tf)[None, None, :]
+    sel = (frame >= bounds[:, :, 0:1]) & (frame <= bounds[:, :, 1:2])
+    sel = sel & length_mask(token_lengths, alignments.shape[1])[:, :, None]
+    self_w = sel.astype(jnp.float32)
+    sums = jnp.einsum("btf,bfc->btc", self_w, feats.astype(jnp.float32))
+    counts = jnp.maximum(jnp.sum(self_w, axis=-1, keepdims=True), 1.0)
+    return (sums / counts).astype(feats.dtype)
+
+
 def word_start_remap(
     src_word_ids: jnp.ndarray, src_lengths: jnp.ndarray,
     dst_word_ids: jnp.ndarray, dst_lengths: jnp.ndarray,

@@ -1,0 +1,76 @@
+"""Tests: quantizer zoo, legacy alignment segmenter, whisper greedy ASR."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from taste_spokenlm_tpu.config import QuantizerConfig, WhisperConfig
+from taste_spokenlm_tpu.models.quantizer import (KmeansQuantizer, NoQuantizer,
+                                                 VectorQuantizer,
+                                                 QUANTIZER_CLASSES)
+from taste_spokenlm_tpu.models.whisper import WhisperForASR
+from taste_spokenlm_tpu.ops.segment import alignment_mean_pool
+
+
+def test_quantizer_zoo_registry():
+    assert set(QUANTIZER_CLASSES) == {"rvq", "vq", "kmeans", "no"}
+
+
+def test_plain_vq():
+    cfg = QuantizerConfig.tiny().replace(dim=32)
+    vq = VectorQuantizer(cfg)
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 5, 32), jnp.float32)
+    variables = vq.init(jax.random.PRNGKey(0), x)
+    out = vq.apply(variables, x)
+    assert out["quantized_indices"].shape == (2, 5, 1)
+    assert out["quantized_feats"].shape == (2, 5, 32)
+
+
+def test_kmeans_quantizer():
+    q = KmeansQuantizer(codebook_size=8, dim=16)
+    x = jnp.asarray(np.random.RandomState(1).randn(2, 5, 16), jnp.float32)
+    variables = q.init(jax.random.PRNGKey(0), x)
+    out = q.apply(variables, x, jnp.ones((2, 5), bool))
+    idx = np.asarray(out["quantized_indices"])
+    assert idx.shape == (2, 5, 1)
+    assert (idx >= 0).all() and (idx < 8).all()
+    # quantized rows equal the selected codebook rows
+    cb = np.asarray(variables["params"]["codebook"])
+    np.testing.assert_allclose(np.asarray(out["quantized_feats"])[0, 0],
+                               cb[idx[0, 0, 0]], atol=1e-6)
+
+
+def test_no_quantizer_bottleneck():
+    q = NoQuantizer(dim=16, codebook_dim=4)
+    x = jnp.asarray(np.random.RandomState(2).randn(2, 5, 16), jnp.float32)
+    variables = q.init(jax.random.PRNGKey(0), x)
+    out = q.apply(variables, x)
+    assert out["quantized_feats"].shape == (2, 5, 16)
+    assert out["intermediate_hiddens"].shape == (2, 5, 4)
+    assert "quantized_indices" not in out
+
+
+def test_alignment_mean_pool():
+    feats = jnp.asarray(np.arange(10, dtype=np.float32)[None, :, None]
+                        .repeat(1, 0))  # [1, 10, 1] values 0..9
+    # token 0 covers frames [0, 0.4] of 10 => 0..4; token 1 [0.5, 0.9] => 5..9
+    alignments = jnp.asarray([[[0.0, 0.4], [0.5, 0.9]]])
+    out = alignment_mean_pool(feats, jnp.asarray([10]), alignments,
+                              jnp.asarray([2]))
+    np.testing.assert_allclose(np.asarray(out)[0, :, 0], [2.0, 7.0], atol=1e-5)
+
+
+def test_whisper_greedy_asr_decode():
+    cfg = WhisperConfig.tiny()
+    model = WhisperForASR(cfg)
+    mel = jnp.asarray(np.random.RandomState(0).randn(2, cfg.n_mels, 192),
+                      jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), mel, max_tokens=4)
+    tokens = model.apply(variables, mel, max_tokens=8)
+    t = np.asarray(tokens)
+    assert t.shape == (2, 8)
+    assert (t >= 0).all() and (t < cfg.vocab_size).all()
+    # deterministic (greedy)
+    tokens2 = model.apply(variables, mel, max_tokens=8)
+    np.testing.assert_array_equal(t, np.asarray(tokens2))
