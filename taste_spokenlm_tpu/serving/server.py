@@ -1,0 +1,248 @@
+"""Serving: gRPC + HTTP servers around the composite TASTE model.
+
+Counterpart of the reference's CosyVoice runtime (grpc + fastapi servers,
+/root/reference/STAGE1_TRAIN/CosyVoice/runtime/python/) re-designed for the
+TASTE flows.  The gRPC service is wired with generic method handlers (the
+image has the grpc runtime but not grpc_tools codegen), message classes come
+from protoc-generated taste_serving_pb2.
+
+Engine design: one jitted callable per (flow, bucket shape); requests are
+padded to the nearest bucket so repeated calls hit the compile cache.
+"""
+
+from __future__ import annotations
+
+import concurrent.futures
+import json
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+from taste_spokenlm_tpu.serving import taste_serving_pb2 as pb
+
+
+class TasteEngine:
+    """Model wrapper with shape bucketing + jit caching."""
+
+    def __init__(self, model, variables, config, token_buckets=(16, 32, 64)):
+        import jax
+        self.jax = jax
+        self.model = model
+        self.variables = variables
+        self.config = config
+        self.token_buckets = tuple(sorted(token_buckets))
+        self._jits: Dict[Any, Any] = {}
+
+    def _bucket(self, n: int) -> int:
+        for b in self.token_buckets:
+            if n <= b:
+                return b
+        return self.token_buckets[-1]
+
+    def _pad_tokens(self, ids, word_ids, bucket):
+        import jax.numpy as jnp
+        n = len(ids)
+        pad = bucket - n
+        ids = np.pad(np.asarray(ids, np.int32), (0, pad))
+        word_ids = np.pad(np.asarray(word_ids, np.int32), (0, pad))
+        return (jnp.asarray(ids[None]), jnp.asarray([n], np.int32),
+                jnp.asarray(word_ids[None]))
+
+    def tokenize(self, mel: np.ndarray, asr_ids, asr_word_ids) -> np.ndarray:
+        import jax
+        import jax.numpy as jnp
+        from taste_spokenlm_tpu.models.taste import TasteForCausalLM
+        bucket = self._bucket(len(asr_ids))
+        key = ("tokenize", bucket)
+        if key not in self._jits:
+            self._jits[key] = jax.jit(lambda v, mel, ids, lens, words:
+                                      self.model.apply(
+                                          v, mel, ids, lens, words,
+                                          method=lambda m, *a: m.audio_tower(*a)))
+        ids, lens, words = self._pad_tokens(asr_ids, asr_word_ids, bucket)
+        out = self._jits[key](self.variables, jnp.asarray(mel[None]), ids,
+                              lens, words)
+        return np.asarray(out["quantized_indices"])[0, :len(asr_ids)]
+
+    def reconstruct(self, mel, asr_ids, asr_word_ids, spk, max_steps, seed):
+        import jax
+        import jax.numpy as jnp
+        from taste_spokenlm_tpu.models.taste import TasteForCausalLM
+        bucket = self._bucket(len(asr_ids))
+        mel_len_max = max(32, int(np.ceil(max_steps / 50 * 22050 / 256)) + 8)
+        key = ("reconstruct", bucket, max_steps, mel_len_max)
+        if key not in self._jits:
+            def fn(v, rng, spk, ids, lens, words, mel):
+                return self.model.apply(
+                    v, rng, spk, ids, lens, words, mel,
+                    max_speech_steps=max_steps, mel_len_max=mel_len_max,
+                    method=TasteForCausalLM.inference_reconstruction)
+            self._jits[key] = jax.jit(fn)
+        ids, lens, words = self._pad_tokens(asr_ids, asr_word_ids, bucket)
+        t0 = time.perf_counter()
+        out = self._jits[key](self.variables, jax.random.PRNGKey(seed),
+                              jnp.asarray(spk[None]), ids, lens, words,
+                              jnp.asarray(mel[None]))
+        wav = np.asarray(out["waveform"])[0]
+        n = int(out["waveform_lengths"][0])
+        wall = time.perf_counter() - t0
+        sr = self.config.hift.sampling_rate
+        rtf = wall / max(n / sr, 1e-6)
+        return wav[:n], sr, int(out["speech_token_lengths"][0]), rtf
+
+    def complete(self, llm_ids, llm_word_ids, llm_indices, sampler_kwargs,
+                 seed, max_steps: int = 128):
+        import jax
+        import jax.numpy as jnp
+        from taste_spokenlm_tpu.models.sampler import (SamplerConfig,
+                                                       build_sampler_tables)
+        from taste_spokenlm_tpu.models.taste import TasteForCausalLM
+        v = self.config.spoken_lm.llama.vocab_size
+        if not hasattr(self, "_tables"):
+            # without a tokenizer asset, fall back to trivial tables
+            self._tables = {
+                "word_start": jnp.asarray(np.arange(v) % 3 == 0),
+                "banned": jnp.zeros((v,), bool),
+                "sentence_end": jnp.asarray(np.arange(v) % 7 == 0)}
+        bucket = self._bucket(len(llm_ids))
+        scfg = SamplerConfig(delay=self.config.spoken_lm.delay,
+                             **sampler_kwargs)
+        key = ("complete", bucket, max_steps, scfg)
+        if key not in self._jits:
+            def fn(v_, rng, idx, ids, lens, words):
+                return self.model.apply(
+                    v_, rng, scfg, self._tables, idx, ids, lens, words,
+                    "audio", max_steps,
+                    method=TasteForCausalLM.generate_completion)
+            self._jits[key] = jax.jit(fn)
+        ids, lens, words = self._pad_tokens(llm_ids, llm_word_ids, bucket)
+        nq = self.config.audio_tower.quantizer.num_quantizers
+        idx = np.full((bucket, nq), -1, np.int32)
+        idx[:len(llm_indices)] = np.asarray(llm_indices, np.int32)
+        out = self._jits[key](self.variables, jax.random.PRNGKey(seed),
+                              jnp.asarray(idx[None]), ids, lens, words)
+        return {k: np.asarray(val) for k, val in out.items()}
+
+
+# ---------------------------------------------------------------------------
+# gRPC (generic handlers — no grpc_tools codegen needed)
+# ---------------------------------------------------------------------------
+
+
+def create_grpc_server(engine: TasteEngine, port: int = 50051,
+                       max_workers: int = 4):
+    import grpc
+
+    def Tokenize(request: pb.TokenizeRequest, context) -> pb.TokenizeResponse:
+        mel = np.asarray(request.audio_features, np.float32).reshape(
+            request.n_mels, request.n_frames)
+        idx = engine.tokenize(mel, list(request.asr_token_ids),
+                              list(request.asr_word_ids))
+        return pb.TokenizeResponse(indices=idx.reshape(-1).tolist(),
+                                   n_quantizers=idx.shape[-1])
+
+    def Reconstruct(request: pb.ReconstructRequest, context
+                    ) -> pb.ReconstructResponse:
+        inp = request.inputs
+        mel = np.asarray(inp.audio_features, np.float32).reshape(
+            inp.n_mels, inp.n_frames)
+        wav, sr, n_tokens, rtf = engine.reconstruct(
+            mel, list(inp.asr_token_ids), list(inp.asr_word_ids),
+            np.asarray(request.speaker_embedding, np.float32),
+            request.max_speech_steps or 64, request.seed)
+        pcm = (np.clip(wav, -1, 1) * 32767).astype("<i2").tobytes()
+        return pb.ReconstructResponse(pcm16=pcm, sample_rate=sr,
+                                      num_speech_tokens=n_tokens, rtf=rtf)
+
+    def Complete(request: pb.CompleteRequest, context) -> pb.CompleteResponse:
+        nq = engine.config.audio_tower.quantizer.num_quantizers
+        idx = np.asarray(request.llm_indices, np.int32).reshape(-1, nq)
+        out = engine.complete(
+            list(request.llm_token_ids), list(request.llm_word_ids), idx,
+            dict(extra_words=request.extra_words or 8,
+                 text_top_p=request.text_top_p,
+                 taste_top_p=request.taste_top_p,
+                 text_temperature=request.temperature or 1.0,
+                 repetition_penalty=request.repetition_penalty or 1.0),
+            request.seed)
+        n = int(out["num_tokens"])
+        nt = int(out["num_taste_words"])
+        return pb.CompleteResponse(
+            token_ids=out["llm_token_ids"][:n].tolist(),
+            word_ids=out["llm_word_ids"][:n].tolist(),
+            taste_indices=out["taste_indices"][:nt].reshape(-1).tolist(),
+            num_taste_words=nt)
+
+    handlers = {
+        "Tokenize": grpc.unary_unary_rpc_method_handler(
+            Tokenize, request_deserializer=pb.TokenizeRequest.FromString,
+            response_serializer=pb.TokenizeResponse.SerializeToString),
+        "Reconstruct": grpc.unary_unary_rpc_method_handler(
+            Reconstruct, request_deserializer=pb.ReconstructRequest.FromString,
+            response_serializer=pb.ReconstructResponse.SerializeToString),
+        "Complete": grpc.unary_unary_rpc_method_handler(
+            Complete, request_deserializer=pb.CompleteRequest.FromString,
+            response_serializer=pb.CompleteResponse.SerializeToString),
+    }
+    server = grpc.server(
+        concurrent.futures.ThreadPoolExecutor(max_workers=max_workers))
+    server.add_generic_rpc_handlers((grpc.method_handlers_generic_handler(
+        "taste_serving.Taste", handlers),))
+    bound = server.add_insecure_port(f"[::]:{port}")
+    return server, bound
+
+
+# ---------------------------------------------------------------------------
+# HTTP (fastapi-equivalent, stdlib only)
+# ---------------------------------------------------------------------------
+
+
+def create_http_server(engine: TasteEngine, port: int = 8080):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *args):
+            pass
+
+        def _json(self, code: int, payload: Dict):
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/health":
+                self._json(200, {"status": "ok"})
+            else:
+                self._json(404, {"error": "not found"})
+
+        def do_POST(self):
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(n))
+                if self.path == "/tokenize":
+                    mel = np.asarray(req["audio_features"], np.float32)
+                    idx = engine.tokenize(mel, req["asr_token_ids"],
+                                          req["asr_word_ids"])
+                    self._json(200, {"indices": idx.tolist()})
+                elif self.path == "/reconstruct":
+                    mel = np.asarray(req["audio_features"], np.float32)
+                    wav, sr, n_tok, rtf = engine.reconstruct(
+                        mel, req["asr_token_ids"], req["asr_word_ids"],
+                        np.asarray(req["speaker_embedding"], np.float32),
+                        req.get("max_speech_steps", 64), req.get("seed", 0))
+                    import base64
+                    pcm = (np.clip(wav, -1, 1) * 32767).astype("<i2").tobytes()
+                    self._json(200, {"pcm16_b64": base64.b64encode(pcm).decode(),
+                                     "sample_rate": sr,
+                                     "num_speech_tokens": n_tok, "rtf": rtf})
+                else:
+                    self._json(404, {"error": "not found"})
+            except Exception as e:  # surfaced to the client
+                self._json(500, {"error": str(e)})
+
+    server = ThreadingHTTPServer(("0.0.0.0", port), Handler)
+    return server

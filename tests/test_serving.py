@@ -1,0 +1,117 @@
+"""Serving tests: gRPC round trip + HTTP endpoints against the tiny model."""
+
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from taste_spokenlm_tpu.config import TasteConfig
+from taste_spokenlm_tpu.models.taste import TasteForCausalLM
+from taste_spokenlm_tpu.serving import taste_serving_pb2 as pb
+from taste_spokenlm_tpu.serving.server import (TasteEngine, create_grpc_server,
+                                               create_http_server)
+
+grpc = pytest.importorskip("grpc")
+
+
+@pytest.fixture(scope="module")
+def engine():
+    cfg = TasteConfig.tiny()
+    model = TasteForCausalLM(cfg)
+    rng = np.random.RandomState(0)
+    b, t_tok, t_sp, t_llm = 1, 8, 12, 7
+    variables = model.init(
+        jax.random.PRNGKey(0), jax.random.PRNGKey(1),
+        jnp.asarray(rng.randn(b, cfg.speech_decoder.spk_embed_dim), jnp.float32),
+        jnp.asarray(rng.randint(5, 100, (b, t_tok))), jnp.asarray([t_tok]),
+        jnp.asarray((np.arange(t_tok) // 2)[None]),
+        jnp.asarray(rng.randn(b, cfg.audio_tower.whisper.n_mels,
+                              cfg.audio_tower.whisper.max_source_positions * 2),
+                    jnp.float32),
+        jnp.asarray(rng.randint(0, cfg.speech_decoder.speech_token_size,
+                                (b, t_sp))), jnp.asarray([t_sp]),
+        jnp.asarray(rng.randint(2, 100, (b, t_llm))), jnp.asarray([t_llm]),
+        jnp.asarray((np.arange(t_llm) // 2)[None]),
+        method=TasteForCausalLM.init_all)
+    return TasteEngine(model, variables, cfg, token_buckets=(8, 16))
+
+
+def _mel(cfg):
+    rng = np.random.RandomState(1)
+    return rng.randn(cfg.audio_tower.whisper.n_mels,
+                     cfg.audio_tower.whisper.max_source_positions * 2
+                     ).astype(np.float32)
+
+
+def test_grpc_tokenize_and_reconstruct(engine):
+    server, port = create_grpc_server(engine, port=0)
+    server.start()
+    try:
+        cfg = engine.config
+        mel = _mel(cfg)
+        channel = grpc.insecure_channel(f"localhost:{port}")
+        tokenize = channel.unary_unary(
+            "/taste_serving.Taste/Tokenize",
+            request_serializer=pb.TokenizeRequest.SerializeToString,
+            response_deserializer=pb.TokenizeResponse.FromString)
+        req = pb.TokenizeRequest(
+            audio_features=mel.reshape(-1).tolist(), n_mels=mel.shape[0],
+            n_frames=mel.shape[1],
+            asr_token_ids=list(range(10, 18)),
+            asr_word_ids=[0, 0, 1, 1, 2, 2, 3, 3])
+        resp = tokenize(req, timeout=600)
+        nq = cfg.audio_tower.quantizer.num_quantizers
+        assert resp.n_quantizers == nq
+        assert len(resp.indices) == 8 * nq
+
+        reconstruct = channel.unary_unary(
+            "/taste_serving.Taste/Reconstruct",
+            request_serializer=pb.ReconstructRequest.SerializeToString,
+            response_deserializer=pb.ReconstructResponse.FromString)
+        r2 = reconstruct(pb.ReconstructRequest(
+            inputs=req,
+            speaker_embedding=[0.1] * cfg.speech_decoder.spk_embed_dim,
+            max_speech_steps=8, seed=3), timeout=600)
+        assert r2.sample_rate == cfg.hift.sampling_rate
+        assert len(r2.pcm16) % 2 == 0 and len(r2.pcm16) > 0
+        assert r2.rtf > 0
+    finally:
+        server.stop(None)
+
+
+def test_http_health_and_tokenize(engine):
+    server = create_http_server(engine, port=0)
+    port = server.server_address[1]
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    try:
+        with urllib.request.urlopen(f"http://localhost:{port}/health") as r:
+            assert json.load(r)["status"] == "ok"
+        cfg = engine.config
+        mel = _mel(cfg)
+        body = json.dumps({
+            "audio_features": mel.tolist(),
+            "asr_token_ids": list(range(10, 18)),
+            "asr_word_ids": [0, 0, 1, 1, 2, 2, 3, 3],
+        }).encode()
+        req = urllib.request.Request(
+            f"http://localhost:{port}/tokenize", data=body,
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=600) as r:
+            out = json.load(r)
+        assert np.asarray(out["indices"]).shape == (
+            8, cfg.audio_tower.quantizer.num_quantizers)
+        # unknown route -> 404
+        req2 = urllib.request.Request(f"http://localhost:{port}/nope",
+                                      data=b"{}")
+        try:
+            urllib.request.urlopen(req2)
+            assert False
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+    finally:
+        server.shutdown()
