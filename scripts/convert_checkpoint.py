@@ -1,0 +1,99 @@
+#!/usr/bin/env python
+"""Convert reference PyTorch checkpoints into this framework's orbax format.
+
+Covers the reference's warm-start paths (SURVEY.md §5 checkpoint/resume (c)):
+- HF whisper / distil-whisper dirs -> audio tower encoder+decoder
+- HF Llama dir -> spoken LM backbone
+- taste_speech composite ckpt (pytorch_model.bin / model.safetensors) ->
+  speech decoder + RVQ + bridges
+- CosyVoice flow.pt / hift.pt -> voice generator
+(the reference equivalent is convert_to_hf_compatible.py + the
+load_from_cosyvoice_ckpt importers, modeling_taste.py:97-106,346-353)
+
+Usage:
+  python scripts/convert_checkpoint.py --whisper path/ --llama path/ \
+      --taste path.bin --flow flow.pt --hift hift.pt --output ./converted
+"""
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _load_torch(path):
+    import torch
+    if path.endswith(".safetensors"):
+        from safetensors.torch import load_file
+        return load_file(path)
+    return torch.load(path, map_location="cpu", weights_only=True)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--whisper", help="HF whisper dir (tokenizer tower)")
+    p.add_argument("--llama", help="HF llama dir (spoken LM backbone)")
+    p.add_argument("--taste", help="taste_speech composite torch ckpt")
+    p.add_argument("--flow", help="CosyVoice flow.pt")
+    p.add_argument("--hift", help="CosyVoice hift.pt")
+    p.add_argument("--output", required=True)
+    args = p.parse_args()
+
+    from taste_spokenlm_tpu.utils import convert
+    from taste_spokenlm_tpu.utils.checkpoint import save_params
+
+    tree = {"params": {}, "quantizer": {}}
+
+    if args.whisper:
+        import transformers
+        model = transformers.WhisperModel.from_pretrained(args.whisper)
+        tree["params"].setdefault("audio_tower", {})["encoder"] = \
+            convert.whisper_encoder_params(model.encoder.state_dict())
+        tree["params"]["audio_tower"]["decoder"] = \
+            convert.whisper_decoder_params(model.decoder.state_dict())
+        print("converted whisper tower")
+
+    if args.llama:
+        import transformers
+        model = transformers.LlamaForCausalLM.from_pretrained(args.llama)
+        tree["params"].setdefault("spoken_lm", {})["language_model"] = \
+            convert.llama_params(model.model.state_dict(), prefix="")
+        print("converted llama backbone")
+
+    if args.taste:
+        state = _load_torch(args.taste)
+        tree["params"]["speech_decoder"] = convert.speech_decoder_params(state)
+        vq_params, vq_state = convert.rvq_state(state, "audio_tower.vq.rvq.")
+        tree["params"].setdefault("audio_tower", {})["vq"] = vq_params
+        tree["quantizer"] = {"audio_tower": {"vq": vq_state}}
+        print("converted speech decoder + RVQ")
+
+    if args.flow:
+        state = {f"flow.{k}": v for k, v in _load_torch(args.flow).items()}
+        tree["params"].setdefault("voice_generator", {})["flow"] = \
+            convert.flow_params(state)
+        print("converted flow")
+
+    if args.hift:
+        state = {f"hift.{k}": v for k, v in _load_torch(args.hift).items()}
+        tree["params"].setdefault("voice_generator", {})["hift"] = \
+            convert.hift_params(state)
+        print("converted hift")
+
+    os.makedirs(args.output, exist_ok=True)
+    save_params(os.path.join(args.output, "params"), tree)
+    n = sum(np.asarray(x).size for x in _flatten(tree))
+    print(f"saved {args.output} ({n/1e6:.1f}M values)")
+
+
+def _flatten(tree):
+    import jax
+    return jax.tree_util.tree_leaves(tree)
+
+
+if __name__ == "__main__":
+    main()

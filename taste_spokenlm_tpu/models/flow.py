@@ -29,6 +29,7 @@ import jax.numpy as jnp
 
 from taste_spokenlm_tpu.config import FlowConfig
 from taste_spokenlm_tpu.models.conformer import ConformerEncoder
+from taste_spokenlm_tpu.models.hift import WNConvTranspose
 from taste_spokenlm_tpu.ops.attention import multi_head_attention
 from taste_spokenlm_tpu.ops.masking import length_mask
 
@@ -210,8 +211,9 @@ class ConditionalDecoder(nn.Module):
             h = ResnetBlock1D(out_ch, name=f"up_{i}_resnet")(h, m, t_emb)
             h = tf_stack(h, m, out_ch, f"up_{i}")
             if not is_last:
-                h = nn.ConvTranspose(out_ch, (4,), strides=(2,), padding="SAME",
-                                     name=f"up_{i}_upsample")(h * m)
+                # torch ConvTranspose1d(4, 2, 1) semantics (matcha Upsample1D)
+                h = WNConvTranspose(out_ch, 4, 2, 1,
+                                    name=f"up_{i}_upsample")(h * m)
             else:
                 h = nn.Conv(out_ch, (3,), padding=1, name=f"up_{i}_upsample")(h * m)
             m_final = m

@@ -122,3 +122,309 @@ def _set_layer(tree: Dict, layer_key: str, sub: list, w: np.ndarray):
         _set(tree, [layer_key, sub[0], {"weight": "scale", "bias": "bias"}[sub[1]]], w)
     else:
         raise KeyError(f"unhandled whisper layer param: {layer_key}.{'.'.join(sub)}")
+
+
+# ---------------------------------------------------------------------------
+# conformer / speech decoder / RVQ / flow / hift converters
+# ---------------------------------------------------------------------------
+
+
+def _collapse_weight_norm(state: Mapping[str, "np.ndarray"], base: str):
+    """torch weight_norm stores weight_g [out,1,..] and weight_v; effective
+    weight = g * v / ||v|| over all dims but 0."""
+    g = _np(state[f"{base}.weight_g"])
+    v = _np(state[f"{base}.weight_v"])
+    axes = tuple(range(1, v.ndim))
+    norm = np.sqrt(np.sum(v * v, axis=axes, keepdims=True))
+    return g * v / np.maximum(norm, 1e-12)
+
+
+def _conv1d_to_flax(w: np.ndarray) -> np.ndarray:
+    """torch Conv1d [out, in, k] -> flax [k, in, out]."""
+    return w.transpose(2, 1, 0)
+
+
+def conformer_params(state_dict: Mapping[str, "np.ndarray"], prefix: str) -> Dict:
+    """CosyVoice Transformer/Conformer encoder state dict -> flax tree for
+    models.conformer.ConformerEncoder.
+
+    Reference names: embed.out.0 (linear), embed.out.1 (LN),
+    encoders.{i}.self_attn.linear_{q,k,v,out,pos}, pos_bias_u/v,
+    feed_forward.w_1/w_2, norm1/norm2 or norm_mha/norm_ff, after_norm.
+    """
+    tree: Dict = {}
+    for name, w in state_dict.items():
+        if not name.startswith(prefix):
+            continue
+        name = name[len(prefix):]
+        w = _np(w)
+        parts = name.split(".")
+        if parts[0] == "embed":
+            # embed.out.0.{weight,bias}=linear, embed.out.1.{...}=layernorm
+            idx, kind = parts[2], parts[3]
+            if idx == "0":
+                _set(tree, ["embed_linear",
+                            {"weight": "kernel", "bias": "bias"}[kind]],
+                     w.T if kind == "weight" else w)
+            else:
+                _set(tree, ["embed_norm",
+                            {"weight": "scale", "bias": "bias"}[kind]], w)
+        elif parts[0] == "after_norm":
+            _set(tree, ["after_norm",
+                        {"weight": "scale", "bias": "bias"}[parts[1]]], w)
+        elif parts[0] == "encoders":
+            i, sub = parts[1], parts[2:]
+            lk = f"encoders_{i}"
+            if sub[0] == "self_attn":
+                if sub[1] in ("pos_bias_u", "pos_bias_v"):
+                    _set(tree, [lk, "self_attn", sub[1]], w)
+                else:
+                    kind = {"weight": "kernel", "bias": "bias"}[sub[2]]
+                    _set(tree, [lk, "self_attn", sub[1], kind],
+                         w.T if kind == "kernel" else w)
+            elif sub[0] == "feed_forward":
+                kind = {"weight": "kernel", "bias": "bias"}[sub[2]]
+                _set(tree, [lk, "feed_forward", sub[1], kind],
+                     w.T if kind == "kernel" else w)
+            elif sub[0] in ("norm1", "norm2", "norm_mha", "norm_ff"):
+                _set(tree, [lk, sub[0],
+                            {"weight": "scale", "bias": "bias"}[sub[1]]], w)
+    return tree
+
+
+def rvq_state(state_dict: Mapping[str, "np.ndarray"], prefix: str
+              ) -> Tuple[Dict, Dict]:
+    """vendored ResidualVQ state dict -> (params tree, quantizer collection).
+
+    Reference names: {prefix}project_in/out.{weight,bias},
+    {prefix}layers.{i}._codebook.{embed,embed_avg,cluster_size} with leading
+    [1, K, D] codebook shape (vector_quantize_pytorch EuclideanCodebook).
+    """
+    params: Dict = {}
+    embeds, avgs, sizes = {}, {}, {}
+    for name, w in state_dict.items():
+        if not name.startswith(prefix):
+            continue
+        name = name[len(prefix):]
+        w = _np(w)
+        parts = name.split(".")
+        if parts[0] in ("project_in", "project_out"):
+            kind = {"weight": "kernel", "bias": "bias"}[parts[1]]
+            _set(params, [parts[0], kind], w.T if kind == "kernel" else w)
+        elif parts[0] == "layers" and parts[2] == "_codebook":
+            i = int(parts[1])
+            field = parts[3]
+            arr = w[0] if w.ndim == 3 else w  # drop leading head dim
+            if field == "embed":
+                embeds[i] = arr
+            elif field == "embed_avg":
+                avgs[i] = arr
+            elif field == "cluster_size":
+                sizes[i] = arr[0] if arr.ndim == 2 else arr
+    n = len(embeds)
+    quantizer = {
+        "embed": np.stack([embeds[i] for i in range(n)]),
+        "embed_avg": np.stack([avgs.get(i, embeds[i]) for i in range(n)]),
+        "cluster_size": np.stack([
+            sizes.get(i, np.ones(embeds[i].shape[0], np.float32))
+            for i in range(n)]),
+        "initted": np.ones((), bool),
+    }
+    return params, quantizer
+
+
+def speech_decoder_params(state_dict: Mapping[str, "np.ndarray"],
+                          prefix: str = "speech_decoder.") -> Dict:
+    """Reference TasteSpeechDecoder state dict -> flax tree
+    (modeling_taste.py:214-340 module names)."""
+    tree: Dict = {}
+    sub = {k[len(prefix):]: v for k, v in state_dict.items()
+           if k.startswith(prefix)}
+    for name, w in sub.items():
+        w = _np(w)
+        parts = name.split(".")
+        if parts[0] in ("text_embedding", "llm_embedding", "speech_embedding"):
+            _set(tree, [parts[0], "embedding"], w)
+        elif parts[0] in ("text_encoder_affine_layer",
+                          "audio_token_encoder_affine_layer",
+                          "audio_embed_affine_layer",
+                          "spk_embed_affine_layer", "llm_decoder"):
+            kind = {"weight": "kernel", "bias": "bias"}[parts[1]]
+            _set(tree, [parts[0], kind], w.T if kind == "kernel" else w)
+        elif parts[0] == "fuse_encoded_audio_text_module":
+            if parts[1] == "weights":
+                tree["fuse_weights"] = w
+    for enc in ("text_encoder", "audio_token_encoder", "llm"):
+        t = conformer_params(sub, f"{enc}.")
+        if t:
+            tree[enc if enc != "llm" else "llm"] = t
+    return tree
+
+
+def hift_params(state_dict: Mapping[str, "np.ndarray"],
+                prefix: str = "hift.", num_kernels: int = 3) -> Dict:
+    """HiFTGenerator torch state dict (weight-norm convs) -> flax tree for
+    models.hift.HiFTGenerator (collapsed weights, channels-last kernels)."""
+    sub = {k[len(prefix):]: v for k, v in state_dict.items()
+           if k.startswith(prefix)}
+    tree: Dict = {}
+
+    def conv(dst, base, transpose=False):
+        if f"{base}.weight_g" in sub:
+            w = _collapse_weight_norm(sub, base)
+        else:
+            w = _np(sub[f"{base}.weight"])
+        if transpose:  # ConvTranspose1d [in, out, k] -> ours [k, out, in]
+            w = w.transpose(2, 1, 0)
+        else:          # Conv1d [out, in, k] -> [k, in, out]
+            w = _conv1d_to_flax(w)
+        _set(tree, dst + ["kernel"], w)
+        if f"{base}.bias" in sub:
+            _set(tree, dst + ["bias"], _np(sub[f"{base}.bias"]))
+
+    conv(["conv_pre"], "conv_pre")
+    conv(["conv_post"], "conv_post")
+    i = 0
+    while f"ups.{i}.weight_v" in sub or f"ups.{i}.weight" in sub:
+        conv([f"ups_{i}"], f"ups.{i}", transpose=True)
+        conv([f"source_downs_{i}"], f"source_downs.{i}")
+        _convert_resblock(tree, sub, f"source_resblocks.{i}",
+                          f"source_resblocks_{i}")
+        i += 1
+    n_up = i
+    j = 0
+    while any(k.startswith(f"resblocks.{j}.") for k in sub):
+        up_idx, k_idx = divmod(j, num_kernels)
+        _convert_resblock(tree, sub, f"resblocks.{j}",
+                          f"resblocks_{up_idx}_{k_idx}")
+        j += 1
+    # source module + f0 predictor
+    if "m_source.l_linear.weight" in sub:
+        _set(tree, ["source_linear", "kernel"], _np(sub["m_source.l_linear.weight"]).T)
+        _set(tree, ["source_linear", "bias"], _np(sub["m_source.l_linear.bias"]))
+    for k in range(5):
+        base = f"f0_predictor.condnet.{k * 2}"
+        if f"{base}.weight_v" in sub or f"{base}.weight" in sub:
+            conv(["f0_predictor", f"cond_{k}"], base)
+    if "f0_predictor.classifier.weight" in sub:
+        _set(tree, ["f0_predictor", "classifier", "kernel"],
+             _np(sub["f0_predictor.classifier.weight"]).T)
+        _set(tree, ["f0_predictor", "classifier", "bias"],
+             _np(sub["f0_predictor.classifier.bias"]))
+    return tree
+
+
+def _convert_resblock(tree: Dict, sub, base: str, dst: str):
+    i = 0
+    while f"{base}.convs1.{i}.weight_v" in sub or f"{base}.convs1.{i}.weight" in sub:
+        for conv_name, dsti in ((f"convs1.{i}", f"conv1_{i}"),
+                                (f"convs2.{i}", f"conv2_{i}")):
+            b = f"{base}.{conv_name}"
+            w = (_collapse_weight_norm(sub, b) if f"{b}.weight_g" in sub
+                 else _np(sub[f"{b}.weight"]))
+            _set(tree, [dst, dsti, "kernel"], _conv1d_to_flax(w))
+            if f"{b}.bias" in sub:
+                _set(tree, [dst, dsti, "bias"], _np(sub[f"{b}.bias"]))
+        for act, dsta in ((f"activations1.{i}.alpha", f"alpha1_{i}"),
+                          (f"activations2.{i}.alpha", f"alpha2_{i}")):
+            if f"{base}.{act}" in sub:
+                _set(tree, [dst, dsta], _np(sub[f"{base}.{act}"]).reshape(-1))
+        i += 1
+
+
+def _dense(tree, dst, sub, base):
+    _set(tree, dst + ["kernel"], _np(sub[f"{base}.weight"]).T)
+    if f"{base}.bias" in sub:
+        _set(tree, dst + ["bias"], _np(sub[f"{base}.bias"]))
+
+
+def _groupnorm(tree, dst, sub, base):
+    _set(tree, dst + ["scale"], _np(sub[f"{base}.weight"]))
+    _set(tree, dst + ["bias"], _np(sub[f"{base}.bias"]))
+
+
+def _conv(tree, dst, sub, base):
+    _set(tree, dst + ["kernel"], _conv1d_to_flax(_np(sub[f"{base}.weight"])))
+    if f"{base}.bias" in sub:
+        _set(tree, dst + ["bias"], _np(sub[f"{base}.bias"]))
+
+
+def _estimator_resnet(tree, sub, base, dst):
+    """matcha ResnetBlock1D: mlp.1 linear, block1/2 (block.0 conv, block.1
+    groupnorm), res_conv."""
+    _dense(tree, [dst, "mlp"], sub, f"{base}.mlp.1")
+    for blk in ("block1", "block2"):
+        _conv(tree, [dst, blk, "conv"], sub, f"{base}.{blk}.block.0")
+        _groupnorm(tree, [dst, blk, "norm"], sub, f"{base}.{blk}.block.1")
+    _conv(tree, [dst, "res_conv"], sub, f"{base}.res_conv")
+
+
+def _estimator_tf(tree, sub, base, dst):
+    """diffusers BasicTransformerBlock: attn1.to_{q,k,v}, attn1.to_out.0,
+    norm1/norm3, ff.net.0.proj + ff.net.2."""
+    for p in ("to_q", "to_k", "to_v"):
+        _set(tree, [dst, "attn1", p, "kernel"],
+             _np(sub[f"{base}.attn1.{p}.weight"]).T)
+    _dense(tree, [dst, "attn1", "to_out"], sub, f"{base}.attn1.to_out.0")
+    for norm in ("norm1", "norm3"):
+        _set(tree, [dst, norm, "scale"], _np(sub[f"{base}.{norm}.weight"]))
+        _set(tree, [dst, norm, "bias"], _np(sub[f"{base}.{norm}.bias"]))
+    _dense(tree, [dst, "ff_in"], sub, f"{base}.ff.net.0.proj")
+    _dense(tree, [dst, "ff_out"], sub, f"{base}.ff.net.2")
+
+
+def flow_params(state_dict: Mapping[str, "np.ndarray"],
+                prefix: str = "flow.", n_blocks: int = 4,
+                num_mid_blocks: int = 12, n_channels: int = 2,
+                lr_layers: int = 4) -> Dict:
+    """MaskedDiffWithXvec state dict -> flax tree for models.flow
+    (flow.py module names + matcha decoder names)."""
+    sub = {k[len(prefix):]: v for k, v in state_dict.items()
+           if k.startswith(prefix)}
+    tree: Dict = {}
+    _set(tree, ["input_embedding", "embedding"], _np(sub["input_embedding.weight"]))
+    _dense(tree, ["spk_embed_affine_layer"], sub, "spk_embed_affine_layer")
+    _dense(tree, ["encoder_proj"], sub, "encoder_proj")
+    enc = conformer_params(sub, "encoder.")
+    if enc:
+        tree["encoder"] = enc
+    # length regulator: model.0/3/6/9 convs + model.1/4/7/10 groupnorms + final 1x1
+    lr: Dict = {}
+    for i in range(lr_layers):
+        _conv(lr, [f"conv_{i}"], sub, f"length_regulator.model.{i * 3}")
+        _groupnorm(lr, [f"norm_{i}"], sub, f"length_regulator.model.{i * 3 + 1}")
+    _conv(lr, ["proj"], sub, f"length_regulator.model.{lr_layers * 3}")
+    tree["length_regulator"] = lr
+    # CFM estimator
+    est: Dict = {}
+    _dense(est, ["time_mlp_1"], sub, "decoder.estimator.time_mlp.linear_1")
+    _dense(est, ["time_mlp_2"], sub, "decoder.estimator.time_mlp.linear_2")
+    for i in range(n_channels):
+        base = f"decoder.estimator.down_blocks.{i}"
+        _estimator_resnet(est, sub, f"{base}.0", f"down_{i}_resnet")
+        for j in range(n_blocks):
+            _estimator_tf(est, sub, f"{base}.1.{j}", f"down_{i}_tf_{j}")
+        _conv(est, [f"down_{i}_downsample"], sub, f"{base}.2")
+    for i in range(num_mid_blocks):
+        base = f"decoder.estimator.mid_blocks.{i}"
+        _estimator_resnet(est, sub, f"{base}.0", f"mid_{i}_resnet")
+        for j in range(n_blocks):
+            _estimator_tf(est, sub, f"{base}.1.{j}", f"mid_{i}_tf_{j}")
+    for i in range(n_channels):
+        base = f"decoder.estimator.up_blocks.{i}"
+        _estimator_resnet(est, sub, f"{base}.0", f"up_{i}_resnet")
+        for j in range(n_blocks):
+            _estimator_tf(est, sub, f"{base}.1.{j}", f"up_{i}_tf_{j}")
+        if f"{base}.2.conv.weight" in sub:
+            # ConvTranspose1d [in, out, k] -> ours [k, out, in]
+            w = _np(sub[f"{base}.2.conv.weight"]).transpose(2, 1, 0)
+            _set(est, [f"up_{i}_upsample", "kernel"], w)
+            _set(est, [f"up_{i}_upsample", "bias"], _np(sub[f"{base}.2.conv.bias"]))
+        else:
+            _conv(est, [f"up_{i}_upsample"], sub, f"{base}.2")
+    _conv(est, ["final_block", "conv"], sub, "decoder.estimator.final_block.block.0")
+    _groupnorm(est, ["final_block", "norm"], sub,
+               "decoder.estimator.final_block.block.1")
+    _conv(est, ["final_proj"], sub, "decoder.estimator.final_proj")
+    tree["decoder"] = {"estimator": est}
+    return tree
