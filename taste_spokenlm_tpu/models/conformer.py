@@ -206,6 +206,7 @@ class ConformerEncoder(nn.Module):
     config: EncoderStackConfig
     max_len: int = 4096
     dtype: Any = jnp.float32
+    remat: bool = False  # gradient checkpointing per layer
 
     def setup(self):
         cfg = self.config
@@ -213,10 +214,12 @@ class ConformerEncoder(nn.Module):
         self.embed_norm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
         conformer_names = cfg.input_layer != "linear_legacy"
         act = cfg.activation_type if conformer_names else "relu"
+        layer_cls = nn.remat(EncoderLayer, static_argnums=()) if self.remat \
+            else EncoderLayer
         self.encoders = [
-            EncoderLayer(cfg.output_size, cfg.attention_heads, cfg.linear_units,
-                         act, conformer_names=conformer_names, dtype=self.dtype,
-                         name=f"encoders_{i}")
+            layer_cls(cfg.output_size, cfg.attention_heads, cfg.linear_units,
+                      act, conformer_names=conformer_names, dtype=self.dtype,
+                      name=f"encoders_{i}")
             for i in range(cfg.num_blocks)
         ]
         self.after_norm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)

@@ -180,12 +180,14 @@ class LlamaModel(nn.Module):
     config: LlamaConfig
     lora: Optional[LoraConfig] = None
     dtype: Any = jnp.float32
+    remat: bool = False  # gradient checkpointing per layer
 
     def setup(self):
         cfg = self.config
         self.embed_tokens = nn.Embed(cfg.vocab_size, cfg.hidden_size,
                                      dtype=self.dtype)
-        self.layers = [LlamaLayer(cfg, self.lora, self.dtype, name=f"layers_{i}")
+        layer_cls = nn.remat(LlamaLayer) if self.remat else LlamaLayer
+        self.layers = [layer_cls(cfg, self.lora, self.dtype, name=f"layers_{i}")
                        for i in range(cfg.num_hidden_layers)]
         self.norm = RMSNorm(cfg.rms_norm_eps, self.dtype)
         self.inv_freq = jnp.asarray(llama3_inv_freq(cfg))

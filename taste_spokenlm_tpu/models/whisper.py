@@ -67,7 +67,16 @@ class WhisperAttention(nn.Module):
             k, v = k_cache, v_cache
             cache = {"k": k_cache, "v": v_cache}
 
-        out = multi_head_attention(q, k, v, mask=mask)
+        # Pallas flash attention on TPU for long unmasked self-attention
+        # (the whisper encoder's 1500-position hot path)
+        from taste_spokenlm_tpu.ops.pallas.flash_attention import (
+            can_use_flash, flash_attention)
+        if (mask is None and cache is None
+                and can_use_flash(tq, k.shape[1])
+                and jax.default_backend() not in ("cpu",)):
+            out = flash_attention(q, k, v)
+        else:
+            out = multi_head_attention(q, k, v, mask=mask)
         return self.out_proj(out.reshape(b, tq, self.d_model)), cache
 
 
@@ -109,6 +118,7 @@ class WhisperEncoder(nn.Module):
 
     config: WhisperConfig
     dtype: Any = jnp.float32
+    remat: bool = False  # gradient checkpointing per layer
 
     @nn.compact
     def __call__(self, mel: jnp.ndarray,
@@ -132,11 +142,13 @@ class WhisperEncoder(nn.Module):
         x = x + pos[None, : x.shape[1]].astype(self.dtype)
 
         collected = None
+        layer_cls = nn.remat(WhisperEncoderLayer) if self.remat \
+            else WhisperEncoderLayer
         for i in range(cfg.encoder_layers):
             if collect_layer is not None and i == collect_layer:
                 collected = x
-            x = WhisperEncoderLayer(cfg.d_model, cfg.encoder_heads, cfg.ffn_dim,
-                                    self.dtype, name=f"layers_{i}")(x)
+            x = layer_cls(cfg.d_model, cfg.encoder_heads, cfg.ffn_dim,
+                          self.dtype, name=f"layers_{i}")(x)
         x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="layer_norm")(x)
         out = {"last_hidden": x}
         if collected is not None:

@@ -34,7 +34,7 @@ NEG_INF = -1e30
 
 
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, causal: bool,
-                  block_k: int, seq_len: int):
+                  block_k: int, seq_len: int, valid_len: int):
     # q_ref: [block_q, d]; k_ref/v_ref: [seq_len, d]; o_ref: [block_q, d]
     block_q, d = q_ref.shape
     qi = pl.program_id(1)
@@ -51,6 +51,10 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, causal: bool,
         k = k_ref[pl.ds(ki * block_k, block_k), :].astype(jnp.float32)
         v = v_ref[pl.ds(ki * block_k, block_k), :].astype(jnp.float32)
         s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)  # [bq, bk]
+        if valid_len < seq_len:
+            k_pos = ki * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 1)
+            s = jnp.where(k_pos < valid_len, s, NEG_INF)
         if causal:
             q_pos = qi * block_q + jax.lax.broadcasted_iota(
                 jnp.int32, (block_q, block_k), 0)
@@ -80,14 +84,20 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                     scale: Optional[float] = None,
                     block_q: int = 128, block_k: int = 128,
                     interpret: bool = False) -> jnp.ndarray:
-    """q,k,v: [B, T, H, D] -> [B, T, H, D].  T must be a multiple of the
-    block sizes (the whisper encoder's fixed 1500 positions pads to 1536 at
-    the caller); D padded to >= 128 lanes internally."""
-    b, tq, h, d = q.shape
-    tk = k.shape[1]
+    """q,k,v: [B, T, H, D] -> [B, T, H, D].  T is zero-padded up to the block
+    size internally (padded keys masked, padded query rows sliced off);
+    D padded to >= 128 lanes."""
+    b, tq_in, h, d = q.shape
+    tk_in = k.shape[1]
     if scale is None:
         scale = d ** -0.5
-    assert tq % block_q == 0 and tk % block_k == 0, (tq, tk, block_q, block_k)
+    tq = ((tq_in + block_q - 1) // block_q) * block_q
+    tk = ((tk_in + block_k - 1) // block_k) * block_k
+    if tq != tq_in:
+        q = jnp.pad(q, ((0, 0), (0, tq - tq_in), (0, 0), (0, 0)))
+    if tk != tk_in:
+        k = jnp.pad(k, ((0, 0), (0, tk - tk_in), (0, 0), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, tk - tk_in), (0, 0), (0, 0)))
 
     d_pad = max(128, int(2 ** math.ceil(math.log2(max(d, 1)))))
     if d_pad != d:
@@ -101,7 +111,7 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     qb, kb, vb = to_bh(q), to_bh(k), to_bh(v)
 
     kernel = functools.partial(_flash_kernel, scale=scale, causal=causal,
-                               block_k=block_k, seq_len=tk)
+                               block_k=block_k, seq_len=tk, valid_len=tk_in)
     out = pl.pallas_call(
         kernel,
         grid=(b * h, tq // block_q),
@@ -120,10 +130,10 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     )(qb, kb, vb)
 
     out = out.reshape(b, h, tq, d_pad).transpose(0, 2, 1, 3)
-    return out[..., :d]
+    return out[:, :tq_in, :, :d]
 
 
-def can_use_flash(tq: int, tk: int, block_q: int = 128,
-                  block_k: int = 128) -> bool:
-    return tq % block_q == 0 and tk % block_k == 0 and tq >= block_q \
-        and tk >= block_k
+def can_use_flash(tq: int, tk: int, min_len: int = 256) -> bool:
+    """Heuristic: worth the kernel only for long sequences (padding to the
+    128-block grid is handled internally)."""
+    return tq >= min_len and tk >= min_len

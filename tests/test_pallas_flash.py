@@ -43,5 +43,18 @@ def test_flash_odd_head_dim_padded():
 
 def test_can_use_flash():
     assert can_use_flash(1536, 1536)
-    assert not can_use_flash(1500, 1500)
+    assert can_use_flash(1500, 1500)
     assert not can_use_flash(64, 64)
+
+
+def test_flash_unaligned_length_padded():
+    rng = np.random.RandomState(3)
+    b, t, h, d = 1, 300, 2, 64  # 300 pads to 384
+    q = jnp.asarray(rng.randn(b, t, h, d), jnp.float32)
+    k = jnp.asarray(rng.randn(b, t, h, d), jnp.float32)
+    v = jnp.asarray(rng.randn(b, t, h, d), jnp.float32)
+    out = flash_attention(q, k, v, interpret=True)
+    ref = multi_head_attention(q, k, v)
+    assert out.shape == (b, t, h, d)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=1e-4)
