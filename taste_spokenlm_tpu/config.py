@@ -171,6 +171,9 @@ class AudioTowerConfig(_Base):
     quantization_on: bool = True
     audio_embed_dim: int = 1280
     text_token_size: int = 51866
+    # joint (whisper-decoder aggregation) vs legacy (alignment pooling) mode
+    is_joint_encoder_segmenter: bool = True
+    encoder_input_size: int = 512  # legacy-mode affine output width
     # which encoder hidden layer feeds the cross-attn V projection
     encoder_target_hidden_layer: int = 6
     skip_prefix_idx: int = 4

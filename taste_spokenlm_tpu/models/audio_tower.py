@@ -29,7 +29,8 @@ from taste_spokenlm_tpu.config import AudioTowerConfig
 from taste_spokenlm_tpu.models.whisper import WhisperDecoder, WhisperEncoder
 from taste_spokenlm_tpu.models.quantizer import ResidualVQ
 from taste_spokenlm_tpu.ops.masking import length_mask
-from taste_spokenlm_tpu.ops.segment import segment_mean_pool
+from taste_spokenlm_tpu.ops.segment import (alignment_mean_pool,
+                                             segment_mean_pool)
 
 
 class TasteAudioTower(nn.Module):
@@ -44,6 +45,11 @@ class TasteAudioTower(nn.Module):
                                       name="decoder")
         if cfg.quantization_on:
             self.vq = ResidualVQ(cfg.quantizer, name="vq")
+        if not cfg.is_joint_encoder_segmenter:
+            # legacy path: truncated-encoder feats -> alignment pooling ->
+            # affine to encoder_input_size (modeling_taste.py:64-74)
+            self.audio_affine_layer = nn.Dense(cfg.encoder_input_size,
+                                               dtype=self.dtype)
 
     def _segment(self, mel: jnp.ndarray, asr_token_ids: jnp.ndarray,
                  asr_token_lengths: jnp.ndarray,
@@ -87,9 +93,22 @@ class TasteAudioTower(nn.Module):
         train: bool = False,
         dropout_rng: Optional[jax.Array] = None,
         skip_vq: bool = False,
+        asr_token_alignments: Optional[jnp.ndarray] = None,  # [B, T, 2] legacy
+        mel_lengths: Optional[jnp.ndarray] = None,
     ) -> Dict[str, jnp.ndarray]:
         cfg = self.config
-        feats = self._segment(mel, asr_token_ids, asr_token_lengths, asr_word_ids)
+        if cfg.is_joint_encoder_segmenter:
+            feats = self._segment(mel, asr_token_ids, asr_token_lengths,
+                                  asr_word_ids)
+        else:
+            # legacy: target-layer encoder hidden + alignment-interval pooling
+            enc = self.encoder(mel, collect_layer=cfg.encoder_target_hidden_layer)
+            if mel_lengths is None:
+                mel_lengths = jnp.full((mel.shape[0],), mel.shape[-1], jnp.int32)
+            feats = alignment_mean_pool(
+                enc["target_hidden"], mel_lengths // 2,
+                asr_token_alignments, asr_token_lengths)
+            feats = self.audio_affine_layer(feats)
 
         result: Dict[str, jnp.ndarray] = {
             "audio_unit_lengths": asr_token_lengths,

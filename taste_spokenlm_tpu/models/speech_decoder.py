@@ -58,6 +58,11 @@ class TasteSpeechDecoder(nn.Module):
         init = {"balance": jnp.array([1.0, 1.0]),
                 "zero_audio": jnp.array([-2.0, 2.0])}[self.config.fuse_weight_init_type]
         self.fuse_weights = self.param("fuse_weights", lambda key: init)
+        if cfg.fuse_type == "concat_with_sep":
+            # learned SEP embedding (fusion.py:49-52)
+            self.sep_embed = self.param(
+                "sep_embed",
+                lambda key: jax.random.uniform(key, (cfg.llm_input_size,)) * 1e-5)
         # llm_embedding row 0 = sos/eos, row 1 = task id
         self.llm_embedding = nn.Embed(2, cfg.llm_input_size, dtype=self.dtype)
         self.llm = ConformerEncoder(cfg.llm, dtype=self.dtype)
@@ -79,30 +84,48 @@ class TasteSpeechDecoder(nn.Module):
         enc = self.audio_token_encoder(x, audio_unit_lengths)
         return self.audio_token_encoder_affine_layer(enc)
 
-    def fuse(self, audio_encoded, text_encoded):
-        if self.config.fuse_type == "weighted_sum":
+    def fuse(self, audio_encoded, text_encoded, lengths=None):
+        """TTS input fusion (fusion.py:12-155).  weighted_sum keeps the
+        aligned length; concat variants pack [audio | (sep) | text] raggedly
+        and DOUBLE the sequence length (callers then use the returned
+        lengths)."""
+        cfg = self.config
+        if cfg.fuse_type == "weighted_sum":
             w = jax.nn.softmax(self.fuse_weights)
-            return w[0] * audio_encoded + w[1] * text_encoded
-        raise NotImplementedError(self.config.fuse_type)
+            return w[0] * audio_encoded + w[1] * text_encoded, lengths
+        if cfg.fuse_type in ("concat", "concat_with_sep"):
+            t = audio_encoded.shape[1]
+            segments = [(audio_encoded, lengths)]
+            if cfg.fuse_type == "concat_with_sep":
+                b = audio_encoded.shape[0]
+                sep = jnp.tile(self.sep_embed[None, None, :], (b, 1, 1))
+                segments.append((sep.astype(audio_encoded.dtype), None))
+            segments.append((text_encoded, lengths))
+            out_len = 2 * t + (1 if cfg.fuse_type == "concat_with_sep" else 0)
+            return ragged_concat(segments, out_len)
+        raise NotImplementedError(cfg.fuse_type)
 
     def prepare_conditional_embeds(
         self, speaker_embeds, audio_unit_embeds, audio_unit_lengths,
         asr_token_ids, asr_token_lengths, skip_audio: bool = False,
     ):
-        """Returns (sos_emb [B,1,C], spk [B,1,C], fused [B,T,C], task [B,1,C])."""
+        """Returns (sos [B,1,C], spk [B,1,C], fused [B,Tf,C], task [B,1,C],
+        fused_lengths [B])."""
         b = asr_token_ids.shape[0]
         spk = speaker_embeds / jnp.maximum(
             jnp.linalg.norm(speaker_embeds, axis=-1, keepdims=True), 1e-8)
         spk = self.spk_embed_affine_layer(spk.astype(self.dtype))[:, None, :]
         text_enc = self.encode_text(asr_token_ids, asr_token_lengths)
+        fused_lengths = asr_token_lengths
         if skip_audio:
             fused = text_enc
         else:
             audio_enc = self.encode_audio(audio_unit_embeds, audio_unit_lengths)
-            fused = self.fuse(audio_enc, text_enc)
+            fused, fused_lengths = self.fuse(audio_enc, text_enc,
+                                             asr_token_lengths)
         sos = jnp.tile(self.llm_embedding(jnp.array([0]))[None], (b, 1, 1))
         task = jnp.tile(self.llm_embedding(jnp.array([1]))[None], (b, 1, 1))
-        return sos, spk, fused, task
+        return sos, spk, fused, task, fused_lengths
 
     # ------------------------------------------------------------------
     # training forward
@@ -122,20 +145,21 @@ class TasteSpeechDecoder(nn.Module):
         cfg = self.config
         b, t = asr_token_ids.shape
         s = speech_token_ids.shape[1]
-        sos, spk, fused, task = self.prepare_conditional_embeds(
+        sos, spk, fused, task, fused_lengths = self.prepare_conditional_embeds(
             speaker_embeds, audio_unit_embeds, audio_unit_lengths,
             asr_token_ids, asr_token_lengths, skip_audio)
         speech_emb = self.speech_embedding(speech_token_ids)
 
-        out_len = 3 + t + s
+        tf = fused.shape[1]
+        out_len = 3 + tf + s
         lm_input, lm_len = ragged_concat(
-            [(sos, None), (spk, None), (fused, asr_token_lengths),
+            [(sos, None), (spk, None), (fused, fused_lengths),
              (task, None), (speech_emb, speech_token_lengths)], out_len)
 
-        ign = jnp.full((b, 2 + t), IGNORE_ID, jnp.int32)
+        ign = jnp.full((b, 2 + tf), IGNORE_ID, jnp.int32)
         eos = jnp.full((b, 1), cfg.speech_token_size, jnp.int32)
         lm_target, _ = ragged_concat(
-            [(ign, asr_token_lengths + 2),
+            [(ign, fused_lengths + 2),
              (speech_token_ids.astype(jnp.int32), speech_token_lengths),
              (eos, None)], out_len, pad_value=IGNORE_ID)
 
@@ -172,14 +196,14 @@ class TasteSpeechDecoder(nn.Module):
         """
         cfg = self.config
         b, t = asr_token_ids.shape
-        sos, spk, fused, task = self.prepare_conditional_embeds(
+        sos, spk, fused, task, fused_lengths = self.prepare_conditional_embeds(
             speaker_embeds, audio_unit_embeds, audio_unit_lengths,
             asr_token_ids, asr_token_lengths, skip_audio)
 
-        prefix_max = 3 + t
+        prefix_max = 3 + fused.shape[1]
         # right-aligned (left-padded) packing: reverse, pack, reverse
         packed, prefix_len = ragged_concat(
-            [(sos, None), (spk, None), (fused, asr_token_lengths),
+            [(sos, None), (spk, None), (fused, fused_lengths),
              (task, None)], prefix_max)
         shift = prefix_max - prefix_len                      # [B]
         pos = jnp.arange(prefix_max)[None, :]

@@ -74,3 +74,47 @@ def test_whisper_greedy_asr_decode():
     # deterministic (greedy)
     tokens2 = model.apply(variables, mel, max_tokens=8)
     np.testing.assert_array_equal(t, np.asarray(tokens2))
+
+
+def test_concat_fusion_speech_decoder():
+    from taste_spokenlm_tpu.config import SpeechDecoderConfig
+    from taste_spokenlm_tpu.models.speech_decoder import TasteSpeechDecoder
+    import jax, jax.numpy as jnp
+    for fuse_type in ("concat", "concat_with_sep"):
+        cfg = SpeechDecoderConfig.tiny().replace(fuse_type=fuse_type)
+        model = TasteSpeechDecoder(cfg)
+        rng = np.random.RandomState(0)
+        args = (jnp.asarray(rng.randn(2, cfg.spk_embed_dim), jnp.float32),
+                jnp.asarray(rng.randn(2, 4, cfg.audio_encoder_input_size), jnp.float32),
+                jnp.asarray([4, 3]),
+                jnp.asarray(rng.randint(0, cfg.text_token_size, (2, 4))),
+                jnp.asarray([4, 3]),
+                jnp.asarray(rng.randint(0, cfg.speech_token_size, (2, 6))),
+                jnp.asarray([6, 5]))
+        variables = model.init(jax.random.PRNGKey(0), *args)
+        out = model.apply(variables, *args)
+        assert np.isfinite(float(out["loss"]))
+        extra = 1 if fuse_type == "concat_with_sep" else 0
+        # lm length = 3 + 2*T(+sep) + S
+        assert out["logits"].shape[1] == 3 + 2 * 4 + extra + 6
+
+
+def test_legacy_tower_alignment_mode():
+    from taste_spokenlm_tpu.config import AudioTowerConfig
+    from taste_spokenlm_tpu.models.audio_tower import TasteAudioTower
+    import jax, jax.numpy as jnp
+    cfg = AudioTowerConfig.tiny().replace(is_joint_encoder_segmenter=False,
+                                          encoder_input_size=32)
+    tower = TasteAudioTower(cfg.replace(
+        quantizer=cfg.quantizer.replace(dim=32)))
+    rng = np.random.RandomState(0)
+    mel = jnp.asarray(rng.randn(1, cfg.whisper.n_mels, 192), jnp.float32)
+    ids = jnp.asarray(rng.randint(0, 100, (1, 4)))
+    lens = jnp.asarray([4])
+    aligns = jnp.asarray([[[0.0, 0.2], [0.25, 0.5], [0.5, 0.7], [0.75, 1.0]]])
+    variables = tower.init(jax.random.PRNGKey(0), mel, ids, lens, None,
+                           asr_token_alignments=aligns)
+    out = tower.apply(variables, mel, ids, lens, None,
+                      asr_token_alignments=aligns)
+    assert out["audio_unit_embeds"].shape == (1, 4, 32)
+    assert bool(jnp.isfinite(out["audio_unit_embeds"]).all())
