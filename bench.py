@@ -69,13 +69,13 @@ def main():
         batch["speaker_embeds"], batch["asr_token_ids"],
         batch["asr_token_lengths"], batch["asr_word_ids"],
         batch["audio_features"])
-    host_rng = np.random.RandomState(42)
+    host_rng = np.random.default_rng(42)
 
     def make(leaf):
         if not np.issubdtype(leaf.dtype, np.floating):
             return jnp.zeros(leaf.shape, leaf.dtype)
         scale = 0.02 if leaf.ndim >= 2 else 1e-3
-        arr = np.asarray(host_rng.randn(*leaf.shape), np.float32) * scale
+        arr = host_rng.standard_normal(leaf.shape, dtype=np.float32) * scale
         return jnp.asarray(arr, dtype=leaf.dtype)
 
     variables = jax.tree_util.tree_map(make, shapes)
