@@ -1,0 +1,95 @@
+"""End-to-end completion pipeline test (tiny model + toy tokenizers)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from taste_spokenlm_tpu.config import TasteConfig
+from taste_spokenlm_tpu.frontend.api import CompletionPipeline
+from taste_spokenlm_tpu.models.taste import TasteForCausalLM
+
+
+class ToyLlmTokenizer:
+    """id i decodes to ' w<i>' when i%3==0 (word start) else '<i>'; matches
+    the word-start rule build_sampler_tables derives (leading space)."""
+
+    def decode(self, ids):
+        if isinstance(ids, (int, np.integer)):
+            ids = [ids]
+        out = []
+        for i in ids:
+            out.append((" w%d" % i) if i % 3 == 0 else ("c%d" % i))
+        return "".join(out)
+
+    def encode(self, word, add_special_tokens=False):
+        return [(hash(word) % 100) + 2]
+
+
+class ToyAsrTokenizer:
+    def encode(self, word, add_special_tokens=False):
+        # two asr tokens per word
+        h = hash(word) % 500
+        return [h, (h + 7) % 500]
+
+
+@pytest.fixture(scope="module")
+def pipeline():
+    cfg = TasteConfig.tiny()
+    model = TasteForCausalLM(cfg)
+    rng = np.random.RandomState(0)
+    b, t_tok, t_sp, t_llm = 1, 8, 12, 7
+    variables = model.init(
+        jax.random.PRNGKey(0), jax.random.PRNGKey(1),
+        jnp.asarray(rng.randn(b, cfg.speech_decoder.spk_embed_dim), jnp.float32),
+        jnp.asarray(rng.randint(5, 100, (b, t_tok))), jnp.asarray([t_tok]),
+        jnp.asarray((np.arange(t_tok) // 2)[None]),
+        jnp.asarray(rng.randn(b, cfg.audio_tower.whisper.n_mels,
+                              cfg.audio_tower.whisper.max_source_positions * 2),
+                    jnp.float32),
+        jnp.asarray(rng.randint(0, cfg.speech_decoder.speech_token_size,
+                                (b, t_sp))), jnp.asarray([t_sp]),
+        jnp.asarray(rng.randint(2, 100, (b, t_llm))), jnp.asarray([t_llm]),
+        jnp.asarray((np.arange(t_llm) // 2)[None]),
+        method=TasteForCausalLM.init_all)
+    tables = None  # built from the toy tokenizer by the pipeline
+    return CompletionPipeline(
+        model, variables, ToyLlmTokenizer(), ToyAsrTokenizer(),
+        max_decode_steps=32, max_asr_tokens=32, max_words=16,
+        max_speech_steps=8, mel_len_max=16)
+
+
+def test_completion_pipeline_end_to_end(pipeline):
+    rng = np.random.RandomState(1)
+    cfg = pipeline.model.config
+    t = 7
+    out = pipeline(
+        speaker_embeds=rng.randn(1, cfg.speech_decoder.spk_embed_dim
+                                 ).astype(np.float32),
+        llm_token_ids=rng.randint(2, 100, (1, t)).astype(np.int32),
+        llm_word_ids=(np.arange(t) // 2)[None].astype(np.int32),
+        llm_indices=np.where(
+            ((np.arange(t) % 2) == 0)[None, :, None],
+            rng.randint(0, cfg.audio_tower.quantizer.codebook_size, (1, t, 4)),
+            -1).astype(np.int32),
+        asr_token_ids=rng.randint(5, 100, (1, 9)).astype(np.int32),
+        asr_word_ids=np.minimum(np.arange(9) // 2, 3)[None].astype(np.int32),
+        extra_words=2, seed=0)
+    assert isinstance(out["generated_text"], str) and out["generated_text"]
+    assert out["waveform"].shape[0] == 1
+    assert np.isfinite(out["waveform"]).all()
+    assert out["generated_taste"].shape[1] == 4
+
+
+def test_completion_text_only(pipeline):
+    rng = np.random.RandomState(2)
+    t = 7
+    out = pipeline(
+        speaker_embeds=rng.randn(
+            1, pipeline.model.config.speech_decoder.spk_embed_dim
+        ).astype(np.float32),
+        llm_token_ids=rng.randint(2, 100, (1, t)).astype(np.int32),
+        llm_word_ids=(np.arange(t) // 2)[None].astype(np.int32),
+        llm_indices=np.full((1, t, 4), -1, np.int32),
+        conditional_mode="text", output_text_only=True, extra_words=2)
+    assert set(out) == {"generated_text"}
