@@ -269,6 +269,21 @@ class ResidualVQ(nn.Module):
             smoothed = (size + eps) / (n + cfg.codebook_size * eps) * n
             emb = avg / jnp.maximum(smoothed[:, None], 1e-9)
             emb = jnp.where(size[:, None] >= 1e-5, emb, embed[qi])
+            # dead-code expiry (vector_quantize_pytorch expire_codes_): codes
+            # whose EMA usage fell below the threshold are re-seeded from
+            # random batch vectors (deterministic given the step rng)
+            if cfg.threshold_ema_dead_code > 0 and rng is not None:
+                sub = jax.random.fold_in(rng, qi + 1)
+                # sample valid batch rows (bias toward valid via weighting)
+                probs = valid / jnp.maximum(valid.sum(), 1.0)
+                pick = jax.random.choice(sub, zf.shape[0],
+                                         (cfg.codebook_size,), p=probs)
+                replacement = self._residual_at(
+                    zf.reshape(b, t, dc), qi, embed).reshape(-1, dc)[pick]
+                dead = size < cfg.threshold_ema_dead_code
+                emb = jnp.where(dead[:, None], replacement, emb)
+                avg = jnp.where(dead[:, None], replacement, avg)
+                size = jnp.where(dead, 1.0, size)
             new_embed.append(emb)
             new_avg.append(avg)
             new_size.append(size)

@@ -142,3 +142,26 @@ def test_commit_loss_gradient_flows_to_input():
 
     g = jax.grad(loss_fn)(x)
     assert np.abs(np.asarray(g)).max() > 0
+
+
+def test_dead_code_expiry_reseeds():
+    """Codes with EMA usage below the threshold are re-seeded from batch
+    vectors during training updates (expire_codes_ semantics)."""
+    cfg = _cfg(quantize_dropout=False).replace(threshold_ema_dead_code=2)
+    rng = np.random.RandomState(7)
+    x = jnp.asarray(rng.randn(4, 8, cfg.dim), jnp.float32)
+    rvq, variables, _ = _make(cfg, init_samples=x)
+    # mark half the level-0 codes as dead (tiny EMA size)
+    q = dict(variables["quantizer"])
+    size = np.asarray(q["cluster_size"]).copy()
+    size[0, : cfg.codebook_size // 2] = 0.0
+    q["cluster_size"] = jnp.asarray(size)
+    variables = {"params": variables["params"], "quantizer": q}
+    before = np.asarray(q["embed"])[0, : cfg.codebook_size // 2].copy()
+    _, mutated = rvq.apply(variables, x, None, True, jax.random.PRNGKey(3),
+                           mutable=["quantizer"])
+    after = np.asarray(mutated["quantizer"]["embed"])[0, : cfg.codebook_size // 2]
+    # dead codes moved substantially (reseeded), and their size reset to >= 1
+    assert np.abs(after - before).max() > 1e-3
+    new_size = np.asarray(mutated["quantizer"]["cluster_size"])[0]
+    assert (new_size[: cfg.codebook_size // 2] >= 0.9).all()
