@@ -149,7 +149,8 @@ def main():
     if args.stage == 1:
         step = train_step.make_stage1_step(
             model, tx, mesh=mesh,
-            skip_vq=args.phase in ("text_only", "no_vq"))
+            skip_vq=args.phase in ("text_only", "no_vq"),
+            skip_audio_in_decoder=args.phase == "text_only")
     else:
         step = train_step.make_stage2_step(model, tx, mesh=mesh)
 

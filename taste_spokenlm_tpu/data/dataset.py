@@ -185,6 +185,10 @@ class Stage1Dataset:
         tok = self.tokenize_fn(raw["json"]["text"])
         if tok is None:
             return None
+        # accept either flat [T] arrays or the processor's batched [1, T];
+        # drop *_lengths (collate re-derives them from the flat arrays)
+        tok = {k: (np.asarray(v)[0] if np.asarray(v).ndim > 1 else np.asarray(v))
+               for k, v in tok.items() if not k.endswith("lengths")}
         return {
             "speaker_embeds": np.asarray(raw["spk_emb"], np.float32),
             "audio_features": mel,

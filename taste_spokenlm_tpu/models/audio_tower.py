@@ -41,8 +41,9 @@ class TasteAudioTower(nn.Module):
         cfg = self.config
         self.encoder = WhisperEncoder(cfg.whisper, dtype=self.dtype,
                                       name="encoder")
-        self.decoder = WhisperDecoder(cfg.whisper, dtype=self.dtype,
-                                      name="decoder")
+        self.decoder = WhisperDecoder(
+            cfg.whisper, dtype=self.dtype,
+            cross_v_identity_init=cfg.make_v_proj_identity, name="decoder")
         if cfg.quantization_on:
             self.vq = ResidualVQ(cfg.quantizer, name="vq")
         if not cfg.is_joint_encoder_segmenter:

@@ -38,12 +38,25 @@ def mish(x):
     return x * jnp.tanh(jax.nn.softplus(x))
 
 
-def nearest_interpolate(x: jnp.ndarray, out_len: int) -> jnp.ndarray:
-    """[B, T, C] -> [B, out_len, C] nearest over time (torch F.interpolate
-    'nearest' semantics: src index = floor(i * T / out_len))."""
+def nearest_interpolate(x: jnp.ndarray, out_len: int,
+                        in_lengths: Optional[jnp.ndarray] = None,
+                        out_lengths: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """[B, T, C] -> [B, out_len, C] nearest over time.
+
+    Without lengths this is torch F.interpolate('nearest') over the full
+    axis (src = floor(i*T/out_len)).  With per-sample lengths it matches the
+    reference length regulator semantics (length_regulator.py:47: each
+    sample's valid token span is stretched over its own mel span): frame i of
+    sample b reads token floor(i * in_len[b] / out_len[b]).
+    """
     t = x.shape[1]
-    idx = (jnp.arange(out_len) * t) // out_len
-    return x[:, idx, :]
+    if in_lengths is None:
+        idx = (jnp.arange(out_len) * t) // out_len
+        return x[:, idx, :]
+    frames = jnp.arange(out_len)[None, :]
+    idx = (frames * in_lengths[:, None]) // jnp.maximum(out_lengths[:, None], 1)
+    idx = jnp.clip(idx, 0, t - 1)
+    return jnp.take_along_axis(x, idx[:, :, None], axis=1)
 
 
 class InterpolateRegulator(nn.Module):
@@ -54,8 +67,9 @@ class InterpolateRegulator(nn.Module):
     n_layers: int = 4
 
     @nn.compact
-    def __call__(self, x, out_len: int, out_lengths: jnp.ndarray):
-        h = nearest_interpolate(x, out_len)
+    def __call__(self, x, out_len: int, out_lengths: jnp.ndarray,
+                 in_lengths: Optional[jnp.ndarray] = None):
+        h = nearest_interpolate(x, out_len, in_lengths, out_lengths)
         for i in range(self.n_layers):
             h = nn.Conv(self.channels, (3,), padding=1, name=f"conv_{i}")(h)
             h = nn.GroupNorm(num_groups=1, epsilon=1e-5, name=f"norm_{i}")(h)
@@ -308,7 +322,8 @@ class MaskedDiffWithXvec(nn.Module):
         emb = self.input_embedding(jnp.maximum(token, 0)) * mask[:, :, None]
         h = self.encoder(emb, token_len, causal=False)
         h = self.encoder_proj(h)
-        return self.length_regulator(h, mel_len_max, mel_lengths)
+        return self.length_regulator(h, mel_len_max, mel_lengths,
+                                     in_lengths=token_len)
 
     def mel_lengths(self, token_len: jnp.ndarray) -> jnp.ndarray:
         """Token count -> mel frame count: len/50 * 22050/256 (flow.py:116)."""

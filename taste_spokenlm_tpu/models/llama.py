@@ -222,8 +222,10 @@ class LlamaModel(nn.Module):
                 mask = jnp.logical_and(mask, valid[:, None, None, :])
         else:
             tk = caches[0]["k"].shape[1]
-            mask = (jnp.arange(tk)[None, None, None, :]
-                    <= (cache_index + t - 1))
+            # per-query causality: query row i (absolute pos cache_index+i)
+            # attends keys <= its own position
+            q_pos = cache_index + jnp.arange(t)[None, None, :, None]
+            mask = jnp.arange(tk)[None, None, None, :] <= q_pos
             if key_valid is not None:
                 mask = jnp.logical_and(mask, key_valid[:, None, None, :])
 

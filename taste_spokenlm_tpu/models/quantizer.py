@@ -274,8 +274,11 @@ class ResidualVQ(nn.Module):
             # random batch vectors (deterministic given the step rng)
             if cfg.threshold_ema_dead_code > 0 and rng is not None:
                 sub = jax.random.fold_in(rng, qi + 1)
-                # sample valid batch rows (bias toward valid via weighting)
-                probs = valid / jnp.maximum(valid.sum(), 1.0)
+                # sample valid batch rows; uniform fallback when this level
+                # saw no valid vectors (e.g. fully quantize-dropped)
+                total = valid.sum()
+                probs = jnp.where(total > 0, valid / jnp.maximum(total, 1.0),
+                                  jnp.full_like(valid, 1.0 / valid.shape[0]))
                 pick = jax.random.choice(sub, zf.shape[0],
                                          (cfg.codebook_size,), p=probs)
                 replacement = self._residual_at(

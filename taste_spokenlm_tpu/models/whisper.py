@@ -31,13 +31,22 @@ class WhisperAttention(nn.Module):
     d_model: int
     num_heads: int
     dtype: Any = jnp.float32
+    v_proj_identity_init: bool = False  # make_v_proj_identity (TASTE)
 
     def setup(self):
         dense = lambda name, bias: nn.Dense(  # noqa: E731
             self.d_model, use_bias=bias, dtype=self.dtype, name=name)
         self.q_proj = dense("q_proj", True)
         self.k_proj = dense("k_proj", False)  # whisper: no bias on k
-        self.v_proj = dense("v_proj", True)
+        if self.v_proj_identity_init:
+            # asr_attn_pooling: V starts as the raw layer-6 hidden
+            # (audio_joint_encoder_segmenter.py:146-150 identity init)
+            self.v_proj = nn.Dense(
+                self.d_model, use_bias=True, dtype=self.dtype, name="v_proj",
+                kernel_init=lambda key, shape, dtype=jnp.float32: jnp.eye(
+                    shape[0], shape[1], dtype=dtype))
+        else:
+            self.v_proj = dense("v_proj", True)
         self.out_proj = dense("out_proj", True)
 
     def __call__(
@@ -73,7 +82,7 @@ class WhisperAttention(nn.Module):
             can_use_flash, flash_attention)
         if (mask is None and cache is None
                 and can_use_flash(tq, k.shape[1])
-                and jax.default_backend() not in ("cpu",)):
+                and jax.default_backend() in ("tpu", "axon")):
             out = flash_attention(q, k, v)
         else:
             out = multi_head_attention(q, k, v, mask=mask)
@@ -161,13 +170,16 @@ class WhisperDecoderLayer(nn.Module):
     num_heads: int
     ffn_dim: int
     dtype: Any = jnp.float32
+    cross_v_identity_init: bool = False
 
     def setup(self):
         self.self_attn = WhisperAttention(self.d_model, self.num_heads,
                                           self.dtype, name="self_attn")
         self.self_attn_layer_norm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
-        self.encoder_attn = WhisperAttention(self.d_model, self.num_heads,
-                                             self.dtype, name="encoder_attn")
+        self.encoder_attn = WhisperAttention(
+            self.d_model, self.num_heads, self.dtype,
+            v_proj_identity_init=self.cross_v_identity_init,
+            name="encoder_attn")
         self.encoder_attn_layer_norm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
         self.fc1 = nn.Dense(self.ffn_dim, dtype=self.dtype)
         self.fc2 = nn.Dense(self.d_model, dtype=self.dtype)
@@ -199,6 +211,7 @@ class WhisperDecoder(nn.Module):
 
     config: WhisperConfig
     dtype: Any = jnp.float32
+    cross_v_identity_init: bool = False  # make_v_proj_identity
 
     def setup(self):
         cfg = self.config
@@ -208,7 +221,9 @@ class WhisperDecoder(nn.Module):
                                         dtype=self.dtype)
         self.layers = [
             WhisperDecoderLayer(cfg.d_model, cfg.decoder_heads, cfg.ffn_dim,
-                                self.dtype, name=f"layers_{i}")
+                                self.dtype,
+                                cross_v_identity_init=self.cross_v_identity_init,
+                                name=f"layers_{i}")
             for i in range(cfg.decoder_layers)
         ]
         self.layer_norm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
@@ -234,10 +249,10 @@ class WhisperDecoder(nn.Module):
                 self_mask = combine_masks(
                     self_mask, length_mask(input_lengths, t)[:, None, None, :])
         else:
-            # single-step decode: attend to all cached positions <= index
+            # cached decode/prefill: per-query causal over the cache buffer
             tk = caches[0]["k"].shape[1]
-            self_mask = (jnp.arange(tk)[None, None, None, :]
-                         <= (cache_index + t - 1))
+            q_pos = cache_index + jnp.arange(t)[None, None, :, None]
+            self_mask = jnp.arange(tk)[None, None, None, :] <= q_pos
 
         new_caches = []
         for i, layer in enumerate(self.layers):

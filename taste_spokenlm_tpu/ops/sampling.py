@@ -42,14 +42,15 @@ def mask_top_k(logits: jnp.ndarray, k: int) -> jnp.ndarray:
 
 
 def mask_top_p(logits: jnp.ndarray, p: float | jnp.ndarray) -> jnp.ndarray:
-    """Nucleus filtering: keep the smallest set of tokens with cumulative
-    probability >= p (the top-1 token is always kept).  p<=0 => argmax."""
+    """Nucleus filtering with the reference's semantics
+    (modules_taste/sampler.py:60-68): remove every sorted token whose
+    cumulative probability exceeds p — WITHOUT keeping the boundary token —
+    except the top-1 token, which is always kept."""
     sorted_logits = jnp.sort(logits, axis=-1)[..., ::-1]
     probs = jax.nn.softmax(sorted_logits, axis=-1)
     cum = jnp.cumsum(probs, axis=-1)
-    # keep entries whose *previous* cumulative mass is < p
-    keep_sorted = jnp.concatenate(
-        [jnp.ones_like(cum[..., :1], bool), cum[..., :-1] < p], axis=-1)
+    keep_sorted = cum <= p
+    keep_sorted = keep_sorted.at[..., 0].set(True)  # top-1 always kept
     # threshold logit = smallest kept logit
     kth = jnp.min(jnp.where(keep_sorted, sorted_logits, jnp.inf), axis=-1,
                   keepdims=True)

@@ -44,6 +44,9 @@ class TasteEngine:
 
     def _pad_tokens(self, ids, word_ids, bucket):
         import jax.numpy as jnp
+        # truncate overlong requests to the largest bucket
+        ids = list(ids)[:bucket]
+        word_ids = list(word_ids)[:bucket]
         n = len(ids)
         pad = bucket - n
         ids = np.pad(np.asarray(ids, np.int32), (0, pad))

@@ -55,10 +55,11 @@ def state_shardings(mesh: Mesh, state: TrainState) -> TrainState:
 def make_stage1_step(model: TasteForCausalLM, tx,
                      mesh: Optional[Mesh] = None,
                      skip_vq: bool = False,
+                     skip_audio_in_decoder: bool = False,
                      donate: bool = True) -> Callable:
     """Stage-1 speech-autoencoder step (decoder CE + commit loss; VQ EMA
-    updates applied; curriculum via `skip_vq` — the text-only / no-vq phases
-    of run_train_taste.sh)."""
+    updates applied; curriculum: text_only phase sets skip_audio_in_decoder,
+    no-vq phase sets skip_vq — run_train_taste.sh phases)."""
 
     def loss_fn(params, quantizer, batch, rng):
         variables = {"params": params, "quantizer": quantizer}
@@ -67,7 +68,7 @@ def make_stage1_step(model: TasteForCausalLM, tx,
             batch["asr_token_lengths"], batch["asr_word_ids"],
             batch["audio_features"], batch["speech_token_ids"],
             batch["speech_token_lengths"], train=True, dropout_rng=rng,
-            skip_vq=skip_vq,
+            skip_vq=skip_vq, skip_audio_in_decoder=skip_audio_in_decoder,
             method=TasteForCausalLM.forward_speech_autoencoder,
             mutable=["quantizer"])
         metrics = {

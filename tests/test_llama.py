@@ -108,3 +108,27 @@ def test_tied_logits(hf_model):
     assert logits.shape == (1, 4, cfg.vocab_size)
     ref = np.asarray(h) @ np.asarray(params["embed_tokens"]["embedding"]).T
     np.testing.assert_allclose(np.asarray(logits), ref, atol=1e-4)
+
+
+def test_multi_token_cached_prefill_matches_full(hf_model):
+    """Regression: prefilling a >1-token chunk through the KV cache must be
+    causal (a bidirectional prefill corrupts the cache for generation)."""
+    model, cfg = hf_model
+    ids = jnp.asarray(np.random.RandomState(4).randint(0, cfg.vocab_size, (2, 6)))
+    params = convert.llama_params(model.state_dict(), prefix="")
+    lm = LlamaModel(cfg, lora=None)
+    full = lm.apply({"params": params}, ids)["last_hidden"]
+
+    caches = lm.init_cache(2, 10)
+    o = lm.apply({"params": params}, ids, position_offset=0, caches=caches,
+                 cache_index=jnp.int32(0))
+    np.testing.assert_allclose(np.asarray(o["last_hidden"]), np.asarray(full),
+                               atol=3e-4)
+    # and continuing one more token from the cache matches the full forward
+    nxt = jnp.asarray([[7], [9]])
+    full2 = lm.apply({"params": params},
+                     jnp.concatenate([ids, nxt], 1))["last_hidden"][:, -1:]
+    o2 = lm.apply({"params": params}, nxt, position_offset=6,
+                  caches=o["caches"], cache_index=jnp.int32(6))
+    np.testing.assert_allclose(np.asarray(o2["last_hidden"]),
+                               np.asarray(full2), atol=3e-4)

@@ -105,3 +105,18 @@ def test_decoder_kv_cache_decode_matches_full(hf_model):
         outs.append(step_out)
     stepped = jnp.concatenate(outs, axis=1)
     np.testing.assert_allclose(np.asarray(stepped), np.asarray(full), atol=2e-4)
+
+
+def test_decoder_multi_token_cached_prefill_causal(hf_model):
+    """Regression: >1-token cached prefill must equal the uncached forward."""
+    model, cfg = hf_model
+    rng = np.random.RandomState(6)
+    enc = jnp.asarray(rng.randn(1, 96, 64).astype(np.float32))
+    ids = jnp.asarray(rng.randint(0, 500, size=(1, 5)))
+    params = convert.whisper_decoder_params(model.decoder.state_dict())
+    dec = WhisperDecoder(cfg)
+    full, _ = dec.apply({"params": params}, ids, enc)
+    caches = dec.init_cache(1, 8)
+    pre, caches = dec.apply({"params": params}, ids, enc,
+                            caches=caches, cache_index=jnp.int32(0))
+    np.testing.assert_allclose(np.asarray(pre), np.asarray(full), atol=2e-4)
