@@ -30,3 +30,19 @@ from taste_spokenlm_tpu.config import (  # noqa: F401
     FlowConfig,
     HiFTConfig,
 )
+
+
+def __getattr__(name):
+    """Lazy re-exports of the heavyweight model/frontend classes."""
+    lazy = {
+        "TasteForCausalLM": ("taste_spokenlm_tpu.models.taste", "TasteForCausalLM"),
+        "TasteProcessor": ("taste_spokenlm_tpu.frontend.processor", "TasteProcessor"),
+        "VoiceGenerator": ("taste_spokenlm_tpu.models.generator", "VoiceGenerator"),
+        "CompletionPipeline": ("taste_spokenlm_tpu.frontend.api", "CompletionPipeline"),
+        "TaslmForCausalLM": ("taste_spokenlm_tpu.models.taslm", "TaslmForCausalLM"),
+    }
+    if name in lazy:
+        import importlib
+        module, attr = lazy[name]
+        return getattr(importlib.import_module(module), attr)
+    raise AttributeError(name)
