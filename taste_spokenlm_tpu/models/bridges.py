@@ -54,8 +54,48 @@ class SimpleSumFusion(nn.Module):
         return text_embeds + nn.relu(alpha) * audio
 
 
+class AdaptedFFN(nn.Module):
+    """Gated reference mixing block (bridge.py:6-30).
+
+    sigmoid(MLP([based, ref])) gates a linear projection of `ref` added
+    residually onto `based`.
+    """
+
+    based_dim: int
+    num_layers: int = 3
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, based_embeds, ref_embeds):
+        hidden = jnp.concatenate([based_embeds, ref_embeds], axis=-1)
+        for i in range(self.num_layers):
+            hidden = nn.Dense(self.based_dim, dtype=self.dtype,
+                              name=f"mix_layers_{i}")(hidden)
+        gate = nn.sigmoid(hidden)
+        value = nn.Dense(self.based_dim, dtype=self.dtype,
+                         name="value_linear")(ref_embeds)
+        return based_embeds + gate * value
+
+
+class ReferenceMixFusion(nn.Module):
+    """Stacked gated adapted-FFN blocks mixing audio into text (bridge.py:70-88)."""
+
+    llm_dim: int = 2048
+    num_layers: int = 3
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, text_embeds, audio_embeds):
+        hidden = text_embeds
+        for i in range(self.num_layers):
+            hidden = AdaptedFFN(self.llm_dim, dtype=self.dtype,
+                                name=f"layers_{i}")(hidden, audio_embeds)
+        return hidden
+
+
 BRIDGE_FUSION_CLASSES = {
     "weighted_sum": WeightedSumFusion,
+    "reference_mix": ReferenceMixFusion,
     "simple_sum": SimpleSumFusion,
 }
 
@@ -98,6 +138,64 @@ class WeightedLayerExtract(nn.Module):
         b, t, _ = hidden.shape
         flat = nn.Dense(self.k * self.l, name="linear")(hidden)
         return flat.reshape(b, t, self.l, self.k), {}
+
+
+class LinearAllConcatExtract(nn.Module):
+    """Linear over the concat of every hidden state (bridge.py:147-172)."""
+
+    k: int = 512
+    l: int = 4
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, last_hidden, hidden_states=None, cb=None,
+                 train: bool = False, rng=None):
+        hidden = jnp.concatenate(
+            [h.astype(jnp.float32) for h in hidden_states], axis=-1)
+        b, t, _ = hidden.shape
+        flat = nn.Dense(self.k * self.l, name="linear")(hidden)
+        return flat.reshape(b, t, self.l, self.k), {}
+
+
+class ReferenceMixExtract(nn.Module):
+    """Gated adapted-FFN stack reading llm last hidden into the taste
+    embedding space (bridge.py:207-227): base = the 512-d taste/audio
+    embeds, ref = last hidden; output is a continuous embedding (not
+    logits), matching the reference's (ab)use of the logits slot."""
+
+    audio_dim: int = 512
+    num_layers: int = 2
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, last_hidden, hidden_states=None, cb=None,
+                 train: bool = False, rng=None, audio_embeds=None):
+        hidden = audio_embeds
+        for i in range(self.num_layers):
+            hidden = AdaptedFFN(self.audio_dim, dtype=self.dtype,
+                                name=f"layers_{i}")(
+                hidden, last_hidden.astype(hidden.dtype))
+        return hidden, {}
+
+
+class ContinueWeightedLayerExtract(nn.Module):
+    """Weighted-layer hidden -> linear d -> RVQ nearest indices as scaled
+    one-hot logits, no latent reparameterization (bridge.py:230-261)."""
+
+    k: int = 512
+    d: int = 256
+    num_layers: int = 17
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, last_hidden, hidden_states=None, cb: Optional[Codebook] = None,
+                 train: bool = False, rng=None):
+        weights = self.param("weights", nn.initializers.ones, (self.num_layers,))
+        hidden = _layer_weighted_sum(weights, hidden_states)
+        code = nn.Dense(self.d, name="linear")(hidden)
+        indices = codebook_indices_from_code(cb, jax.lax.stop_gradient(code))
+        logits = jax.nn.one_hot(indices, self.k) * 1000.0
+        return logits, {}
 
 
 class _ContinueLatentBase(nn.Module):
@@ -165,7 +263,10 @@ class MultiLinearLastExtract(nn.Module):
 
 BRIDGE_EXTRACT_CLASSES = {
     "linear_last": LinearLastExtract,
+    "linear_all_concat": LinearAllConcatExtract,
+    "reference_mix": ReferenceMixExtract,
     "weighted_layer": WeightedLayerExtract,
+    "continue_weighted_layer": ContinueWeightedLayerExtract,
     "continue_latent_linear_last": ContinueLatentLinearLastExtract,
     "continue_latent_weighted_layer": ContinueLatentWeightedLayerExtract,
     "multi_linear_last": MultiLinearLastExtract,

@@ -78,18 +78,24 @@ class TasteSpokenLM(nn.Module):
         self.fuse_for_bridge_in_llm = BRIDGE_FUSION_CLASSES[cfg.in_llm_module](
             llm_dim=cfg.llama.hidden_size, dtype=self.dtype)
         extract_cls = BRIDGE_EXTRACT_CLASSES[cfg.out_llm_module]
-        kwargs = dict(k=self.taste_k, dtype=self.dtype)
-        if "continue_latent" in cfg.out_llm_module:
-            kwargs.update(d=self.taste_d)
-            if "weighted_layer" in cfg.out_llm_module:
-                kwargs.update(num_layers=cfg.llama.num_hidden_layers + 1)
-        elif cfg.out_llm_module in ("weighted_layer",):
-            kwargs.update(l=self.taste_l,
-                          num_layers=cfg.llama.num_hidden_layers + 1)
+        if cfg.out_llm_module == "reference_mix":
+            kwargs = dict(dtype=self.dtype)
         else:
-            kwargs.update(l=self.taste_l)
-            if cfg.out_llm_module == "multi_linear_last":
+            kwargs = dict(k=self.taste_k, dtype=self.dtype)
+            if "continue_latent" in cfg.out_llm_module:
                 kwargs.update(d=self.taste_d)
+                if "weighted_layer" in cfg.out_llm_module:
+                    kwargs.update(num_layers=cfg.llama.num_hidden_layers + 1)
+            elif cfg.out_llm_module == "continue_weighted_layer":
+                kwargs.update(d=self.taste_d,
+                              num_layers=cfg.llama.num_hidden_layers + 1)
+            elif cfg.out_llm_module == "weighted_layer":
+                kwargs.update(l=self.taste_l,
+                              num_layers=cfg.llama.num_hidden_layers + 1)
+            else:
+                kwargs.update(l=self.taste_l)
+                if cfg.out_llm_module == "multi_linear_last":
+                    kwargs.update(d=self.taste_d)
         self.extract_for_bridge_out_llm = extract_cls(**kwargs)
 
         if cfg.delay > 0:
@@ -99,7 +105,11 @@ class TasteSpokenLM(nn.Module):
             self.pad_audio_unit_embed = self.param(
                 "pad_audio_unit_embed", nn.initializers.zeros, (self.audio_dim,))
 
-        self.do_continue = "continue_" in cfg.out_llm_module
+        # latent heads only: plain `continue_weighted_layer` emits hard
+        # one-hot logits with no (z, mu, logvar), so it takes the CE branch
+        # (the reference keys on 'continue_' and crashes there,
+        # modeling_taste.py:609,977-980)
+        self.do_continue = "continue_latent" in cfg.out_llm_module
         self.do_multihead = "multi_" in cfg.out_llm_module
 
     # ------------------------------------------------------------------
