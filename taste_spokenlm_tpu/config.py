@@ -221,6 +221,8 @@ class EncoderStackConfig(_Base):
     static_chunk_size: int = 1  # 1 => causal LM masking
     use_cnn_module: bool = False
     cnn_module_kernel: int = 15
+    cnn_module_norm: str = "batch_norm"  # batch_norm | layer_norm
+    cnn_causal: bool = False
     macaron_style: bool = False
     activation_type: str = "swish"
     input_size: int = 512

@@ -163,8 +163,57 @@ class PositionwiseFeedForward(nn.Module):
         return nn.Dense(self.d_model, dtype=self.dtype, name="w_2")(h)
 
 
+class ConvolutionModule(nn.Module):
+    """Conformer convolution module (convolution.py:25-145).
+
+    pointwise 1x1 -> GLU -> depthwise (causal = left-pad k-1, else
+    symmetric) -> norm -> act -> pointwise 1x1, with padded positions zeroed
+    on both sides.  Padding is applied to the raw input before the first
+    pointwise conv, matching the reference numerics (its bias leaks into the
+    depthwise window at the edges).
+    """
+
+    channels: int
+    kernel_size: int = 15
+    activation: str = "swish"
+    norm_type: str = "batch_norm"  # batch_norm | layer_norm
+    causal: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, pad_mask=None, train: bool = False):
+        # x: [B, T, C]; pad_mask: bool [B, T] (True = valid frame)
+        if pad_mask is not None:
+            x = jnp.where(pad_mask[..., None], x, 0.0)
+        if self.causal:
+            pad = ((0, 0), (self.kernel_size - 1, 0), (0, 0))
+        else:
+            half = (self.kernel_size - 1) // 2
+            pad = ((0, 0), (half, half), (0, 0))
+        x = jnp.pad(x, pad)
+        x = nn.Conv(2 * self.channels, (1,), padding="VALID",
+                    dtype=self.dtype, name="pointwise_conv1")(x)
+        a, b = jnp.split(x, 2, axis=-1)
+        x = a * nn.sigmoid(b)                                  # GLU
+        x = nn.Conv(self.channels, (self.kernel_size,), padding="VALID",
+                    feature_group_count=self.channels, dtype=self.dtype,
+                    name="depthwise_conv")(x)
+        if self.norm_type == "layer_norm":
+            x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
+        else:
+            x = nn.BatchNorm(use_running_average=not train, epsilon=1e-5,
+                             dtype=self.dtype, name="norm")(x)
+        x = _ACT[self.activation](x)
+        x = nn.Conv(self.channels, (1,), padding="VALID", dtype=self.dtype,
+                    name="pointwise_conv2")(x)
+        if pad_mask is not None:
+            x = jnp.where(pad_mask[..., None], x, 0.0)
+        return x
+
+
 class EncoderLayer(nn.Module):
-    """Pre-LN (MHA -> FFN) layer; `conformer_names=True` uses the conformer
+    """Pre-LN (macaron-FFN? -> MHA -> conv? -> FFN) layer
+    (encoder_layer.py:109-233); `conformer_names=True` uses the conformer
     norm naming (norm_mha/norm_ff), False the transformer naming (norm1/norm2),
     matching the reference state dicts."""
 
@@ -173,6 +222,11 @@ class EncoderLayer(nn.Module):
     ffn_dim: int
     activation: str
     conformer_names: bool = True
+    macaron_style: bool = False
+    use_cnn_module: bool = False
+    cnn_module_kernel: int = 15
+    cnn_module_norm: str = "batch_norm"
+    cnn_causal: bool = False
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -185,12 +239,35 @@ class EncoderLayer(nn.Module):
                                            self.activation, self.dtype,
                                            name="feed_forward")
         self.ffn_norm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=ffn_norm)
+        self.ff_scale = 0.5 if self.macaron_style else 1.0
+        if self.macaron_style:
+            self.ffn_macaron = PositionwiseFeedForward(
+                self.d_model, self.ffn_dim, self.activation, self.dtype,
+                name="feed_forward_macaron")
+            self.macaron_norm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
+                                             name="norm_ff_macaron")
+        if self.use_cnn_module:
+            self.conv_module = ConvolutionModule(
+                self.d_model, self.cnn_module_kernel, self.activation,
+                self.cnn_module_norm, self.cnn_causal, self.dtype,
+                name="conv_module")
+            self.conv_norm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
+                                          name="norm_conv")
+            self.final_norm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
+                                           name="norm_final")
 
-    def __call__(self, x, pos_emb, mask=None, cache=None, cache_index=None):
+    def __call__(self, x, pos_emb, mask=None, cache=None, cache_index=None,
+                 pad_mask=None, train: bool = False):
+        if self.macaron_style:
+            x = x + self.ff_scale * self.ffn_macaron(self.macaron_norm(x))
         h, new_cache = self.attn(self.attn_norm(x), pos_emb, mask=mask,
                                  cache=cache, cache_index=cache_index)
         x = x + h
-        x = x + self.ffn(self.ffn_norm(x))
+        if self.use_cnn_module:
+            x = x + self.conv_module(self.conv_norm(x), pad_mask, train=train)
+        x = x + self.ff_scale * self.ffn(self.ffn_norm(x))
+        if self.use_cnn_module:
+            x = self.final_norm(x)
         return x, new_cache
 
 
@@ -214,11 +291,16 @@ class ConformerEncoder(nn.Module):
         self.embed_norm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
         conformer_names = cfg.input_layer != "linear_legacy"
         act = cfg.activation_type if conformer_names else "relu"
-        layer_cls = nn.remat(EncoderLayer, static_argnums=()) if self.remat \
+        layer_cls = nn.remat(EncoderLayer, static_argnums=(7,)) if self.remat \
             else EncoderLayer
         self.encoders = [
             layer_cls(cfg.output_size, cfg.attention_heads, cfg.linear_units,
-                      act, conformer_names=conformer_names, dtype=self.dtype,
+                      act, conformer_names=conformer_names,
+                      macaron_style=cfg.macaron_style,
+                      use_cnn_module=cfg.use_cnn_module,
+                      cnn_module_kernel=cfg.cnn_module_kernel,
+                      cnn_module_norm=cfg.cnn_module_norm,
+                      cnn_causal=cfg.cnn_causal, dtype=self.dtype,
                       name=f"encoders_{i}")
             for i in range(cfg.num_blocks)
         ]
@@ -233,7 +315,7 @@ class ConformerEncoder(nn.Module):
         return x * jnp.asarray(math.sqrt(cfg.output_size), self.dtype)
 
     def __call__(self, x: jnp.ndarray, lengths: Optional[jnp.ndarray] = None,
-                 causal: Optional[bool] = None):
+                 causal: Optional[bool] = None, train: bool = False):
         """Full-sequence forward.  x: [B, T, input_size] -> [B, T, output_size]."""
         cfg = self.config
         b, t, _ = x.shape
@@ -244,10 +326,13 @@ class ConformerEncoder(nn.Module):
         if causal is None:
             causal = cfg.static_chunk_size > 0
         mask = chunk_causal_mask(t, cfg.static_chunk_size if causal else 0)[None, None]
+        pad_mask = None
         if lengths is not None:
-            mask = jnp.logical_and(mask, length_mask(lengths, t)[:, None, None, :])
+            valid = length_mask(lengths, t)                    # [B, T]
+            mask = jnp.logical_and(mask, valid[:, None, None, :])
+            pad_mask = valid if cfg.use_cnn_module else None
         for layer in self.encoders:
-            x, _ = layer(x, pe, mask=mask)
+            x, _ = layer(x, pe, mask, None, None, pad_mask, train)
         return self.after_norm(x)
 
     # ---------------- incremental decode ----------------
@@ -267,6 +352,11 @@ class ConformerEncoder(nn.Module):
         <= own position; `key_valid` [B, 1, 1, Tk] additionally masks
         invalid (e.g. left-pad) cache slots.
         """
+        # decode caches cover attention KV only; none of the TASTE decode
+        # stacks enables the conv module (every config sets use_cnn_module
+        # False), so streaming CNN caches are out of scope here.
+        assert not self.config.use_cnn_module, \
+            "decode_step does not support use_cnn_module"
         b, s, _ = x.shape
         x = self._embed(x.astype(self.dtype))
         tk = caches[0]["k"].shape[1]

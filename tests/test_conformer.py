@@ -123,3 +123,90 @@ def test_length_mask_blocks_padding():
     y2 = enc.apply(params, x2, jnp.asarray([5]))
     np.testing.assert_allclose(np.asarray(y1[:, :5]), np.asarray(y2[:, :5]),
                                atol=1e-5)
+
+
+def test_conv_module_matches_torch_golden():
+    """ConvolutionModule numerics == the reference torch module
+    (convolution.py:25-145) with copied weights, both causal and not."""
+    import torch
+
+    C, K, B, T = 8, 5, 2, 11
+    rng = np.random.RandomState(0)
+    x_np = rng.randn(B, T, C).astype(np.float32)
+
+    for causal in (False, True):
+        from taste_spokenlm_tpu.models.conformer import ConvolutionModule
+        m = ConvolutionModule(channels=C, kernel_size=K, activation="swish",
+                              norm_type="layer_norm", causal=causal)
+        variables = m.init(jax.random.PRNGKey(0), jnp.asarray(x_np))
+        p = variables["params"]
+
+        # torch reimplementation of the reference forward
+        pw1_w = torch.tensor(np.asarray(p["pointwise_conv1"]["kernel"]))
+        pw1_b = torch.tensor(np.asarray(p["pointwise_conv1"]["bias"]))
+        dw_w = torch.tensor(np.asarray(p["depthwise_conv"]["kernel"]))
+        dw_b = torch.tensor(np.asarray(p["depthwise_conv"]["bias"]))
+        pw2_w = torch.tensor(np.asarray(p["pointwise_conv2"]["kernel"]))
+        pw2_b = torch.tensor(np.asarray(p["pointwise_conv2"]["bias"]))
+        ln_s = torch.tensor(np.asarray(p["norm"]["scale"]))
+        ln_b = torch.tensor(np.asarray(p["norm"]["bias"]))
+
+        xt = torch.tensor(x_np).transpose(1, 2)      # [B, C, T]
+        if causal:
+            xt = torch.nn.functional.pad(xt, (K - 1, 0))
+        else:
+            xt = torch.nn.functional.pad(xt, ((K - 1) // 2, (K - 1) // 2))
+        # pointwise1: flax kernel [1, C, 2C] -> torch conv1d [2C, C, 1]
+        xt = torch.nn.functional.conv1d(
+            xt, pw1_w.permute(2, 1, 0), pw1_b)
+        xt = torch.nn.functional.glu(xt, dim=1)
+        # depthwise: flax kernel [K, 1, C] -> torch [C, 1, K]
+        xt = torch.nn.functional.conv1d(
+            xt, dw_w.permute(2, 1, 0), dw_b, groups=C)
+        xt = xt.transpose(1, 2)
+        xt = torch.nn.functional.layer_norm(xt, (C,), ln_s, ln_b, eps=1e-5)
+        xt = xt * torch.sigmoid(xt)                  # swish
+        xt = torch.nn.functional.conv1d(
+            xt.transpose(1, 2), pw2_w.permute(2, 1, 0), pw2_b).transpose(1, 2)
+
+        out = np.asarray(m.apply(variables, jnp.asarray(x_np)))
+        np.testing.assert_allclose(out, xt.numpy(), rtol=1e-4, atol=1e-5,
+                                   err_msg=f"causal={causal}")
+
+
+def test_conformer_with_cnn_and_macaron():
+    """Full conformer block (macaron + conv module) forward: finite, shaped,
+    and padded positions do not influence valid ones."""
+    cfg = _cfg(use_cnn_module=True, macaron_style=True,
+               cnn_module_norm="layer_norm", cnn_causal=True,
+               static_chunk_size=1)
+    enc = ConformerEncoder(cfg)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 10, 16), jnp.float32)
+    lengths = jnp.asarray([10, 6])
+    variables = enc.init(jax.random.PRNGKey(0), x, lengths)
+    out = enc.apply(variables, x, lengths)
+    assert out.shape == (2, 10, 32)
+    assert np.isfinite(np.asarray(out)).all()
+    # causal conv + causal attention: corrupting the padding tail of row 1
+    # must not change its valid prefix
+    x2 = x.at[1, 6:].set(100.0)
+    out2 = enc.apply(variables, x2, lengths)
+    np.testing.assert_allclose(np.asarray(out[1, :6]), np.asarray(out2[1, :6]),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_conformer_cnn_batch_norm_collection():
+    """batch_norm variant: init creates batch_stats; train=True updates them
+    via mutable, eval stays pure."""
+    cfg = _cfg(use_cnn_module=True, cnn_module_norm="batch_norm")
+    enc = ConformerEncoder(cfg)
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 8, 16), jnp.float32)
+    variables = enc.init(jax.random.PRNGKey(0), x)
+    assert "batch_stats" in variables
+    out, updates = enc.apply(variables, x, train=True, mutable=["batch_stats"])
+    assert np.isfinite(np.asarray(out)).all()
+    leaves = jax.tree_util.tree_leaves(updates["batch_stats"])
+    assert any(np.abs(np.asarray(l)).sum() > 0 for l in leaves)
+    out_eval = enc.apply(variables, x)   # pure eval path
+    assert np.isfinite(np.asarray(out_eval)).all()
