@@ -103,9 +103,9 @@ def _parse_tensor(buf: memoryview) -> Tuple[str, np.ndarray]:
                 p = 0
                 while p < len(val):
                     v, p = _read_varint(val, p)
-                    int64s.append(v)
+                    int64s.append(_s64(v))
             else:
-                int64s.append(val)
+                int64s.append(_s64(val))
     np_dtype = _ONNX_DTYPES.get(dtype, np.float32)
     if raw is not None:
         arr = np.frombuffer(raw, dtype=np_dtype)
@@ -115,7 +115,8 @@ def _parse_tensor(buf: memoryview) -> Tuple[str, np.ndarray]:
         arr = np.asarray(int64s, np.int64)
     else:
         arr = np.zeros(0, np_dtype)
-    return name, arr.reshape(dims) if dims else arr
+    # empty dims with one element = a 0-d scalar tensor per the ONNX spec
+    return name, arr.reshape(dims) if (dims or arr.size == 1) else arr
 
 
 @dataclass
@@ -125,6 +126,11 @@ class OnnxNode:
     inputs: List[str]
     outputs: List[str]
     attributes: Dict[str, Any]
+
+
+def _s64(v: int) -> int:
+    """Sign-correct a varint-decoded int64 (negative axes are common)."""
+    return v - (1 << 64) if v >= (1 << 63) else v
 
 
 def _parse_attribute(buf: memoryview) -> Tuple[str, Any]:
@@ -138,7 +144,7 @@ def _parse_attribute(buf: memoryview) -> Tuple[str, Any]:
         elif fnum == 2:
             out = struct.unpack("<f", val)[0]
         elif fnum == 3:
-            out = val if isinstance(val, int) else val
+            out = _s64(val) if isinstance(val, int) else val
         elif fnum == 4:
             out = bytes(val)
         elif fnum == 7:
@@ -151,9 +157,9 @@ def _parse_attribute(buf: memoryview) -> Tuple[str, Any]:
                 p = 0
                 while p < len(val):
                     v, p = _read_varint(val, p)
-                    ints.append(v)
+                    ints.append(_s64(v))
             else:
-                ints.append(val)
+                ints.append(_s64(val))
         elif fnum == 5 and isinstance(val, memoryview):
             out = ("tensor", _parse_tensor(val)[1])
     if ints:

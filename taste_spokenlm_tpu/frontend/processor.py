@@ -26,6 +26,50 @@ import numpy as np
 from taste_spokenlm_tpu.config import AudioFrontendConfig
 
 
+def speaker_embedder_from_onnx(path_or_bytes) -> Callable:
+    """campplus.onnx / speaker_embed.onnx -> a `speaker_embedder` hook.
+
+    Mirrors the reference session call (processing_taste.py:304-307): one
+    positional input, the [B, T, 80] mean-normalized kaldi fbank; returns the
+    flattened 192-d x-vector.  The graph executes as a jitted JAX function
+    (frontend/onnx_exec.py) instead of onnxruntime's C++ engine.
+    """
+    import jax
+    import jax.numpy as jnp
+    from taste_spokenlm_tpu.frontend.onnx_exec import OnnxJaxFunction
+    fn = jax.jit(OnnxJaxFunction.from_file(path_or_bytes))
+
+    def embed(feats):
+        out = fn(jnp.asarray(feats, jnp.float32))
+        if isinstance(out, list):
+            out = out[0]
+        return np.asarray(out).reshape(-1)
+
+    return embed
+
+
+def s3_tokenizer_from_onnx(path_or_bytes) -> Callable:
+    """speech_tokenizer_v1.onnx -> an `s3_tokenizer` hook.
+
+    Mirrors the reference session call (processing_taste.py:318-323):
+    positional inputs (mel [1, 128, T<=3000], length int32[1]); returns the
+    flat int32 S3 token ids (4096-vocab, 50 Hz).
+    """
+    import jax.numpy as jnp
+    from taste_spokenlm_tpu.frontend.onnx_exec import OnnxJaxFunction
+    fn = OnnxJaxFunction.from_file(path_or_bytes)
+
+    def tokenize(mel, n_valid_frames):
+        feats = np.asarray(mel)[:, :, :int(n_valid_frames)]
+        out = fn(jnp.asarray(feats, jnp.float32),
+                 np.asarray([feats.shape[2]], np.int32))
+        if isinstance(out, list):
+            out = out[0]
+        return np.asarray(out).reshape(-1).astype(np.int32)
+
+    return tokenize
+
+
 def split_words(text: str) -> List[str]:
     """' '-prefixed whitespace words (processing_taste.py:175)."""
     return [" " + w for w in re.split(r"\s", text.strip()) if w]
