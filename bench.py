@@ -23,6 +23,13 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache_tpu")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 
+def _timed(fn):
+    import jax
+    t0 = time.perf_counter()
+    jax.block_until_ready(fn())
+    return time.perf_counter() - t0
+
+
 def main():
     import jax
     try:
@@ -69,16 +76,32 @@ def main():
         batch["speaker_embeds"], batch["asr_token_ids"],
         batch["asr_token_lengths"], batch["asr_word_ids"],
         batch["audio_features"])
-    host_rng = np.random.default_rng(42)
+    # fill weights ON DEVICE: per-unique-shape jitted normal fills (compile
+    # is trivial + persistent-cached) — avoids generating ~4 GB on the host
+    # and shipping it through the remote-TPU tunnel
+    fill_fns = {}
+
+    def fill_fn(shape, dtype, scale):
+        key = (shape, str(dtype), scale)
+        if key not in fill_fns:
+            fill_fns[key] = jax.jit(functools.partial(
+                lambda k, s, d, sc: (jax.random.normal(k, s, jnp.float32)
+                                     * sc).astype(d),
+                s=shape, d=dtype, sc=scale))
+        return fill_fns[key]
+
+    counter = iter(range(10 ** 9))
+    base_key = jax.random.PRNGKey(42)
 
     def make(leaf):
         if not np.issubdtype(leaf.dtype, np.floating):
             return jnp.zeros(leaf.shape, leaf.dtype)
         scale = 0.02 if leaf.ndim >= 2 else 1e-3
-        arr = host_rng.standard_normal(leaf.shape, dtype=np.float32) * scale
-        return jnp.asarray(arr, dtype=leaf.dtype)
+        k = jax.random.fold_in(base_key, next(counter))
+        return fill_fn(tuple(leaf.shape), leaf.dtype, scale)(k)
 
     variables = jax.tree_util.tree_map(make, shapes)
+    jax.block_until_ready(variables)
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(variables["params"]))
     print(f"init done in {time.perf_counter()-t0:.1f}s; params={n_params/1e6:.0f}M",
           file=sys.stderr)
@@ -138,6 +161,27 @@ def main():
         jax.block_until_ready(wav)
         times.append(time.perf_counter() - t0)
     wall = min(times)
+
+    # per-stage steady-state breakdown (stderr only)
+    r1, r2 = jax.random.split(jax.random.PRNGKey(9))
+    enc = jax.block_until_ready(run_tower(variables, batch))
+    gen = jax.block_until_ready(run_decoder(
+        variables, r1, batch["speaker_embeds"], enc["audio_unit_embeds"],
+        enc["audio_unit_lengths"], batch["asr_token_ids"],
+        batch["asr_token_lengths"]))
+    stage_args = {
+        "tower": lambda: run_tower(variables, batch),
+        "decoder": lambda: run_decoder(
+            variables, r1, batch["speaker_embeds"], enc["audio_unit_embeds"],
+            enc["audio_unit_lengths"], batch["asr_token_ids"],
+            batch["asr_token_lengths"]),
+        "vocoder": lambda: run_vocoder(
+            variables, r2, jnp.maximum(gen["speech_token_ids"], 0),
+            gen["speech_token_lengths"], batch["speaker_embeds"]),
+    }
+    for name, fn in stage_args.items():
+        best = min(_timed(fn) for _ in range(2))
+        print(f"stage {name}: {best*1e3:.0f} ms", file=sys.stderr)
 
     # audio seconds actually generated: the decoder runs its full while_loop
     # budget with random weights, so count the fixed decode budget

@@ -23,7 +23,12 @@ def main():
                    help="toy-sized config (tests/dev)")
     p.add_argument("--config", default=None,
                    help="optional config JSON (TasteConfig.to_json format)")
+    p.add_argument("--platform", default=None,
+                   help="cpu | tpu | default (sitecustomize-proof)")
     args = p.parse_args()
+
+    from taste_spokenlm_tpu.utils.platform import force_platform
+    force_platform(args.platform)
 
     import jax
     import numpy as np

@@ -28,6 +28,11 @@ def main():
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--num-batches", type=int, default=2)
     p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--data", nargs="*", default=[],
+                   help="stage-1 arrow shard files (globs ok)")
+    p.add_argument("--asr-tokenizer", default=None)
+    p.add_argument("--llm-tokenizer", default=None)
+    p.add_argument("--token-budget", type=int, default=2048)
     p.add_argument("--platform", default=None,
                    help="cpu | tpu | default (sitecustomize-proof)")
     args = p.parse_args()
@@ -54,36 +59,74 @@ def main():
             batch["llm_token_lengths"], batch["llm_word_ids"],
             batch["audio_features"], method=TasteForCausalLM.extract_vq)
 
-    if not args.synthetic:
-        raise NotImplementedError(
-            "arrow input requires tokenizer assets; wire Stage1Dataset here")
+    if args.synthetic:
+        def batch_iter():
+            rng = np.random.RandomState(jax.process_index())
+            t_tok = 8
+            for _ in range(args.num_batches):
+                yield {
+                    "asr_token_ids": rng.randint(
+                        5, cfg.audio_tower.whisper.vocab_size,
+                        (args.batch_size, t_tok)).astype("i4"),
+                    "asr_token_lengths": np.full((args.batch_size,), t_tok, "i4"),
+                    "asr_word_ids": np.tile(
+                        (np.arange(t_tok) // 2)[None],
+                        (args.batch_size, 1)).astype("i4"),
+                    "llm_token_ids": rng.randint(
+                        2, cfg.spoken_lm.llama.vocab_size,
+                        (args.batch_size, t_tok)).astype("i4"),
+                    "llm_token_lengths": np.full((args.batch_size,), t_tok, "i4"),
+                    "llm_word_ids": np.tile(
+                        (np.arange(t_tok) // 2)[None],
+                        (args.batch_size, 1)).astype("i4"),
+                    "audio_features": rng.randn(
+                        args.batch_size, cfg.audio_tower.whisper.n_mels,
+                        cfg.audio_tower.whisper.max_source_positions * 2
+                    ).astype("f4"),
+                }
+    else:
+        # real data: one epoch over the same arrow shards + bucketing as
+        # stage-1 training (num-batches 0 = the whole shard set)
+        import glob as globlib
+        import itertools
+        from transformers import AutoTokenizer
+        from taste_spokenlm_tpu.data.dataset import Stage1Dataset
+        from taste_spokenlm_tpu.frontend.processor import TasteProcessor
+        if not (args.data and args.asr_tokenizer and args.llm_tokenizer):
+            raise SystemExit("--data/--asr-tokenizer/--llm-tokenizer are "
+                             "required without --synthetic")
+        files = [f for pat in args.data
+                 for f in (sorted(globlib.glob(pat)) or [pat])]
+        proc = TasteProcessor(
+            asr_tokenizer=AutoTokenizer.from_pretrained(args.asr_tokenizer),
+            llm_tokenizer=AutoTokenizer.from_pretrained(args.llm_tokenizer))
+        ds = Stage1Dataset(
+            files, tokenize_fn=lambda text: proc.process_text(text=text),
+            host_index=jax.process_index(), host_count=jax.process_count(),
+            token_budget=args.token_budget)
 
-    rng = np.random.RandomState(jax.process_index())
-    t_tok = 8
+        def batch_iter():
+            yield from itertools.islice(ds.batches(epoch=0),
+                                        args.num_batches or None)
+
     os.makedirs(args.output, exist_ok=True)
     out_rows = []
-    for i in range(args.num_batches):
-        batch = {
-            "asr_token_ids": jnp.asarray(rng.randint(
-                5, cfg.audio_tower.whisper.vocab_size,
-                (args.batch_size, t_tok))),
-            "asr_token_lengths": jnp.full((args.batch_size,), t_tok, jnp.int32),
-            "asr_word_ids": jnp.asarray(
-                np.tile((np.arange(t_tok) // 2)[None], (args.batch_size, 1))),
-            "llm_token_ids": jnp.asarray(rng.randint(
-                2, cfg.spoken_lm.llama.vocab_size, (args.batch_size, t_tok))),
-            "llm_token_lengths": jnp.full((args.batch_size,), t_tok, jnp.int32),
-            "llm_word_ids": jnp.asarray(
-                np.tile((np.arange(t_tok) // 2)[None], (args.batch_size, 1))),
-            "audio_features": jnp.asarray(rng.randn(
-                args.batch_size, cfg.audio_tower.whisper.n_mels,
-                cfg.audio_tower.whisper.max_source_positions * 2), jnp.float32),
-        }
+    for batch in batch_iter():
+        batch = {k: jnp.asarray(v) for k, v in batch.items()
+                 if k in ("asr_token_ids", "asr_token_lengths", "asr_word_ids",
+                          "llm_token_ids", "llm_token_lengths", "llm_word_ids",
+                          "audio_features")}
         asr_idx, llm_idx = extract(variables, batch)
-        for bi in range(args.batch_size):
+        lens = np.asarray(batch["llm_token_lengths"])
+        ids = np.asarray(batch["llm_token_ids"])
+        words = np.asarray(batch["llm_word_ids"])
+        for bi in range(ids.shape[0]):
+            n = int(lens[bi])
             out_rows.append({
                 "asr_indices": np.asarray(asr_idx[bi]).tolist(),
-                "llm_indices": np.asarray(llm_idx[bi]).tolist(),
+                "llm_indices": np.asarray(llm_idx[bi])[:n].tolist(),
+                "llm_token_ids": ids[bi, :n].tolist(),
+                "llm_word_ids": words[bi, :n].tolist(),
             })
 
     shard = os.path.join(args.output, f"part-{jax.process_index()}.jsonl")

@@ -65,6 +65,56 @@ def synthetic_batches(cfg, batch_size, stage):
             }
 
 
+def _expand_globs(patterns):
+    import glob
+    files = []
+    for pat in patterns:
+        hits = sorted(glob.glob(pat))
+        files.extend(hits if hits else [pat])
+    return files
+
+
+def stage1_batches(args):
+    """Endless epochs over the TASTE-Dump arrow shards (host-sharded,
+    bucket-batched) — the real-data stage-1 path."""
+    import jax
+    from transformers import AutoTokenizer
+    from taste_spokenlm_tpu.data.dataset import Stage1Dataset
+    from taste_spokenlm_tpu.frontend.processor import TasteProcessor
+
+    if not args.data:
+        raise SystemExit("--data <arrow shards> is required without --synthetic")
+    if not (args.asr_tokenizer and args.llm_tokenizer):
+        raise SystemExit("--asr-tokenizer/--llm-tokenizer local dirs are "
+                         "required for the real-data path")
+    proc = TasteProcessor(
+        asr_tokenizer=AutoTokenizer.from_pretrained(args.asr_tokenizer),
+        llm_tokenizer=AutoTokenizer.from_pretrained(args.llm_tokenizer))
+    ds = Stage1Dataset(
+        _expand_globs(args.data),
+        tokenize_fn=lambda text: proc.process_text(text=text),
+        host_index=jax.process_index(), host_count=jax.process_count(),
+        seed=args.seed, token_budget=args.token_budget)
+    for epoch in itertools.count():
+        yield from ds.batches(epoch)
+
+
+def stage2_batches(args):
+    """Endless epochs over the extract_vq jsonl shards (stage-2 SLM)."""
+    import jax
+    from taste_spokenlm_tpu.data.dataset import Stage2JsonlDataset
+
+    if not args.stage2_data:
+        raise SystemExit("--stage2-data <jsonl shards> is required for "
+                         "--stage 2 without --synthetic")
+    ds = Stage2JsonlDataset(
+        _expand_globs(args.stage2_data),
+        host_index=jax.process_index(), host_count=jax.process_count(),
+        seed=args.seed, token_budget=args.token_budget)
+    for epoch in itertools.count():
+        yield from ds.batches(epoch)
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--stage", type=int, default=1, choices=[1, 2])
@@ -72,7 +122,22 @@ def main():
                    choices=["text_only", "no_vq", "rvq"])
     p.add_argument("--tiny", action="store_true")
     p.add_argument("--synthetic", action="store_true")
-    p.add_argument("--data", nargs="*", default=[], help="arrow shard files")
+    p.add_argument("--data", nargs="*", default=[],
+                   help="stage-1 arrow shard files (globs ok)")
+    p.add_argument("--stage2-data", nargs="*", default=[],
+                   help="stage-2 jsonl shards from scripts/extract_vq.py")
+    p.add_argument("--asr-tokenizer", default=None,
+                   help="local dir for the whisper tokenizer (AutoTokenizer)")
+    p.add_argument("--llm-tokenizer", default=None,
+                   help="local dir for the llama tokenizer (AutoTokenizer)")
+    p.add_argument("--token-budget", type=int, default=2048,
+                   help="per-batch token budget for bucket batching")
+    p.add_argument("--seed", type=int, default=0)
+    # multihost bootstrap (the torchrun/c10d-rendezvous equivalent)
+    p.add_argument("--coordinator", default=None,
+                   help="host:port of process 0 (multihost training)")
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
     p.add_argument("--init", default=None, help="seed-model dir to warm-start")
     p.add_argument("--workdir", default="./workdir")
     p.add_argument("--steps", type=int, default=10000)
@@ -92,6 +157,14 @@ def main():
     force_platform(args.platform)
 
     import jax
+
+    # multihost: explicit flags, or env-driven (JAX_COORDINATOR_ADDRESS et
+    # al. on cloud TPU pods jax.distributed autodetects with no arguments)
+    if args.coordinator is not None:
+        jax.distributed.initialize(args.coordinator, args.num_processes,
+                                   args.process_id)
+    elif os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        jax.distributed.initialize()
     import numpy as np
     import jax.numpy as jnp
     from taste_spokenlm_tpu.config import TasteConfig
@@ -106,12 +179,12 @@ def main():
     mesh = mesh_lib.make_mesh(data=args.data_parallel,
                               model=args.model_parallel)
 
-    batches = synthetic_batches(cfg, args.batch_size, args.stage)
-    if not args.synthetic:
-        from taste_spokenlm_tpu.data.dataset import Stage1Dataset
-        raise NotImplementedError(
-            "arrow-data path requires tokenizer assets; use --synthetic for "
-            "smoke runs, or wire Stage1Dataset with your tokenizers here")
+    if args.synthetic:
+        batches = synthetic_batches(cfg, args.batch_size, args.stage)
+    elif args.stage == 1:
+        batches = stage1_batches(args)
+    else:
+        batches = stage2_batches(args)
 
     first = next(batches)
     if args.init:

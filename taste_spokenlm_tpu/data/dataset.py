@@ -205,3 +205,71 @@ class Stage1Dataset:
                     yield ex
         for bucket, group in self.batcher(gen()):
             yield collate(group, bucket)
+
+
+class Stage2JsonlDataset:
+    """Streams stage-2 SLM batches from the VQ-extraction jsonl shards
+    (scripts/extract_vq.py output; the reference equivalent is the HF
+    dataset written by extract_vq_for_stage2_training.py:17-185).
+
+    Row schema: {"llm_indices": [T, L], "llm_token_ids": [T],
+    "llm_word_ids": [T]}.  Rows are bucketed by llm length to static shapes;
+    llm_indices pad with IGNORE (-1) so the delay machinery treats padding
+    as no-taste positions.
+    """
+
+    def __init__(self, files: Sequence[str], host_index: int = 0,
+                 host_count: int = 1, seed: int = 0,
+                 llm_buckets: Sequence[int] = (48, 96, 144, 192),
+                 token_budget: int = 2048):
+        self.files = shard_files(files, host_index, host_count)
+        self.seed = seed
+        self.llm_buckets = tuple(sorted(llm_buckets))
+        self.batch_sizes = [max(1, token_budget // n)
+                            for n in self.llm_buckets]
+        self.n_dropped = 0
+
+    def _iter_rows(self, epoch: int) -> Iterator[Dict]:
+        import json
+        rng = np.random.RandomState(self.seed + epoch)
+        files = list(self.files)
+        rng.shuffle(files)
+        for f in files:
+            with open(f) as fh:
+                rows = [json.loads(line) for line in fh if line.strip()]
+            for i in rng.permutation(len(rows)):
+                yield rows[int(i)]
+
+    def batches(self, epoch: int = 0) -> Iterator[Dict[str, np.ndarray]]:
+        pending: List[List[Dict]] = [[] for _ in self.llm_buckets]
+        for row in self._iter_rows(epoch):
+            t = len(row["llm_token_ids"])
+            slot = next((i for i, n in enumerate(self.llm_buckets) if t <= n),
+                        None)
+            if slot is None:
+                self.n_dropped += 1
+                continue
+            pending[slot].append(row)
+            if len(pending[slot]) >= self.batch_sizes[slot]:
+                yield self._collate(pending[slot], self.llm_buckets[slot])
+                pending[slot] = []
+        for slot, group in enumerate(pending):
+            if group:
+                yield self._collate(group, self.llm_buckets[slot])
+
+    @staticmethod
+    def _collate(rows: List[Dict], n: int) -> Dict[str, np.ndarray]:
+        out = {
+            "llm_token_ids": np.stack([
+                _pad_to(np.asarray(r["llm_token_ids"], np.int32), n)
+                for r in rows]),
+            "llm_word_ids": np.stack([
+                _pad_to(np.asarray(r["llm_word_ids"], np.int32), n)
+                for r in rows]),
+            "llm_token_lengths": np.asarray(
+                [len(r["llm_token_ids"]) for r in rows], np.int32),
+            "llm_indices": np.stack([
+                _pad_to(np.asarray(r["llm_indices"], np.int32), n, value=-1)
+                for r in rows]),
+        }
+        return out

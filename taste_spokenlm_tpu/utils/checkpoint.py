@@ -61,8 +61,15 @@ class CheckpointManager:
 
 
 def save_params(path: str, params: Any):
-    """One-shot params save (for converted pretrained weights)."""
-    ocp.StandardCheckpointer().save(os.path.abspath(path), params, force=True)
+    """One-shot params save (for converted pretrained weights).
+
+    StandardCheckpointer is async in recent orbax; wait + close so the save
+    is durable before the caller (often a short-lived CLI) exits.
+    """
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.abspath(path), params, force=True)
+    ckptr.wait_until_finished()
+    ckptr.close()
 
 
 def load_params(path: str, template: Optional[Any] = None) -> Any:

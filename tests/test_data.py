@@ -64,3 +64,42 @@ def test_collate_pads_with_zeros():
     assert (batch["asr_token_ids"][0, 20:] == 0).all()
     assert batch["asr_token_lengths"][0] == 20
     assert (batch["speech_token_ids"][0, 100:] == 0).all()
+
+
+def test_stage2_jsonl_dataset(tmp_path):
+    """Stage-2 jsonl shards -> bucketed static batches with IGNORE padding."""
+    import json
+    from taste_spokenlm_tpu.data.dataset import Stage2JsonlDataset
+
+    rng = np.random.RandomState(0)
+    rows = []
+    for t in (5, 7, 40, 60, 100, 300):   # last one overlong -> dropped
+        rows.append({
+            "llm_indices": rng.randint(0, 32, (t, 4)).tolist(),
+            "llm_token_ids": rng.randint(1, 100, (t,)).tolist(),
+            "llm_word_ids": (np.arange(t) // 2).tolist(),
+        })
+    f = tmp_path / "part-0.jsonl"
+    f.write_text("\n".join(json.dumps(r) for r in rows))
+
+    ds = Stage2JsonlDataset([str(f)], llm_buckets=(8, 48, 128),
+                            token_budget=128)
+    batches = list(ds.batches(epoch=0))
+    assert ds.n_dropped == 1                      # the 300-token row
+    total = sum(b["llm_token_ids"].shape[0] for b in batches)
+    assert total == 5
+    for b in batches:
+        t = b["llm_token_ids"].shape[1]
+        assert t in (8, 48, 128)
+        assert b["llm_indices"].shape == (b["llm_token_ids"].shape[0], t, 4)
+        for i, n in enumerate(b["llm_token_lengths"]):
+            assert (b["llm_indices"][i, n:] == -1).all()   # IGNORE padding
+            assert (b["llm_token_ids"][i, n:] == 0).all()
+
+    # host sharding: two hosts split the shard files disjointly
+    f2 = tmp_path / "part-1.jsonl"
+    f2.write_text(f.read_text())
+    d0 = Stage2JsonlDataset([str(f), str(f2)], host_index=0, host_count=2)
+    d1 = Stage2JsonlDataset([str(f), str(f2)], host_index=1, host_count=2)
+    assert set(d0.files).isdisjoint(d1.files)
+    assert set(d0.files) | set(d1.files) == {str(f), str(f2)}
