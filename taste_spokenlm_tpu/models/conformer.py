@@ -287,8 +287,40 @@ class ConformerEncoder(nn.Module):
 
     def setup(self):
         cfg = self.config
-        self.embed_linear = nn.Dense(cfg.output_size, dtype=self.dtype)
-        self.embed_norm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
+        if cfg.input_layer in ("linear", "linear_legacy"):
+            self.embed_linear = nn.Dense(cfg.output_size, dtype=self.dtype)
+            self.embed_norm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
+        elif cfg.input_layer == "conv1d2":
+            # subsampling.py:116-170 (whisper-style 1-D stride-2 stem)
+            self.sub_conv_0 = nn.Conv(cfg.output_size, (3,), padding=1,
+                                      dtype=self.dtype, name="conv_0")
+            self.sub_conv_2 = nn.Conv(cfg.output_size, (3,), strides=(2,),
+                                      padding=1, dtype=self.dtype,
+                                      name="conv_2")
+        elif cfg.input_layer in ("conv2d", "conv2d4", "conv2d6", "conv2d8"):
+            # subsampling.py:173-337: stride-2 (then 3/2/2) VALID 2-D stems
+            stride2 = {"conv2d": 2, "conv2d4": 2, "conv2d6": 3,
+                       "conv2d8": 2}[cfg.input_layer]
+            self.sub_conv_0 = nn.Conv(cfg.output_size, (3, 3), strides=(2, 2),
+                                      padding="VALID", dtype=self.dtype,
+                                      name="conv_0")
+            k2 = 5 if cfg.input_layer == "conv2d6" else 3
+            self.sub_conv_2 = nn.Conv(cfg.output_size, (k2, k2),
+                                      strides=(stride2, stride2),
+                                      padding="VALID", dtype=self.dtype,
+                                      name="conv_2")
+            if cfg.input_layer == "conv2d8":
+                self.sub_conv_4 = nn.Conv(cfg.output_size, (3, 3),
+                                          strides=(2, 2), padding="VALID",
+                                          dtype=self.dtype, name="conv_4")
+            # torch names: Conv2dSubsampling4 uses out.0, the 6/8 variants
+            # use `linear` (subsampling.py:196,253,305)
+            out_name = "out_0" if cfg.input_layer in ("conv2d", "conv2d4") \
+                else "linear"
+            self.sub_out = nn.Dense(cfg.output_size, dtype=self.dtype,
+                                    name=out_name)
+        else:
+            raise ValueError(f"unknown input_layer {cfg.input_layer!r}")
         conformer_names = cfg.input_layer != "linear_legacy"
         act = cfg.activation_type if conformer_names else "relu"
         layer_cls = nn.remat(EncoderLayer, static_argnums=(7,)) if self.remat \
@@ -309,17 +341,62 @@ class ConformerEncoder(nn.Module):
 
     def _embed(self, x):
         cfg = self.config
-        x = self.embed_norm(self.embed_linear(x))
-        if cfg.input_layer == "linear_legacy":
-            x = nn.relu(x)
+        if cfg.input_layer in ("linear", "linear_legacy"):
+            x = self.embed_norm(self.embed_linear(x))
+            if cfg.input_layer == "linear_legacy":
+                x = nn.relu(x)
+        elif cfg.input_layer == "conv1d2":
+            x = nn.gelu(self.sub_conv_0(x), approximate=False)
+            x = nn.gelu(self.sub_conv_2(x), approximate=False)
+        else:  # conv2d stems: [B, T, F] -> [B, T', F', C] -> Dense
+            x = x[..., None]                                   # channel last
+            x = nn.relu(self.sub_conv_0(x))
+            x = nn.relu(self.sub_conv_2(x))
+            if cfg.input_layer == "conv2d8":
+                x = nn.relu(self.sub_conv_4(x))
+            b, t, f, c = x.shape
+            if f == 0:
+                raise ValueError(
+                    f"input_size={cfg.input_size} is too small for "
+                    f"{cfg.input_layer!r}: the VALID conv stack consumed the "
+                    f"whole feature axis")
+            # torch flattens (c, f) as c*f with c-major (view(b, t, c*f)
+            # after [b, c, t, f] -> [b, t, c, f]); match that order
+            x = self.sub_out(x.transpose(0, 1, 3, 2).reshape(b, t, c * f))
         return x * jnp.asarray(math.sqrt(cfg.output_size), self.dtype)
+
+    def subsampled_length(self, t_in: int) -> int:
+        """Output frame count of the input layer for a t_in-frame input."""
+        il = self.config.input_layer
+        if il in ("linear", "linear_legacy"):
+            return t_in
+        if il == "conv1d2":
+            return (t_in + 1) // 2     # conv1d stride 2, padding 1
+        t = (t_in - 1) // 2            # 3x3 stride-2 VALID
+        if il in ("conv2d", "conv2d4"):
+            return (t - 1) // 2
+        if il == "conv2d6":
+            return (t - 4) // 3        # 5x5 stride-3 VALID
+        return ((t - 1) // 2 - 1) // 2  # conv2d8
+
+    def _subsample_lengths(self, lengths, t_in: int, t_out: int):
+        """Valid-length mapping, matching the reference's mask slicing
+        (subsampling.py:170,227,279,335)."""
+        il = self.config.input_layer
+        if il in ("linear", "linear_legacy"):
+            return lengths
+        p0, step = {"conv1d2": ((t_in + 1) % 2, 2),
+                    "conv2d": (6, 4), "conv2d4": (6, 4),
+                    "conv2d6": (10, 6), "conv2d8": (14, 8)}[il]
+        return jnp.clip((lengths - p0 + step - 1) // step, 0, t_out)
 
     def __call__(self, x: jnp.ndarray, lengths: Optional[jnp.ndarray] = None,
                  causal: Optional[bool] = None, train: bool = False):
         """Full-sequence forward.  x: [B, T, input_size] -> [B, T, output_size]."""
         cfg = self.config
-        b, t, _ = x.shape
+        t_in = x.shape[1]
         x = self._embed(x.astype(self.dtype))
+        t = x.shape[1]
         # pos table slice for rel in [T-1, -(T-1)] -> 2T-1 entries centered
         pe = jax.lax.dynamic_slice_in_dim(
             self.pe_table, self.max_len - t, 2 * t - 1, axis=0)
@@ -328,6 +405,7 @@ class ConformerEncoder(nn.Module):
         mask = chunk_causal_mask(t, cfg.static_chunk_size if causal else 0)[None, None]
         pad_mask = None
         if lengths is not None:
+            lengths = self._subsample_lengths(lengths, t_in, t)
             valid = length_mask(lengths, t)                    # [B, T]
             mask = jnp.logical_and(mask, valid[:, None, None, :])
             pad_mask = valid if cfg.use_cnn_module else None
@@ -357,6 +435,8 @@ class ConformerEncoder(nn.Module):
         # False), so streaming CNN caches are out of scope here.
         assert not self.config.use_cnn_module, \
             "decode_step does not support use_cnn_module"
+        assert self.config.input_layer in ("linear", "linear_legacy"), \
+            "decode_step needs a non-subsampling input layer"
         b, s, _ = x.shape
         x = self._embed(x.astype(self.dtype))
         tk = caches[0]["k"].shape[1]

@@ -210,3 +210,101 @@ def test_conformer_cnn_batch_norm_collection():
     assert any(np.abs(np.asarray(l)).sum() > 0 for l in leaves)
     out_eval = enc.apply(variables, x)   # pure eval path
     assert np.isfinite(np.asarray(out_eval)).all()
+
+
+def test_conv1d2_subsampling_matches_torch():
+    """conv1d2 stem (subsampling.py:116-170): conv3/p1 -> GELU -> conv3/s2/p1
+    -> GELU, golden vs torch with copied weights."""
+    import torch
+    from taste_spokenlm_tpu.models.conformer import ConformerEncoder
+
+    cfg = _cfg(input_layer="conv1d2", input_size=12, output_size=32)
+    enc = ConformerEncoder(cfg)
+    rng = np.random.RandomState(0)
+    x = rng.randn(2, 21, 12).astype(np.float32)
+    variables = enc.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    p = variables["params"]
+
+    sub = enc.bind(variables)
+    got = np.asarray(sub._embed(jnp.asarray(x)))
+
+    c0w = torch.tensor(np.asarray(p["conv_0"]["kernel"]))  # [3, 12, 32]
+    c0b = torch.tensor(np.asarray(p["conv_0"]["bias"]))
+    c2w = torch.tensor(np.asarray(p["conv_2"]["kernel"]))
+    c2b = torch.tensor(np.asarray(p["conv_2"]["bias"]))
+    xt = torch.tensor(x).transpose(1, 2)
+    xt = torch.nn.functional.gelu(
+        torch.nn.functional.conv1d(xt, c0w.permute(2, 1, 0), c0b, padding=1))
+    xt = torch.nn.functional.gelu(
+        torch.nn.functional.conv1d(xt, c2w.permute(2, 1, 0), c2b, stride=2,
+                                   padding=1))
+    want = xt.transpose(1, 2).numpy() * np.sqrt(32, dtype=np.float32)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+    assert got.shape[1] == enc.subsampled_length(21) == 11
+
+
+def test_conv2d4_subsampling_matches_torch():
+    """conv2d stem (Conv2dSubsampling4, subsampling.py:173-227) golden vs
+    torch, incl. the c-major (c*f) flatten order."""
+    import torch
+    from taste_spokenlm_tpu.models.conformer import ConformerEncoder
+
+    cfg = _cfg(input_layer="conv2d", input_size=11, output_size=16)
+    enc = ConformerEncoder(cfg)
+    rng = np.random.RandomState(1)
+    x = rng.randn(2, 30, 11).astype(np.float32)
+    variables = enc.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    p = variables["params"]
+    got = np.asarray(enc.bind(variables)._embed(jnp.asarray(x)))
+
+    c0w = torch.tensor(np.asarray(p["conv_0"]["kernel"]))  # [3,3,1,16]
+    c2w = torch.tensor(np.asarray(p["conv_2"]["kernel"]))  # [3,3,16,16]
+    ow = torch.tensor(np.asarray(p["out_0"]["kernel"]))
+    ob = torch.tensor(np.asarray(p["out_0"]["bias"]))
+    xt = torch.tensor(x).unsqueeze(1)                       # [b,1,t,f]
+    xt = torch.relu(torch.nn.functional.conv2d(
+        xt, c0w.permute(3, 2, 0, 1),
+        torch.tensor(np.asarray(p["conv_0"]["bias"])), stride=2))
+    xt = torch.relu(torch.nn.functional.conv2d(
+        xt, c2w.permute(3, 2, 0, 1),
+        torch.tensor(np.asarray(p["conv_2"]["bias"])), stride=2))
+    b, c, t, f = xt.shape
+    flat = xt.transpose(1, 2).contiguous().view(b, t, c * f)
+    want = (flat @ ow + ob).numpy() * np.sqrt(16, dtype=np.float32)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+    assert got.shape[1] == enc.subsampled_length(30) == t
+
+
+def test_subsampling_length_mapping_matches_reference_mask():
+    """_subsample_lengths == the reference's x_mask slicing arithmetic."""
+    from taste_spokenlm_tpu.models.conformer import ConformerEncoder
+
+    for il, slicer in [
+        ("conv1d2", lambda m, t: m[(t + 1) % 2::2]),
+        ("conv2d", lambda m, t: m[2::2][2::2]),
+        ("conv2d6", lambda m, t: m[2::2][4::3]),
+        ("conv2d8", lambda m, t: m[2::2][2::2][2::2]),
+    ]:
+        cfg = _cfg(input_layer=il, input_size=11, output_size=16)
+        enc = ConformerEncoder(cfg)
+        for t in (20, 31, 47):
+            t_out = enc.subsampled_length(t)
+            for n in (3, t // 2, t):
+                mask = np.arange(t) < n
+                want = int(slicer(mask, t)[:t_out].sum())
+                got = int(np.asarray(enc._subsample_lengths(
+                    jnp.asarray([n]), t, t_out))[0])
+                assert got == want, (il, t, n, got, want)
+
+
+def test_conformer_forward_with_conv2d_stem():
+    cfg = _cfg(input_layer="conv2d", input_size=11, output_size=32,
+               static_chunk_size=0)
+    from taste_spokenlm_tpu.models.conformer import ConformerEncoder
+    enc = ConformerEncoder(cfg)
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 40, 11), jnp.float32)
+    lengths = jnp.asarray([40, 25])
+    variables = enc.init(jax.random.PRNGKey(0), x, lengths)
+    out = enc.apply(variables, x, lengths)
+    assert out.shape == (2, enc.subsampled_length(40), 32)
+    assert np.isfinite(np.asarray(out)).all()
