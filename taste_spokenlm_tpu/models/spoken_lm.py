@@ -102,8 +102,20 @@ class TasteSpokenLM(nn.Module):
             self.pad_text_unit_embed = self.param(
                 "pad_text_unit_embed", nn.initializers.zeros,
                 (cfg.llama.hidden_size,))
-            self.pad_audio_unit_embed = self.param(
-                "pad_audio_unit_embed", nn.initializers.zeros, (self.audio_dim,))
+        # the audio pad embed also fills pre-first-valid rows in fill_forward
+        self.pad_audio_unit_embed = self.param(
+            "pad_audio_unit_embed", nn.initializers.zeros, (self.audio_dim,))
+        mode = cfg.audio_embed_conv_mode
+        if mode in ("pad", "embed_a0_only", "get_codes_from_indices"):
+            self.empty_audio_unit_embed = self.param(
+                "empty_audio_unit_embed", nn.initializers.zeros,
+                (self.audio_dim,))
+        if mode == "embed_a0_only":
+            self.a0_embedding = nn.Embed(self.taste_k, self.audio_dim,
+                                         dtype=self.dtype, name="a0_embedding")
+        if mode == "get_codes_from_indices":
+            self.code_linear = nn.Dense(self.audio_dim, dtype=self.dtype,
+                                        name="code_linear")
 
         # latent heads only: plain `continue_weighted_layer` emits hard
         # one-hot logits with no (z, mu, logvar), so it takes the CE branch
@@ -124,7 +136,22 @@ class TasteSpokenLM(nn.Module):
             has_valid = filled[..., 0] >= 0
             return jnp.where(has_valid[..., None], emb,
                              self.pad_audio_unit_embed[None, None, :])
-        raise NotImplementedError(mode)
+        valid = jnp.all(llm_indices >= 0, axis=-1)        # [B, T]
+        zeroed = jnp.maximum(llm_indices, 0)
+        if mode == "pad":
+            emb = codebook_output_from_indices(cb, zeroed)
+        elif mode == "embed_a0_only":
+            valid = llm_indices[..., 0] >= 0
+            emb = self.a0_embedding(jnp.maximum(llm_indices[..., 0], 0))
+        elif mode == "get_codes_from_indices":
+            # sum the per-level codebook-space codes, then a learned
+            # projection (modeling_taste.py:700-706)
+            code = codebook_code_from_indices(cb, zeroed)
+            emb = self.code_linear(code.astype(self.dtype))
+        else:
+            raise NotImplementedError(mode)
+        return jnp.where(valid[..., None], emb,
+                         self.empty_audio_unit_embed[None, None, :])
 
     # ------------------------------------------------------------------
     # batched word-delay construction (modeling_taste.py:715-857)
@@ -142,10 +169,54 @@ class TasteSpokenLM(nn.Module):
         taste_labels [B, 1+T+D, L], delayed_audio_embeds [B, T+D, Adim])."""
         cfg = self.config
         d = cfg.delay
-        assert d > 0 and cfg.delay_level == "word", "word delay only (reference default)"
         b, t = llm_token_ids.shape
         l = llm_indices.shape[-1]
         embed_tokens = self.language_model.embed_tokens
+
+        if d == 0:
+            # no delay (modeling_taste.py:722-738): inputs = sos + fused
+            # (tokens[:-1], taste[:-1]); labels = the unshifted indices
+            text_emb = embed_tokens(llm_token_ids[:, :-1]).astype(self.dtype)
+            audio_emb = self.encode_audio(llm_indices[:, :-1], cb)
+            fused = self.fuse_for_bridge_in_llm(text_emb,
+                                                audio_emb.astype(self.dtype))
+            sos = embed_tokens(jnp.full((b, 1), cfg.sos_id)).astype(self.dtype)
+            inputs_embeds = jnp.concatenate([sos, fused], axis=1)   # [B, T]
+            valid_t = length_mask(llm_token_lengths, t)
+            taste_labels = jnp.where(valid_t[:, :, None],
+                                     llm_indices.astype(jnp.int32), IGNORE_ID)
+            return inputs_embeds, llm_token_lengths, taste_labels, audio_emb
+
+        if cfg.delay_level == "token":
+            # token delay (modeling_taste.py:740-748): text gets d pad rows
+            # appended, audio gets d pad rows prepended; labels are the
+            # indices shifted right by d
+            text_emb = embed_tokens(llm_token_ids).astype(self.dtype)
+            pad_text = jnp.tile(
+                self.pad_text_unit_embed[None, None, :].astype(self.dtype),
+                (b, d, 1))
+            text_stream, _ = ragged_concat(
+                [(text_emb, llm_token_lengths), (pad_text, None)], t + d)
+            audio_emb = self.encode_audio(llm_indices, cb)
+            pad_audio = jnp.tile(
+                self.pad_audio_unit_embed[None, None, :].astype(audio_emb.dtype),
+                (b, d, 1))
+            audio_stream, _ = ragged_concat(
+                [(pad_audio, None), (audio_emb, llm_token_lengths)], t + d)
+            fused = self.fuse_for_bridge_in_llm(text_stream,
+                                                audio_stream.astype(self.dtype))
+            sos = embed_tokens(jnp.full((b, 1), cfg.sos_id)).astype(self.dtype)
+            inputs_embeds = jnp.concatenate([sos, fused], axis=1)
+            output_lengths = llm_token_lengths + d + 1
+            ign_d = jnp.full((b, d, l), IGNORE_ID, jnp.int32)
+            ign_1 = jnp.full((b, 1, l), IGNORE_ID, jnp.int32)
+            taste_labels, _ = ragged_concat(
+                [(ign_d, None), (llm_indices.astype(jnp.int32),
+                                 llm_token_lengths), (ign_1, None)],
+                1 + t + d, pad_value=IGNORE_ID)
+            return inputs_embeds, output_lengths, taste_labels, audio_stream
+
+        assert cfg.delay_level == "word", cfg.delay_level
 
         ws = word_start_mask(llm_word_ids, llm_token_lengths)   # [B, T]
         start_pos, word_count = word_start_positions(llm_word_ids,

@@ -151,3 +151,72 @@ def test_generate_deterministic(setup):
                         "audio", 32, method=TasteSpokenLM.generate)
         outs.append(np.asarray(o["llm_token_ids"]))
     np.testing.assert_array_equal(outs[0], outs[1])
+
+
+@pytest.mark.parametrize("mode", ["pad", "embed_a0_only",
+                                  "get_codes_from_indices"])
+def test_audio_embed_conv_modes(mode):
+    """All 4 encode_audio modes (modeling_taste.py:671-713) produce finite
+    embeds and use the empty-embed at invalid positions."""
+    import dataclasses
+    cfg = dataclasses.replace(SpokenLMConfig.tiny(),
+                              audio_embed_conv_mode=mode)
+    model = TasteSpokenLM(cfg, audio_dim=AUDIO_DIM, taste_k=K, taste_d=D,
+                          taste_l=L)
+    cb = _codebook()
+    rng = np.random.RandomState(0)
+    b, t = 2, 6
+    ids = jnp.asarray(rng.randint(0, cfg.llama.vocab_size, (b, t)))
+    word_ids = jnp.asarray([[0, 0, 1, 2, 2, 3], [0, 1, 1, 2, 0, 0]])
+    lens = jnp.asarray([6, 4])
+    indices = jnp.asarray(rng.randint(0, K, (b, t, L)))
+    indices = indices.at[0, 2].set(-1)   # one invalid row
+    variables = model.init(jax.random.PRNGKey(0), cb, indices, ids, lens,
+                           word_ids)
+    out = model.apply(variables, cb, indices, ids, lens, word_ids)
+    assert np.isfinite(float(out["loss"]))
+    # invalid rows map to the (zero-init) empty embed
+    emb = model.apply(variables, indices, cb,
+                      method=TasteSpokenLM.encode_audio)
+    np.testing.assert_allclose(np.asarray(emb[0, 2]), 0.0, atol=1e-6)
+    assert np.abs(np.asarray(emb[0, 1])).sum() > 0
+
+
+@pytest.mark.parametrize("delay,level", [(0, "word"), (2, "token")])
+def test_delay_variants(delay, level):
+    """delay=0 and token-level delay (modeling_taste.py:722-748)."""
+    import dataclasses
+    cfg = dataclasses.replace(SpokenLMConfig.tiny(), delay=delay,
+                              delay_level=level)
+    model = TasteSpokenLM(cfg, audio_dim=AUDIO_DIM, taste_k=K, taste_d=D,
+                          taste_l=L)
+    cb = _codebook()
+    rng = np.random.RandomState(0)
+    b, t = 2, 6
+    ids = jnp.asarray(rng.randint(0, cfg.llama.vocab_size, (b, t)))
+    word_ids = jnp.asarray([[0, 0, 1, 2, 2, 3], [0, 1, 1, 2, 0, 0]])
+    lens = jnp.asarray([6, 4])
+    indices = jnp.asarray(rng.randint(0, K, (b, t, L)))
+    variables = model.init(jax.random.PRNGKey(0), cb, indices, ids, lens,
+                           word_ids)
+    inputs_embeds, out_lens, taste_labels, _ = model.apply(
+        variables, cb, indices, ids, lens, word_ids,
+        method=TasteSpokenLM.prepare_conditional_embeds)
+    lab = np.asarray(taste_labels)
+    if delay == 0:
+        assert inputs_embeds.shape[1] == t
+        assert np.asarray(out_lens).tolist() == [6, 4]
+        np.testing.assert_array_equal(lab[0, :6], np.asarray(indices)[0, :6])
+        assert (lab[1, 4:] == IGNORE_ID).all()
+    else:
+        assert inputs_embeds.shape[1] == 1 + t + delay
+        assert np.asarray(out_lens).tolist() == [6 + delay + 1, 4 + delay + 1]
+        # labels: d IGNORE rows, then the unshifted indices per row
+        assert (lab[:, :delay] == IGNORE_ID).all()
+        np.testing.assert_array_equal(lab[0, delay:delay + 6],
+                                      np.asarray(indices)[0])
+        np.testing.assert_array_equal(lab[1, delay:delay + 4],
+                                      np.asarray(indices)[1, :4])
+        assert (lab[1, delay + 4:] == IGNORE_ID).all()
+    out = model.apply(variables, cb, indices, ids, lens, word_ids)
+    assert np.isfinite(float(out["loss"]))
