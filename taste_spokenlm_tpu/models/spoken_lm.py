@@ -370,8 +370,15 @@ class TasteSpokenLM(nn.Module):
         llm_word_ids: Optional[jnp.ndarray] = None,
         conditional_mode: str = "audio",
         max_steps: int = 256,
+        instruct_prefix_ids: Optional[jnp.ndarray] = None,   # [P]
+        instruct_suffix_ids: Optional[jnp.ndarray] = None,   # [S]
     ) -> Dict[str, jnp.ndarray]:
         """Single-sequence joint decode with KV cache.
+
+        Modes (modeling_taste.py:1071-1107): 'zero' (sos only), 'text'
+        (text-token prefix), 'audio' (fused text+taste prefix with pending
+        audio embeds), 'instruct' (audio prefix wrapped in instruct
+        prefix/suffix tokens; pair with `SamplerConfig.stop_id`).
 
         Returns generated llm token ids [max_steps], taste indices
         [max_steps, L] (IGNORE at non-word-start), word ids [max_steps], and
@@ -380,7 +387,7 @@ class TasteSpokenLM(nn.Module):
         cfg = self.config
         embed_tokens = self.language_model.embed_tokens
         d = cfg.delay
-        t = llm_token_ids.shape[1]
+        t = llm_token_ids.shape[1] if llm_token_ids is not None else 0
 
         # ---- build the conditional prefix ----
         if conditional_mode == "audio":
@@ -399,6 +406,30 @@ class TasteSpokenLM(nn.Module):
             pending = jnp.zeros((t + d, self.audio_dim), self.dtype)
             pending_start = jnp.int32(0)
             prefix_len = llm_token_lengths[0]
+        elif conditional_mode == "zero":
+            prefix_embeds = embed_tokens(
+                jnp.asarray([cfg.sos_id])).astype(self.dtype)      # [1, H]
+            pending = jnp.zeros((1 + d, self.audio_dim), self.dtype)
+            pending_start = jnp.int32(0)
+            prefix_len = jnp.int32(1)
+        elif conditional_mode == "instruct":
+            # [instruct prefix | fused audio+text (sans sos) | suffix]
+            # (modeling_taste.py:1089-1107); no pending audio, has_prefix
+            # False, termination via SamplerConfig.stop_id
+            inputs_embeds, _, _, _ = self.prepare_conditional_embeds(
+                cb, llm_indices, llm_token_ids, llm_token_lengths, llm_word_ids)
+            text_len = llm_token_lengths[0] + 1
+            pre = embed_tokens(instruct_prefix_ids).astype(self.dtype)
+            suf = embed_tokens(instruct_suffix_ids).astype(self.dtype)
+            fused = inputs_embeds[0, 1:1 + t]                   # drop sos
+            stacked, _ = ragged_concat(
+                [(pre[None], None), (fused[None], (text_len - 1)[None]),
+                 (suf[None], None)],
+                pre.shape[0] + t + suf.shape[0])
+            prefix_embeds = stacked[0]
+            prefix_len = pre.shape[0] + (text_len - 1) + suf.shape[0]
+            pending = jnp.zeros((t + d, self.audio_dim), self.dtype)
+            pending_start = jnp.int32(0)
         else:
             raise NotImplementedError(conditional_mode)
 

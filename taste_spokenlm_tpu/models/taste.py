@@ -240,14 +240,17 @@ class TasteForCausalLM(nn.Module):
         self, rng, sampler_cfg: SamplerConfig, tables,
         llm_indices, llm_token_ids, llm_token_lengths, llm_word_ids,
         conditional_mode: str = "audio", max_steps: int = 256,
+        instruct_prefix_ids=None, instruct_suffix_ids=None,
     ) -> Dict[str, jnp.ndarray]:
         """Device part of inference_completion: the joint text+taste decode
-        (modeling_taste.py:1663-1741).  The host-side tokenizer round trip
-        (decode words, re-tokenize with the asr tokenizer) and the subsequent
-        voice decoding are composed in frontend/api.py."""
+        (modeling_taste.py:1663-1741; modes zero/text/audio/instruct per
+        :1692).  The host-side tokenizer round trip (decode words,
+        re-tokenize with the asr tokenizer) and the subsequent voice
+        decoding are composed in frontend/api.py."""
         return self.spoken_lm.generate(
             rng, self._cb(), sampler_cfg, tables, llm_indices, llm_token_ids,
-            llm_token_lengths, llm_word_ids, conditional_mode, max_steps)
+            llm_token_lengths, llm_word_ids, conditional_mode, max_steps,
+            instruct_prefix_ids, instruct_suffix_ids)
 
     def synthesize_from_taste(
         self, rng, speaker_embeds, taste_indices_per_word, asr_token_ids,

@@ -220,3 +220,41 @@ def test_delay_variants(delay, level):
         assert (lab[1, delay + 4:] == IGNORE_ID).all()
     out = model.apply(variables, cb, indices, ids, lens, word_ids)
     assert np.isfinite(float(out["loss"]))
+
+
+def test_generate_zero_and_instruct_modes(setup):
+    """'zero' (unconditional from sos) and 'instruct' (wrapped audio prefix
+    + stop_id) decode modes (modeling_taste.py:1071-1107)."""
+    cfg, model, variables, (cb, indices, ids, lens, word_ids) = setup
+    v = cfg.llama.vocab_size
+    rng = np.random.RandomState(4)
+    tables = {
+        "word_start": jnp.asarray(rng.rand(v) < 0.4),
+        "banned": jnp.zeros((v,), bool),
+        "sentence_end": jnp.asarray(rng.rand(v) < 0.3),
+    }
+
+    scfg = SamplerConfig(delay=cfg.delay, delay_level="word", extra_words=3,
+                         has_prefix=False)
+    out = model.apply(
+        variables, jax.random.PRNGKey(0), cb, scfg, tables,
+        None, None, None, None, "zero", 48,
+        method=TasteSpokenLM.generate)
+    n = int(out["num_tokens"])
+    toks = np.asarray(out["llm_token_ids"])
+    assert 0 < n <= 48
+    assert (toks[:n] >= 0).all() and (toks[:n] < v).all()
+
+    scfg_i = SamplerConfig(delay=cfg.delay, delay_level="word", extra_words=3,
+                           has_prefix=False, stop_id=7)
+    out_i = model.apply(
+        variables, jax.random.PRNGKey(1), cb, scfg_i, tables,
+        indices[:1], ids[:1], lens[:1], word_ids[:1], "instruct", 48,
+        jnp.asarray([1, 2, 3]), jnp.asarray([4, 5]),
+        method=TasteSpokenLM.generate)
+    n_i = int(out_i["num_tokens"])
+    toks_i = np.asarray(out_i["llm_token_ids"])
+    assert 0 < n_i <= 48
+    assert (toks_i[:n_i] >= 0).all() and (toks_i[:n_i] < v).all()
+    # the stop id itself is never emitted (sampler.py:139-140)
+    assert (toks_i[:n_i] != 7).all()
