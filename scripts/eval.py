@@ -30,6 +30,11 @@ def main():
     p.add_argument("--num-batches", type=int, default=2)
     p.add_argument("--batch-size", type=int, default=4)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--data", nargs="*", default=[],
+                   help="stage-1 arrow shard files (globs ok)")
+    p.add_argument("--asr-tokenizer", default=None)
+    p.add_argument("--llm-tokenizer", default=None)
+    p.add_argument("--token-budget", type=int, default=2048)
     p.add_argument("--platform", default=None,
                    help="cpu | tpu | default (sitecustomize-proof)")
     args = p.parse_args()
@@ -49,9 +54,6 @@ def main():
         json.load(open(os.path.join(args.seed_model, "config.json"))))
     model = TasteForCausalLM(cfg)
     variables = load_params(os.path.join(args.seed_model, "params"))
-
-    if not args.synthetic:
-        raise NotImplementedError("wire Stage1Dataset with tokenizers here")
 
     rng = np.random.RandomState(args.seed)
     t_tok, t_sp = 8, 12
@@ -82,9 +84,36 @@ def main():
         m["loglikelihood"] = -out["text_loss"]  # per-token text LL (scoring)
         return m
 
-    sums, n = {}, 0
-    for _ in range(args.num_batches):
-        batch = {
+    def real_batches():
+        """One epoch of bucketed stage-1 eval batches (same pipeline as
+        scripts/train.py; the reference's bin/eval_audio.py tsv loop)."""
+        import glob as globlib
+        import itertools
+        from transformers import AutoTokenizer
+        from taste_spokenlm_tpu.data.dataset import Stage1Dataset
+        from taste_spokenlm_tpu.frontend.processor import TasteProcessor
+        if not (args.data and args.asr_tokenizer and args.llm_tokenizer):
+            raise SystemExit("--data/--asr-tokenizer/--llm-tokenizer are "
+                             "required without --synthetic")
+        files = [f for pat in args.data
+                 for f in (sorted(globlib.glob(pat)) or [pat])]
+        proc = TasteProcessor(
+            asr_tokenizer=AutoTokenizer.from_pretrained(args.asr_tokenizer),
+            llm_tokenizer=AutoTokenizer.from_pretrained(args.llm_tokenizer))
+        ds = Stage1Dataset(
+            files, tokenize_fn=lambda text: proc.process_text(text=text),
+            host_index=jax.process_index(), host_count=jax.process_count(),
+            seed=args.seed, token_budget=args.token_budget)
+        for b in itertools.islice(ds.batches(epoch=0),
+                                  args.num_batches or None):
+            yield {k: jnp.asarray(v) for k, v in b.items()}
+
+    def synthetic_batches():
+        for _ in range(args.num_batches):
+            yield synthetic_batch()
+
+    def synthetic_batch():
+        return {
             "speaker_embeds": jnp.asarray(rng.randn(
                 args.batch_size, cfg.speech_decoder.spk_embed_dim), jnp.float32),
             "asr_token_ids": jnp.asarray(rng.randint(
@@ -106,6 +135,10 @@ def main():
             "llm_word_ids": jnp.asarray(np.tile(
                 (np.arange(t_tok) // 2)[None], (args.batch_size, 1))),
         }
+
+    sums, n = {}, 0
+    batches = synthetic_batches() if args.synthetic else real_batches()
+    for batch in batches:
         for fn in (eval_stage1, eval_stage2):
             for k, v in fn(variables, batch).items():
                 sums[k] = sums.get(k, 0.0) + float(v)

@@ -40,6 +40,12 @@ def main():
     p.add_argument("--seed-model", required=True)
     p.add_argument("--task", default="reconstruction",
                    choices=["reconstruction", "completion"])
+    p.add_argument("--conditional-mode", default="audio",
+                   choices=["audio", "text", "zero"],
+                   help="completion conditioning (generate_audio.py tasks "
+                        "SpokenLLM_Conditional_Compl / _Text_Compl; forced-"
+                        "text voice-control prompts = pass text via the "
+                        "processor instead of ASR)")
     p.add_argument("--output-dir", required=True)
     p.add_argument("--extra-words", type=int, default=8)
     p.add_argument("--text-top-p", type=float, default=0.3)
@@ -113,10 +119,16 @@ def main():
             text_top_p=args.text_top_p, taste_top_p=args.taste_top_p,
             text_temperature=args.temperature,
             repetition_penalty=args.repetition_penalty)
+        if args.conditional_mode != "audio":
+            scfg = scfg._replace(has_prefix=False)
         with timer.stage("completion_decode"):
             gen = model.apply(
-                variables, key, scfg, tables, llm_idx, llm_ids,
-                jnp.asarray([t_tok]), llm_words, "audio", 64,
+                variables, key, scfg, tables,
+                None if args.conditional_mode == "zero" else llm_idx,
+                None if args.conditional_mode == "zero" else llm_ids,
+                None if args.conditional_mode == "zero" else jnp.asarray([t_tok]),
+                None if args.conditional_mode == "zero" else llm_words,
+                args.conditional_mode, 64,
                 method=TasteForCausalLM.generate_completion)
             jax.block_until_ready(gen["llm_token_ids"])
         n_words = int(gen["num_taste_words"])

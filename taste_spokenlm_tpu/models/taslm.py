@@ -18,7 +18,7 @@ L_reg + 2*L_kl (modeling_taslm.py:631-655).  Loss = 0.5 text + 0.5 speech
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import flax.linen as nn
 import jax
@@ -130,8 +130,14 @@ class TaslmForCausalLM(nn.Module):
         if cfg.speech_token_adopt_latent_sampling:
             self.speech_latent_sampler = LatentSamplingLayer(cfg.latent_dim)
         else:
+            # single-channel: head covers bos/eos too so generation can emit
+            # the speech EOS (the reference folds specials into the vocab,
+            # configuration_taslm.py:64-65)
+            self.speech_head_size = (cfg.speech_vocab_size + 2
+                                     if cfg.speech_num_channels == 1
+                                     else cfg.speech_vocab_size)
             self.speech_head = nn.Dense(
-                cfg.speech_num_channels * cfg.speech_vocab_size,
+                cfg.speech_num_channels * self.speech_head_size,
                 use_bias=False, dtype=self.dtype)
 
     def embed_speech(self, cb: Optional[Codebook], speech_ids: jnp.ndarray
@@ -213,7 +219,7 @@ class TaslmForCausalLM(nn.Module):
         else:
             b, t = text_input_ids.shape
             sp_logits = self.speech_head(hidden).reshape(
-                b, t, cfg.speech_num_channels, cfg.speech_vocab_size)
+                b, t, cfg.speech_num_channels, self.speech_head_size)
             result["speech_logits"] = sp_logits
             if speech_labels is not None:
                 decay = cfg.speech_multi_channel_loss_decay_factor
@@ -232,3 +238,146 @@ class TaslmForCausalLM(nn.Module):
 
         result["loss"] = 0.5 * total_text + 0.5 * total_speech
         return result
+
+    # ------------------------------------------------------------------
+    # dual-stream AR generation (modeling_taslm.py:739-990 _baseline_generate)
+    # ------------------------------------------------------------------
+
+    def generate(
+        self,
+        rng: jax.Array,
+        cb: Optional[Codebook],
+        text_input_ids: jnp.ndarray,        # [1, Tt]
+        speech_input_ids: jnp.ndarray,      # [1, Ts(, C)]
+        text_length: jnp.ndarray,           # [] valid text tokens
+        speech_length: jnp.ndarray,         # [] valid speech tokens
+        max_steps: int = 64,
+        text_top_p: float = 0.9,
+        speech_top_p: float = 0.3,
+        temperature: float = 1.0,
+        speech_use_greedy: bool = False,
+        is_tts: bool = False,
+        speech_repetition_max: int = 5,
+        text_terminate_id: Optional[int] = None,
+    ) -> Dict[str, jnp.ndarray]:
+        """KV-cached joint (text, speech) decode as one `lax.while_loop`.
+
+        Modes mirror the reference: unconditional continue (speech_length ==
+        text_length), conditional (speech_length > text_length: the surplus
+        speech ids are forced while text is sampled), and TTS (`is_tts`:
+        text is forced from `text_input_ids`, speech sampled from its bos).
+        Stops on the speech EOS, on `speech_repetition_max` consecutive
+        repeats of one speech id, or at `max_steps`.  After the text
+        terminate id (default: llama eos) is sampled once, every later text
+        position is forced to it (modeling_taslm.py:812-819).
+        """
+        cfg = self.config
+        assert cfg.speech_num_channels == 1 or not speech_use_greedy or True
+        from taste_spokenlm_tpu.ops.sampling import mask_top_p
+        embed_tokens = self.language_model.embed_tokens
+        multi = speech_input_ids.ndim == 3
+        c = speech_input_ids.shape[-1] if multi else 1
+        terminate_id = (text_terminate_id if text_terminate_id is not None
+                        else cfg.llama.eos_token_id)
+
+        tt = text_input_ids.shape[1]
+        ts = speech_input_ids.shape[1]
+        cond_len = jnp.where(is_tts, 1, text_length).astype(jnp.int32)
+        n_forced = jnp.maximum(speech_length - cond_len, 0)
+
+        # ---- prefill over the conditional prefix ----
+        sp_prefix = speech_input_ids[:, :tt] if ts >= tt else jnp.pad(
+            speech_input_ids, ((0, 0), (0, tt - ts)) + (((0, 0),) if multi else ()))
+        fused = self.fusion_layer(
+            embed_tokens(text_input_ids).astype(self.dtype),
+            self.embed_speech(cb, sp_prefix))
+        total = tt + max_steps
+        caches = self.language_model.init_cache(1, total)
+        key_valid0 = jnp.arange(total)[None, :] < cond_len
+        out0 = self.language_model(inputs_embeds=fused, caches=caches,
+                                   cache_index=jnp.int32(0),
+                                   key_valid=key_valid0)
+        hidden0 = out0["last_hidden"][0, cond_len - 1]
+
+        sp_buf_shape = (max_steps, c) if multi else (max_steps,)
+
+        class S(NamedTuple):
+            step: jnp.ndarray
+            rng: jax.Array
+            caches: Any
+            hidden: jnp.ndarray
+            out_text: jnp.ndarray
+            out_speech: jnp.ndarray
+            forced_text_id: jnp.ndarray    # -1 => not terminated yet
+            rep_tok: jnp.ndarray
+            rep_cnt: jnp.ndarray
+            done: jnp.ndarray
+
+        s0 = S(jnp.int32(0), rng, out0["caches"], hidden0,
+               jnp.full((max_steps,), IGNORE_ID, jnp.int32),
+               jnp.full(sp_buf_shape, IGNORE_ID, jnp.int32),
+               jnp.int32(-1), jnp.int32(-1), jnp.int32(0),
+               jnp.asarray(False))
+
+        def cond_fn(mdl, s):
+            return jnp.logical_and(s.step < max_steps, ~s.done)
+
+        def body(mdl, s: S):
+            rng, r_text, r_speech = jax.random.split(s.rng, 3)
+            text_logits = mdl.language_model.logits(
+                s.hidden[None, None])[0, 0].astype(jnp.float32)
+
+            # text: forced (tts / post-terminate) or top-p sampled
+            filt = mask_top_p(text_logits / temperature, text_top_p)
+            sampled_text = jax.random.categorical(r_text, filt).astype(jnp.int32)
+            tts_next = text_input_ids[0, jnp.minimum(s.step + 1, tt - 1)]
+            text_id = jnp.where(jnp.asarray(is_tts), tts_next.astype(jnp.int32),
+                                sampled_text)
+            text_id = jnp.where(s.forced_text_id >= 0, s.forced_text_id, text_id)
+            forced_text_id = jnp.where(
+                jnp.logical_and(s.forced_text_id < 0, text_id == terminate_id),
+                jnp.int32(terminate_id), s.forced_text_id)
+
+            # speech: forced conditional ids, then sampled
+            head = mdl.speech_head(s.hidden[None, None]).reshape(
+                1, 1, cfg.speech_num_channels, mdl.speech_head_size
+            )[0, 0].astype(jnp.float32)
+            if speech_use_greedy:
+                sampled_sp = jnp.argmax(head, axis=-1).astype(jnp.int32)
+            else:
+                filt_sp = mask_top_p(head / temperature, speech_top_p)
+                sampled_sp = jax.random.categorical(
+                    r_speech, filt_sp, axis=-1).astype(jnp.int32)
+            pos = cond_len + s.step
+            forced_sp = jax.lax.dynamic_slice_in_dim(
+                speech_input_ids, jnp.minimum(pos, ts - 1), 1, axis=1)[0, 0]
+            forced_sp = jnp.atleast_1d(forced_sp).astype(jnp.int32)
+            use_forced = s.step < n_forced
+            speech_ids = jnp.where(use_forced, forced_sp[:c], sampled_sp)
+
+            # bookkeeping: repetition + eos stopping on channel 0
+            sp0 = speech_ids[0]
+            rep_cnt = jnp.where(sp0 == s.rep_tok, s.rep_cnt + 1, jnp.int32(0))
+            stop = jnp.logical_or(
+                sp0 == cfg.speech_eos_id, rep_cnt > speech_repetition_max)
+
+            out_text = s.out_text.at[s.step].set(text_id)
+            out_speech = (s.out_speech.at[s.step].set(speech_ids) if multi
+                          else s.out_speech.at[s.step].set(sp0))
+
+            # next-step embedding
+            sp_in = speech_ids[None, None] if multi else sp0[None, None]
+            fused_step = mdl.fusion_layer(
+                embed_tokens(text_id[None, None]).astype(mdl.dtype),
+                mdl.embed_speech(cb, sp_in))
+            out_step = mdl.language_model(
+                inputs_embeds=fused_step, caches=s.caches, cache_index=pos,
+                key_valid=(jnp.arange(total)[None, :] < pos + 1))
+            return S(s.step + 1, rng, out_step["caches"],
+                     out_step["last_hidden"][0, 0], out_text, out_speech,
+                     forced_text_id, sp0, rep_cnt,
+                     jnp.logical_or(s.done, stop))
+
+        final = nn.while_loop(cond_fn, body, self, s0)
+        return {"text_ids": final.out_text, "speech_ids": final.out_speech,
+                "num_steps": final.step}

@@ -75,5 +75,11 @@ def save_params(path: str, params: Any):
 def load_params(path: str, template: Optional[Any] = None) -> Any:
     ckptr = ocp.StandardCheckpointer()
     if template is not None:
-        return ckptr.restore(os.path.abspath(path), target=template)
-    return ckptr.restore(os.path.abspath(path))
+        out = ckptr.restore(os.path.abspath(path), target=template)
+    else:
+        out = ckptr.restore(os.path.abspath(path))
+    # orbax restores host numpy without a template; hand back jax arrays so
+    # downstream traced indexing (e.g. codebook lookups inside while_loop
+    # bodies) never hits numpy[tracer]
+    import jax.numpy as jnp
+    return jax.tree_util.tree_map(jnp.asarray, out)

@@ -74,3 +74,54 @@ def test_fusion_variants(setup, method):
     variables = model.init(jax.random.PRNGKey(2), cb, text, speech)
     out = model.apply(variables, cb, text, speech, text, speech)
     assert np.isfinite(float(out["loss"]))
+
+
+def test_generate_multichannel(setup):
+    """Joint (text, speech) KV-cached decode: unconditional + conditional
+    speech forcing (modeling_taslm.py:739-990)."""
+    cfg, model, variables, cb, text, speech = setup
+    out = model.apply(
+        variables, jax.random.PRNGKey(0), cb, text[:1], speech[:1],
+        jnp.int32(6), jnp.int32(6), max_steps=12,
+        method=TaslmForCausalLM.generate)
+    n = int(out["num_steps"])
+    assert 0 < n <= 12
+    toks = np.asarray(out["text_ids"])[:n]
+    sp = np.asarray(out["speech_ids"])[:n]
+    assert (toks >= 0).all() and (toks < cfg.llama.vocab_size).all()
+    assert sp.shape[-1] == 4
+    assert (sp >= 0).all() and (sp < cfg.speech_vocab_size).all()
+
+    # conditional: the surplus speech ids (positions 6..9) are forced
+    out_c = model.apply(
+        variables, jax.random.PRNGKey(1), cb, text[:1], speech[:1],
+        jnp.int32(6), jnp.int32(10), max_steps=12,
+        method=TaslmForCausalLM.generate)
+    sp_c = np.asarray(out_c["speech_ids"])
+    np.testing.assert_array_equal(sp_c[:4], np.asarray(speech)[0, 6:10])
+
+
+def test_generate_tts_single_channel():
+    """TTS mode on a single-channel taslm: text forced from the prompt,
+    speech head covers eos."""
+    import dataclasses
+    cfg = dataclasses.replace(TaslmConfig.tiny(), speech_num_channels=1)
+    rng = np.random.RandomState(0)
+    b, t = 1, 8
+    text = jnp.asarray(rng.randint(2, cfg.llama.vocab_size, (b, t)))
+    speech = jnp.full((b, 1), cfg.speech_bos_id, jnp.int32)
+    model = TaslmForCausalLM(cfg)
+    variables = model.init(jax.random.PRNGKey(0), None, text,
+                           jnp.pad(speech, ((0, 0), (0, t - 1))))
+    out = model.apply(
+        variables, jax.random.PRNGKey(2), None, text, speech,
+        jnp.int32(t), jnp.int32(1), max_steps=10, is_tts=True,
+        method=TaslmForCausalLM.generate)
+    n = int(out["num_steps"])
+    assert 0 < n <= 10
+    toks = np.asarray(out["text_ids"])[:n]
+    # tts forces the text stream from the prompt (modeling_taslm.py:806-808)
+    np.testing.assert_array_equal(toks[:min(n, t - 1)],
+                                  np.asarray(text)[0, 1:1 + min(n, t - 1)])
+    sp = np.asarray(out["speech_ids"])[:n]
+    assert (sp >= 0).all() and (sp < cfg.speech_vocab_size + 2).all()
