@@ -10,9 +10,8 @@ Re-expression of the reference's Python-object TasteSampler state machine
   state updated with jnp.where;
 * actions are returned as flags instead of strings.
 
-Word-level delay only (the reference raises NotImplementedError for
-delay==0; token-level delay is also supported here via the rolling
-word-start history).
+Both word-level and token-level delay are supported (token level via the
+rolling word-start history), plus the instruct-mode stop-id termination.
 """
 
 from __future__ import annotations

@@ -42,10 +42,44 @@ def cosine_lr(lr: float, warmup_steps: int, total_steps: int,
         0.0, lr, warmup_steps, max(total_steps, warmup_steps + 1), min_lr)
 
 
+def square_annealing_lr(lr: float, warmup_steps: int, total_steps: int,
+                        min_lr: float = 1e-5) -> optax.Schedule:
+    """Linear warmup then lr * ((max-step)/max)^2 (scheduler.py:384-388,
+    444-470)."""
+    def schedule(step):
+        s = step.astype(jax.numpy.float32) if hasattr(step, "astype") \
+            else jax.numpy.float32(step)
+        warm = lr * jax.numpy.minimum(s / max(warmup_steps, 1), 1.0)
+        frac = jax.numpy.clip(
+            (total_steps - s) / max(total_steps - warmup_steps, 1), 0.0, 1.0)
+        anneal = jax.numpy.maximum(lr * frac ** 2, min_lr)
+        return jax.numpy.where(s < warmup_steps, warm, anneal)
+    return schedule
+
+
+def noam_hold_lr(lr: float, warmup_steps: int, hold_steps: int = 0,
+                 decay_rate: float = 0.5, min_lr: float = 0.0
+                 ) -> optax.Schedule:
+    """NoamHoldAnnealing (scheduler.py:433-441, 624-739): linear warmup,
+    optional hold at peak, then lr * (warmup^d) / ((step-hold)^d)."""
+    def schedule(step):
+        s = jax.numpy.maximum(step, 1).astype(jax.numpy.float32)
+        warm = lr * jax.numpy.minimum(s / max(warmup_steps, 1), 1.0)
+        decay_steps = jax.numpy.maximum(s - hold_steps, 1.0)
+        decay = lr * max(1.0, warmup_steps ** decay_rate) / \
+            decay_steps ** decay_rate
+        out = jax.numpy.where(s < warmup_steps + hold_steps, warm,
+                              jax.numpy.maximum(decay, min_lr))
+        return out
+    return schedule
+
+
 SCHEDULES = {
     "warmuplr": warmup_lr,
     "constantlr": lambda lr, warmup: constant_warmup_lr(lr, warmup),
     "cosine": cosine_lr,
+    "square_annealing": square_annealing_lr,
+    "noam_hold": noam_hold_lr,
 }
 
 
