@@ -71,6 +71,13 @@ def main():
         tree["params"].setdefault("audio_tower", {})["vq"] = vq_params
         tree["quantizer"] = {"audio_tower": {"vq": vq_state}}
         print("converted speech decoder + RVQ")
+        tower = convert.audio_tower_params(state)
+        if tower:
+            tree["params"].setdefault("audio_tower", {}).update(tower)
+            print("converted audio tower (joint encoder-segmenter)")
+        if any(k.startswith("spoken_lm.") for k in state):
+            tree["params"]["spoken_lm"] = convert.spoken_lm_params(state)
+            print("converted spoken LM (LoRA llama + bridges)")
 
     if args.flow:
         state = {f"flow.{k}": v for k, v in _load_torch(args.flow).items()}

@@ -428,3 +428,127 @@ def flow_params(state_dict: Mapping[str, "np.ndarray"],
     _conv(est, ["final_proj"], sub, "decoder.estimator.final_proj")
     tree["decoder"] = {"estimator": est}
     return tree
+
+
+# ---------------------------------------------------------------------------
+# composite spoken-LM / tower converters
+# ---------------------------------------------------------------------------
+
+
+def peft_llama_params(state_dict: Mapping[str, "np.ndarray"],
+                      prefix: str = "base_model.model.model.") -> Dict:
+    """peft-wrapped HF llama state dict -> flax tree incl. LoRA adapters.
+
+    Handles the `base_layer.weight` / `lora_A.default.weight` /
+    `lora_B.default.weight` key scheme from get_peft_model
+    (/root/reference/taste_speech/modeling_taste.py:577-599); the tied
+    lm_head is skipped (excluded from LoRA targets by
+    _find_all_linear_names, modules_taste/utils.py:18-33).
+    """
+    tree: Dict = {}
+    for name, w in state_dict.items():
+        if not name.startswith(prefix):
+            continue
+        name = name[len(prefix):]
+        w = _np(w)
+        parts = name.split(".")
+        if parts[0] == "embed_tokens":
+            _set(tree, ["embed_tokens", "embedding"], w)
+        elif parts[0] == "norm":
+            _set(tree, ["norm", "weight"], w)
+        elif parts[0] == "layers":
+            lk = f"layers_{parts[1]}"
+            if parts[2] in ("input_layernorm", "post_attention_layernorm"):
+                _set(tree, [lk, parts[2], "weight"], w)
+            elif parts[2] in ("self_attn", "mlp"):
+                proj, rest = parts[3], parts[4:]
+                if rest[0] in ("base_layer", "weight"):
+                    _set(tree, [lk, parts[2], proj, "base", "kernel"], w.T)
+                elif rest[0] == "lora_A":
+                    _set(tree, [lk, parts[2], proj, "lora_a"], w.T)
+                elif rest[0] == "lora_B":
+                    _set(tree, [lk, parts[2], proj, "lora_b"], w.T)
+                else:
+                    raise KeyError(name)
+            else:
+                raise KeyError(name)
+        elif parts[0] == "rotary_emb":
+            continue
+    return tree
+
+
+def bridge_params(state_dict: Mapping[str, "np.ndarray"], prefix: str) -> Dict:
+    """Name-driven bridge converter (fuse_for_bridge_in_llm.* /
+    extract_for_bridge_out_llm.*): Linear weight -> kernel^T, ModuleList
+    index -> `{name}_{i}`, bare parameters pass through, embeddings keep
+    torch layout."""
+    tree: Dict = {}
+    for name, w in state_dict.items():
+        if not name.startswith(prefix):
+            continue
+        sub = name[len(prefix):].split(".")
+        w = _np(w)
+        path = []
+        i = 0
+        while i < len(sub):
+            p = sub[i]
+            if i + 1 < len(sub) and sub[i + 1].isdigit():
+                path.append(f"{p}_{sub[i + 1]}")
+                i += 2
+            elif p == "weight" and i == len(sub) - 1:
+                if path and "embedding" in path[-1]:
+                    path.append("embedding")
+                else:
+                    path.append("kernel")
+                    w = w.T
+                i += 1
+            else:
+                path.append(p)
+                i += 1
+        _set(tree, path, w)
+    return tree
+
+
+def spoken_lm_params(state_dict: Mapping[str, "np.ndarray"],
+                     prefix: str = "spoken_lm.") -> Dict:
+    """TasteSpokenLM subtree of a composite taste_speech checkpoint ->
+    flax tree (modeling_taste.py:546-713 attribute layout)."""
+    sub = {k[len(prefix):]: v for k, v in state_dict.items()
+           if k.startswith(prefix)}
+    tree: Dict = {}
+    lm = {k[len("language_model."):]: v for k, v in sub.items()
+          if k.startswith("language_model.")}
+    peft = any(k.startswith("base_model.") for k in lm)
+    tree["language_model"] = peft_llama_params(
+        lm, prefix="base_model.model.model." if peft else "model.")
+    for mod in ("fuse_for_bridge_in_llm", "extract_for_bridge_out_llm",
+                "code_linear"):
+        conv = bridge_params(sub, f"{mod}.")
+        if conv:
+            tree[mod] = conv
+    if "a0_embedding.weight" in sub:   # embedding keeps torch layout
+        tree["a0_embedding"] = {"embedding": _np(sub["a0_embedding.weight"])}
+    for p in ("pad_text_unit_embed", "pad_audio_unit_embed",
+              "empty_audio_unit_embed"):
+        if p in sub:
+            tree[p] = _np(sub[p])
+    return tree
+
+
+def audio_tower_params(state_dict: Mapping[str, "np.ndarray"],
+                       prefix: str = "audio_tower.") -> Dict:
+    """Joint encoder-segmenter weights from a composite checkpoint -> our
+    audio_tower {encoder, decoder} trees (the quantizer is converted
+    separately via rvq_state)."""
+    enc = whisper_encoder_params(
+        state_dict,
+        prefix=f"{prefix}audio_joint_encoder_segmenter.audio_encoder.encoder.")
+    dec = whisper_decoder_params(
+        state_dict,
+        prefix=f"{prefix}audio_joint_encoder_segmenter.audio_segmenter.decoder.")
+    tree: Dict = {}
+    if enc:
+        tree["encoder"] = enc
+    if dec:
+        tree["decoder"] = dec
+    return tree

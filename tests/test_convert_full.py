@@ -351,3 +351,98 @@ def test_flow_converter_roundtrip():
     assert got == want, (sorted(want - got)[:8], sorted(got - want)[:8])
     out = model.apply({"params": tree}, *args)
     assert np.isfinite(float(out["loss"]))
+
+
+def test_spoken_lm_converter_roundtrip():
+    """Composite-checkpoint spoken_lm subtree (peft llama + bridges + pad
+    embeds) -> our flax tree: same key set, same shapes, applies cleanly."""
+    import dataclasses
+    from taste_spokenlm_tpu.config import SpokenLMConfig
+    from taste_spokenlm_tpu.models.quantizer import Codebook
+    from taste_spokenlm_tpu.models.spoken_lm import TasteSpokenLM
+
+    A, K, D, L = 16, 32, 16, 4
+    cfg = SpokenLMConfig.tiny()
+    model = TasteSpokenLM(cfg, audio_dim=A, taste_k=K, taste_d=D, taste_l=L)
+    rng = np.random.RandomState(0)
+    cb = Codebook(embed=jnp.asarray(rng.randn(L, K, D), jnp.float32),
+                  proj_kernel=jnp.asarray(rng.randn(D, A) * 0.1, jnp.float32),
+                  proj_bias=jnp.zeros((A,), jnp.float32))
+    ids = jnp.asarray(rng.randint(0, cfg.llama.vocab_size, (2, 6)))
+    word_ids = jnp.asarray([[0, 0, 1, 2, 2, 3], [0, 1, 1, 2, 0, 0]])
+    lens = jnp.asarray([6, 4])
+    indices = jnp.asarray(rng.randint(0, K, (2, 6, L)))
+    variables = model.init(jax.random.PRNGKey(0), cb, indices, ids, lens,
+                           word_ids)
+    flat = _flat(variables["params"])
+
+    # synthesize the reference-named state dict from our shapes
+    state = {}
+    for path, leaf in flat.items():
+        w = np.random.RandomState(len(path)).randn(*leaf.shape).astype("f4")
+        parts = path.split("/")
+        if parts[0] == "language_model":
+            base = "spoken_lm.language_model.base_model.model.model."
+            if parts[1] == "embed_tokens":
+                state[base + "embed_tokens.weight"] = w
+            elif parts[1] == "norm":
+                state[base + "norm.weight"] = w
+            else:
+                i = parts[1].split("_")[1]
+                if parts[2].endswith("layernorm"):
+                    state[f"{base}layers.{i}.{parts[2]}.weight"] = w
+                else:  # self_attn / mlp projections
+                    mod, proj = parts[2], parts[3]
+                    if parts[4] == "base":
+                        state[f"{base}layers.{i}.{mod}.{proj}."
+                              f"base_layer.weight"] = w.T
+                    elif parts[4] == "lora_a":
+                        state[f"{base}layers.{i}.{mod}.{proj}."
+                              f"lora_A.default.weight"] = w.T
+                    else:
+                        state[f"{base}layers.{i}.{mod}.{proj}."
+                              f"lora_B.default.weight"] = w.T
+        elif parts[0] in ("fuse_for_bridge_in_llm",
+                          "extract_for_bridge_out_llm"):
+            tname = ".".join(parts[:-1]).replace("/", ".")
+            if parts[-1] == "kernel":
+                state[f"spoken_lm.{tname}.weight"] = w.T
+            elif parts[-1] == "bias":
+                state[f"spoken_lm.{tname}.bias"] = w
+            else:  # bare parameter (weights, b_logvar, alpha)
+                state[f"spoken_lm.{'.'.join(parts)}"] = w
+        else:  # pad_*_unit_embed
+            state[f"spoken_lm.{path}"] = w
+
+    from taste_spokenlm_tpu.utils import convert
+    tree = convert.spoken_lm_params(state)
+    flat_conv = _flat(tree)
+    assert set(flat_conv) == set(flat), (
+        set(flat) ^ set(flat_conv))
+    for k in flat:
+        assert flat_conv[k].shape == flat[k].shape, k
+    out = model.apply({"params": tree}, cb, indices, ids, lens, word_ids)
+    assert np.isfinite(float(out["loss"]))
+
+    # LoRA layout check: lora_a/lora_b reconstruct the torch matmul order
+    k0 = next(k for k in flat if k.endswith("q_proj/lora_a"))
+    torch_a = state["spoken_lm.language_model.base_model.model.model."
+                    "layers.0.self_attn.q_proj.lora_A.default.weight"]
+    np.testing.assert_allclose(np.asarray(flat_conv[k0]), torch_a.T)
+
+
+def test_audio_tower_params_prefix_stripping():
+    """Composite-checkpoint tower keys route to encoder/decoder converters."""
+    from taste_spokenlm_tpu.utils import convert
+    state = {
+        "audio_tower.audio_joint_encoder_segmenter.audio_encoder.encoder."
+        "conv1.weight": np.zeros((8, 4, 3), "f4"),
+        "audio_tower.audio_joint_encoder_segmenter.audio_encoder.encoder."
+        "layer_norm.weight": np.ones((8,), "f4"),
+        "audio_tower.audio_joint_encoder_segmenter.audio_segmenter.decoder."
+        "embed_tokens.weight": np.zeros((10, 8), "f4"),
+    }
+    tree = convert.audio_tower_params(state)
+    assert tree["encoder"]["conv1"]["kernel"].shape == (3, 4, 8)
+    assert tree["encoder"]["layer_norm"]["scale"].shape == (8,)
+    assert tree["decoder"]["embed_tokens"]["embedding"].shape == (10, 8)
