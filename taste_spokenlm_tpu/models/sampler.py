@@ -101,6 +101,7 @@ class StepOutput(NamedTuple):
     taste_sample: jnp.ndarray       # bool  ('sample' action)
     use_prefix: jnp.ndarray         # bool  (consume one pending prefix embed)
     emit_text: jnp.ndarray          # bool  (text id appended to output)
+    taste_started: jnp.ndarray      # bool  (is_started_sampling_taste)
 
 
 def sampler_step(
@@ -175,9 +176,16 @@ def sampler_step(
                           jnp.full_like(taste_ids, IGNORE_ID))
 
     # ---- actions ----
+    # reference taste_action (sampler.py:174-186): 'use_prefix' consumes one
+    # pending embed at every pre-start step for token-level delay, but only
+    # at word starts for word-level delay ('use_prefix_ignore' otherwise)
+    if cfg.delay_level == "token":
+        prefix_gate = jnp.asarray(True)
+    else:
+        prefix_gate = is_word_start
     use_prefix = jnp.logical_and(
         jnp.logical_not(started),
-        jnp.asarray(cfg.has_prefix) & is_word_start)
+        jnp.asarray(cfg.has_prefix) & prefix_gate)
     emit_text = jnp.logical_and(jnp.logical_not(is_wait),
                                 jnp.logical_not(terminate))
 
@@ -186,4 +194,4 @@ def sampler_step(
                              new_countdown, new_ws_count, history, new_counts)
     return new_state, StepOutput(text_id, taste_ids, terminate, is_wait,
                                  is_word_start, is_taste, use_prefix,
-                                 emit_text)
+                                 emit_text, started)

@@ -448,13 +448,19 @@ class TasteSpokenLM(nn.Module):
         caches = out0["caches"]
 
         sampler0 = init_state(cfg.llama.vocab_size, d)
-        token_counts0 = sampler0.token_counts
-        if conditional_mode in ("text", "audio"):
-            # count prefix tokens for repetition penalty
+        if conditional_mode in ("text", "audio", "instruct"):
+            # count prefix tokens for repetition penalty (the reference seeds
+            # input_ids with the full prompt — in instruct mode that includes
+            # the instruct prefix/suffix wrappers, modeling_taste.py:1101-1124)
             onehot = jax.nn.one_hot(llm_token_ids[0], cfg.llama.vocab_size,
                                     dtype=jnp.int32)
             counts = jnp.sum(
                 onehot * (jnp.arange(t)[:, None] < llm_token_lengths[0]), axis=0)
+            if conditional_mode == "instruct":
+                for extra in (instruct_prefix_ids, instruct_suffix_ids):
+                    counts = counts + jnp.sum(
+                        jax.nn.one_hot(extra, cfg.llama.vocab_size,
+                                       dtype=jnp.int32), axis=0)
             sampler0 = sampler0._replace(token_counts=counts)
 
         class GenState(NamedTuple):
@@ -528,8 +534,11 @@ class TasteSpokenLM(nn.Module):
                           prefix_audio.astype(jnp.float32),
                           st.last_audio_embed))
             # before taste sampling starts and with no prefix: pad embedding
+            # (reference taste_action == 'wait'; `taste_started` carries the
+            # delay-level-appropriate start condition — step-based for token
+            # delay, word-start-count for word delay)
             started_or_prefix = jnp.logical_or(
-                sampler.word_start_count > d, jnp.asarray(sampler_cfg.has_prefix))
+                step_out.taste_started, jnp.asarray(sampler_cfg.has_prefix))
             audio_embed = jnp.where(started_or_prefix, last_audio,
                                     mdl.pad_audio_unit_embed.astype(jnp.float32))
 
@@ -541,6 +550,7 @@ class TasteSpokenLM(nn.Module):
             out_step = mdl.language_model(
                 inputs_embeds=fused, caches=st.caches,
                 cache_index=prefix_len + st.step,
+                position_offset=prefix_len + st.step,
                 output_hidden_states=True,
                 key_valid=(jnp.arange(total)[None, :] < prefix_len + st.step + 1))
             return GenState(

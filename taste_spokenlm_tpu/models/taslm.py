@@ -372,6 +372,7 @@ class TaslmForCausalLM(nn.Module):
                 mdl.embed_speech(cb, sp_in))
             out_step = mdl.language_model(
                 inputs_embeds=fused_step, caches=s.caches, cache_index=pos,
+                position_offset=pos,
                 key_valid=(jnp.arange(total)[None, :] < pos + 1))
             return S(s.step + 1, rng, out_step["caches"],
                      out_step["last_hidden"][0, 0], out_text, out_speech,

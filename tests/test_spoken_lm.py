@@ -153,6 +153,99 @@ def test_generate_deterministic(setup):
     np.testing.assert_array_equal(outs[0], outs[1])
 
 
+def test_generate_cached_matches_uncached(setup):
+    """The KV-cached while_loop decode must match an uncached replay that
+    re-runs the full forward over the growing sequence each step (the
+    reference's cache-less loop, modeling_taste.py:1111-1199).  Catches
+    position/rope bookkeeping bugs in the cached path (e.g. roping generated
+    tokens at position 0)."""
+    from taste_spokenlm_tpu.models.sampler import init_state, sampler_step
+
+    cfg, model, variables, (cb, indices, ids, lens, word_ids) = setup
+    v = cfg.llama.vocab_size
+    rng = np.random.RandomState(9)
+    tables = {
+        "word_start": jnp.asarray(rng.rand(v) < 0.4),
+        "banned": jnp.zeros((v,), bool),
+        "sentence_end": jnp.asarray(rng.rand(v) < 0.3),
+    }
+    d = cfg.delay
+    scfg = SamplerConfig(delay=d, delay_level="word", extra_words=2,
+                         max_words_factor=2, has_prefix=True)  # greedy
+    max_steps = 12
+    out = model.apply(
+        variables, jax.random.PRNGKey(0), cb, scfg, tables,
+        indices[:1], ids[:1], lens[:1], word_ids[:1], "audio", max_steps,
+        method=TasteSpokenLM.generate)
+
+    # ---- uncached replay ----
+    inputs_embeds, _, _, audio_stream = model.apply(
+        variables, cb, indices[:1], ids[:1], lens[:1], word_ids[:1],
+        method=TasteSpokenLM.prepare_conditional_embeds)
+    text_len = int(lens[0]) + 1
+    embeds = inputs_embeds[0, :text_len]
+    pending = np.asarray(audio_stream[0])
+    pend_ptr = text_len - 1
+
+    state = init_state(v, d)
+    onehot = jax.nn.one_hot(ids[0], v, dtype=jnp.int32)
+    counts = jnp.sum(
+        onehot * (jnp.arange(ids.shape[1])[:, None] < lens[0]), axis=0)
+    state = state._replace(token_counts=counts)
+
+    def lm_last(m, e):
+        o = m.language_model(inputs_embeds=e, output_hidden_states=True)
+        tl = m.language_model.logits(o["last_hidden"][:, -1:])
+        taste, _ = m.extract_for_bridge_out_llm(
+            o["last_hidden"][:, -1:].astype(jnp.float32),
+            tuple(h[:, -1:] for h in o["hidden_states"]), cb)
+        return tl[0, 0], taste[0, 0]
+
+    def fuse(m, tid, aemb):
+        te = m.language_model.embed_tokens(tid[None])[0]
+        return m.fuse_for_bridge_in_llm(
+            te[None, None].astype(m.dtype),
+            aemb[None, None].astype(m.dtype))[0, 0]
+
+    pad_audio = np.asarray(variables["params"]["pad_audio_unit_embed"],
+                           np.float32)
+    key = jax.random.PRNGKey(0)
+    last_audio = np.zeros((AUDIO_DIM,), np.float32)
+    toks, taste_rows = [], []
+    for _ in range(max_steps):
+        text_logits, taste_logits = model.apply(variables, embeds[None],
+                                                method=lm_last)
+        key, sub = jax.random.split(key)
+        state, so = sampler_step(sub, state, text_logits, taste_logits,
+                                 scfg, tables)
+        if bool(so.emit_text):
+            toks.append(int(so.text_id))
+        if bool(so.taste_sample):
+            taste_rows.append(np.asarray(so.taste_ids))
+        taste_embed = np.asarray(codebook_output_from_indices(
+            cb, jnp.maximum(so.taste_ids, 0)[None, None])[0, 0], np.float32)
+        if bool(so.taste_sample):
+            last_audio = taste_embed
+        elif bool(so.use_prefix):
+            last_audio = pending[min(pend_ptr, len(pending) - 1)]
+            pend_ptr += 1
+        aemb = (last_audio if bool(so.taste_started) or scfg.has_prefix
+                else pad_audio)
+        step_embed = model.apply(variables, so.text_id, jnp.asarray(aemb),
+                                 method=fuse)
+        embeds = jnp.concatenate([embeds, step_embed[None]], axis=0)
+        if bool(so.terminate):
+            break
+
+    n, nt = int(out["num_tokens"]), int(out["num_taste_words"])
+    assert n == len(toks), (n, toks)
+    assert np.asarray(out["llm_token_ids"])[:n].tolist() == toks
+    assert nt == len(taste_rows)
+    if nt:
+        np.testing.assert_array_equal(
+            np.asarray(out["taste_indices"])[:nt], np.stack(taste_rows))
+
+
 @pytest.mark.parametrize("mode", ["pad", "embed_a0_only",
                                   "get_codes_from_indices"])
 def test_audio_embed_conv_modes(mode):

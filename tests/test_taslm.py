@@ -125,3 +125,75 @@ def test_generate_tts_single_channel():
                                   np.asarray(text)[0, 1:1 + min(n, t - 1)])
     sp = np.asarray(out["speech_ids"])[:n]
     assert (sp >= 0).all() and (sp < cfg.speech_vocab_size + 2).all()
+
+
+def test_generate_cached_matches_uncached(setup):
+    """The KV-cached dual-stream decode must match an uncached replay that
+    re-runs the full forward over the growing sequence each step with
+    identical rng splits (catches rope/position bookkeeping bugs in the
+    cached path)."""
+    from taste_spokenlm_tpu.ops.sampling import mask_top_p
+
+    cfg, model, variables, cb, text, speech = setup
+    tt = text.shape[1]
+    cond_len = 8
+    max_steps = 8
+    temperature, text_top_p, speech_top_p = 1.0, 0.9, 0.3
+    out = model.apply(
+        variables, jax.random.PRNGKey(5), cb, text[:1], speech[:1],
+        jnp.int32(cond_len), jnp.int32(cond_len), max_steps=max_steps,
+        text_top_p=text_top_p, speech_top_p=speech_top_p,
+        method=TaslmForCausalLM.generate)
+
+    # ---- uncached replay (unconditional mode: n_forced == 0) ----
+    def fuse(m, t_ids, s_ids):
+        return m.fusion_layer(
+            m.language_model.embed_tokens(t_ids).astype(m.dtype),
+            m.embed_speech(cb, s_ids))
+
+    def lm_last(m, e):
+        o = m.language_model(inputs_embeds=e)
+        h = o["last_hidden"][0, -1]
+        tl = m.language_model.logits(h[None, None])[0, 0]
+        head = m.speech_head(h[None, None]).reshape(
+            cfg.speech_num_channels, m.speech_head_size)
+        return tl, head
+
+    fused0 = model.apply(variables, text[:1], speech[:1, :tt], method=fuse)
+    embeds = fused0[0, :cond_len]
+    key = jax.random.PRNGKey(5)
+    terminate_id = cfg.llama.eos_token_id
+    forced_text_id = -1
+    rep_tok, rep_cnt = -1, 0
+    texts, speeches = [], []
+    for step in range(max_steps):
+        tl, head = model.apply(variables, embeds[None], method=lm_last)
+        key, r_text, r_speech = jax.random.split(key, 3)
+        filt = mask_top_p(tl.astype(jnp.float32) / temperature, text_top_p)
+        text_id = int(jax.random.categorical(r_text, filt))
+        if forced_text_id >= 0:
+            text_id = forced_text_id
+        elif text_id == terminate_id:
+            forced_text_id = terminate_id
+        filt_sp = mask_top_p(head.astype(jnp.float32) / temperature,
+                             speech_top_p)
+        sp_ids = np.asarray(
+            jax.random.categorical(r_speech, filt_sp, axis=-1), np.int32)
+        texts.append(text_id)
+        speeches.append(sp_ids)
+        sp0 = int(sp_ids[0])
+        rep_cnt = rep_cnt + 1 if sp0 == rep_tok else 0
+        rep_tok = sp0
+        stop = sp0 == cfg.speech_eos_id or rep_cnt > 5
+        step_embed = model.apply(
+            variables, jnp.asarray([[text_id]]), jnp.asarray(sp_ids)[None, None],
+            method=fuse)
+        embeds = jnp.concatenate([embeds, step_embed[0]], axis=0)
+        if stop:
+            break
+
+    n = int(out["num_steps"])
+    assert n == len(texts), (n, texts)
+    assert np.asarray(out["text_ids"])[:n].tolist() == texts
+    np.testing.assert_array_equal(np.asarray(out["speech_ids"])[:n],
+                                  np.stack(speeches))
