@@ -31,7 +31,8 @@ from taste_spokenlm_tpu.models.sampler import SamplerConfig
 from taste_spokenlm_tpu.models.speech_decoder import TasteSpeechDecoder
 from taste_spokenlm_tpu.models.spoken_lm import TasteSpokenLM
 from taste_spokenlm_tpu.ops.losses import IGNORE_ID
-from taste_spokenlm_tpu.ops.segment import compact_valid_rows, word_start_remap
+from taste_spokenlm_tpu.ops.segment import (compact_valid_rows, remap_gather,
+                                            word_start_remap)
 
 
 class TasteForCausalLM(nn.Module):
@@ -174,11 +175,11 @@ class TasteForCausalLM(nn.Module):
         asr_indices = encoded["quantized_indices"]
         m = word_start_remap(asr_word_ids, asr_token_lengths,
                              llm_word_ids, llm_token_lengths)
-        llm_indices = jnp.einsum("bts,bsl->btl", m,
-                                 asr_indices.astype(jnp.float32))
-        empty = jnp.sum(m, axis=-1, keepdims=True) == 0
-        llm_indices = llm_indices - empty.astype(jnp.float32)
-        return asr_indices, llm_indices.astype(asr_indices.dtype)
+        # integer-exact gather (NOT `m @ indices`, which would round odd
+        # codebook ids > 256 through the bf16 MXU); zero rows of m (llm
+        # positions that are not word starts) map to -1
+        llm_indices = remap_gather(m, asr_indices, fill=-1)
+        return asr_indices, llm_indices
 
     def scoring(self, asr_token_ids, asr_token_lengths, asr_word_ids,
                 llm_token_ids, llm_token_lengths, llm_word_ids,

@@ -137,6 +137,24 @@ def word_start_remap(
     return m.astype(jnp.float32)
 
 
+def remap_gather(m: jnp.ndarray, values: jnp.ndarray,
+                 fill=-1) -> jnp.ndarray:
+    """Apply a {0,1} routing matrix m [B, Td, Ts] to integer payloads
+    `values` [B, Ts, C] exactly: rows of m with a single 1 copy that source
+    row; all-zero rows produce `fill`.
+
+    This is the integer-exact replacement for `m @ values` (the reference's
+    bmm, modeling_taste.py:1859-1881): on TPU a default-precision matmul
+    feeds bf16 to the MXU, which cannot represent odd integers > 256, so
+    codebook ids would be silently rounded.  A gather has no such hazard.
+    """
+    src = jnp.argmax(m, axis=-1)                          # [B, Td]
+    has = jnp.sum(m, axis=-1) > 0
+    gathered = jnp.take_along_axis(values, src[:, :, None], axis=1)
+    return jnp.where(has[:, :, None], gathered,
+                     jnp.asarray(fill, values.dtype))
+
+
 def compact_valid_rows(x: jnp.ndarray, valid: jnp.ndarray, out_len: int,
                        pad_value=0) -> jnp.ndarray:
     """Gather the valid rows of x [B, T, C] (bool valid [B, T]) into a dense
@@ -146,7 +164,11 @@ def compact_valid_rows(x: jnp.ndarray, valid: jnp.ndarray, out_len: int,
     order = jnp.cumsum(valid.astype(jnp.int32), axis=1) - 1     # [B, T]
     order = jnp.where(valid, order, -1)
     sel = (order[:, :, None] == jnp.arange(out_len)[None, None, :])  # [B,T,W]
-    out = jnp.einsum("btw,btc->bwc", sel.astype(x.dtype), x)
+    # integer gather, NOT a one-hot matmul: routing int payloads (e.g.
+    # codebook ids) through an einsum would feed them to the MXU as bf16 on
+    # TPU, silently corrupting odd ids > 256
+    src = jnp.argmax(sel, axis=1)                                # [B, W]
+    out = jnp.take_along_axis(x, src[:, :, None], axis=1)
     any_row = jnp.any(sel, axis=1)[..., None]
     return jnp.where(any_row, out, pad_value)
 
