@@ -147,6 +147,9 @@ def main():
     p.add_argument("--grad-clip", type=float, default=5.0)
     p.add_argument("--data-parallel", type=int, default=None)
     p.add_argument("--model-parallel", type=int, default=1)
+    p.add_argument("--ref-kl", action="store_true",
+                   help="stage 2: add KL to the adapter-disabled frozen base "
+                        "(computed in-graph; modeling_taste.py:864-877)")
     p.add_argument("--log-every", type=int, default=50)
     p.add_argument("--save-every", type=int, default=1000)
     p.add_argument("--platform", default=None,
@@ -225,7 +228,8 @@ def main():
             skip_vq=args.phase in ("text_only", "no_vq"),
             skip_audio_in_decoder=args.phase == "text_only")
     else:
-        step = train_step.make_stage2_step(model, tx, mesh=mesh)
+        step = train_step.make_stage2_step(model, tx, mesh=mesh,
+                                           use_ref_kl=args.ref_kl)
 
     def sharded_batches():
         for b in itertools.chain([first], batches):

@@ -45,10 +45,14 @@ class LoraDense(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, deterministic: bool = True):
+    def __call__(self, x, deterministic: bool = True,
+                 disable_lora: bool = False):
         y = nn.Dense(self.features, use_bias=self.use_bias, dtype=self.dtype,
                      name="base")(x)
         if self.lora is not None and self.lora.r > 0:
+            # params are created unconditionally so a frozen-base forward
+            # (disable_lora=True) can share one module instance with the
+            # adapter forward in the same traced step
             in_dim = x.shape[-1]
             a = self.param(
                 "lora_a",
@@ -58,11 +62,12 @@ class LoraDense(nn.Module):
                 (in_dim, self.lora.r))
             bmat = self.param("lora_b", nn.initializers.zeros,
                               (self.lora.r, self.features))
-            h = x
-            if self.lora.dropout > 0 and not deterministic:
-                h = nn.Dropout(self.lora.dropout, deterministic=False)(h)
-            y = y + (self.lora.alpha / self.lora.r) * (
-                (h.astype(jnp.float32) @ a) @ bmat).astype(y.dtype)
+            if not disable_lora:
+                h = x
+                if self.lora.dropout > 0 and not deterministic:
+                    h = nn.Dropout(self.lora.dropout, deterministic=False)(h)
+                y = y + (self.lora.alpha / self.lora.r) * (
+                    (h.astype(jnp.float32) @ a) @ bmat).astype(y.dtype)
         return y
 
 
@@ -120,13 +125,17 @@ class LlamaAttention(nn.Module):
                                 dtype=self.dtype)
         self.o_proj = LoraDense(cfg.hidden_size, self.lora, dtype=self.dtype)
 
-    def __call__(self, x, cos, sin, mask=None, cache=None, cache_index=None):
+    def __call__(self, x, cos, sin, mask=None, cache=None, cache_index=None,
+                 disable_lora: bool = False):
         cfg = self.config
         b, t, _ = x.shape
         hd = cfg.head_dim
-        q = self.q_proj(x).reshape(b, t, cfg.num_attention_heads, hd)
-        k = self.k_proj(x).reshape(b, t, cfg.num_key_value_heads, hd)
-        v = self.v_proj(x).reshape(b, t, cfg.num_key_value_heads, hd)
+        q = self.q_proj(x, disable_lora=disable_lora).reshape(
+            b, t, cfg.num_attention_heads, hd)
+        k = self.k_proj(x, disable_lora=disable_lora).reshape(
+            b, t, cfg.num_key_value_heads, hd)
+        v = self.v_proj(x, disable_lora=disable_lora).reshape(
+            b, t, cfg.num_key_value_heads, hd)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
         if cache is not None:
@@ -134,7 +143,8 @@ class LlamaAttention(nn.Module):
             v = jax.lax.dynamic_update_slice_in_dim(cache["v"], v, cache_index, 1)
             cache = {"k": k, "v": v}
         out = gqa_attention(q, k, v, mask=mask)
-        return self.o_proj(out.reshape(b, t, -1)), cache
+        return self.o_proj(out.reshape(b, t, -1),
+                           disable_lora=disable_lora), cache
 
 
 class LlamaMLP(nn.Module):
@@ -143,14 +153,15 @@ class LlamaMLP(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, disable_lora: bool = False):
         cfg = self.config
         gate = LoraDense(cfg.intermediate_size, self.lora, dtype=self.dtype,
-                         name="gate_proj")(x)
+                         name="gate_proj")(x, disable_lora=disable_lora)
         up = LoraDense(cfg.intermediate_size, self.lora, dtype=self.dtype,
-                       name="up_proj")(x)
+                       name="up_proj")(x, disable_lora=disable_lora)
         return LoraDense(cfg.hidden_size, self.lora, dtype=self.dtype,
-                         name="down_proj")(nn.silu(gate) * up)
+                         name="down_proj")(nn.silu(gate) * up,
+                                           disable_lora=disable_lora)
 
 
 class LlamaLayer(nn.Module):
@@ -165,12 +176,15 @@ class LlamaLayer(nn.Module):
         self.post_attention_layernorm = RMSNorm(cfg.rms_norm_eps, self.dtype)
         self.mlp = LlamaMLP(cfg, self.lora, self.dtype)
 
-    def __call__(self, x, cos, sin, mask=None, cache=None, cache_index=None):
+    def __call__(self, x, cos, sin, mask=None, cache=None, cache_index=None,
+                 disable_lora: bool = False):
         h, new_cache = self.self_attn(self.input_layernorm(x), cos, sin,
                                       mask=mask, cache=cache,
-                                      cache_index=cache_index)
+                                      cache_index=cache_index,
+                                      disable_lora=disable_lora)
         x = x + h
-        x = x + self.mlp(self.post_attention_layernorm(x))
+        x = x + self.mlp(self.post_attention_layernorm(x),
+                         disable_lora=disable_lora)
         return x, new_cache
 
 
@@ -186,7 +200,9 @@ class LlamaModel(nn.Module):
         cfg = self.config
         self.embed_tokens = nn.Embed(cfg.vocab_size, cfg.hidden_size,
                                      dtype=self.dtype)
-        layer_cls = nn.remat(LlamaLayer) if self.remat else LlamaLayer
+        # static_argnums: 0 is self; 7 is the python-bool disable_lora flag
+        layer_cls = (nn.remat(LlamaLayer, static_argnums=(7,))
+                     if self.remat else LlamaLayer)
         self.layers = [layer_cls(cfg, self.lora, self.dtype, name=f"layers_{i}")
                        for i in range(cfg.num_hidden_layers)]
         self.norm = RMSNorm(cfg.rms_norm_eps, self.dtype)
@@ -206,6 +222,7 @@ class LlamaModel(nn.Module):
         cache_index: Optional[jnp.ndarray] = None,
         output_hidden_states: bool = False,
         key_valid: Optional[jnp.ndarray] = None,      # [B, Tk] for cached decode
+        disable_lora: bool = False,   # frozen-base forward (adapters off)
     ):
         cfg = self.config
         if inputs_embeds is None:
@@ -232,9 +249,9 @@ class LlamaModel(nn.Module):
         hidden_states = [x] if output_hidden_states else None
         new_caches = []
         for i, layer in enumerate(self.layers):
-            x, c = layer(x, cos, sin, mask=mask,
-                         cache=None if caches is None else caches[i],
-                         cache_index=cache_index)
+            x, c = layer(x, cos, sin, mask,
+                         None if caches is None else caches[i],
+                         cache_index, disable_lora)
             new_caches.append(c)
             if output_hidden_states:
                 hidden_states.append(x)

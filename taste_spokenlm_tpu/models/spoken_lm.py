@@ -284,12 +284,29 @@ class TasteSpokenLM(nn.Module):
         train: bool = False,
         rng: Optional[jax.Array] = None,
         ref_logits: Optional[jnp.ndarray] = None,  # frozen-base logits for KL
+        compute_ref_kl: bool = False,  # compute ref_logits in-graph
     ) -> Dict[str, jnp.ndarray]:
         cfg = self.config
         b, t = llm_token_ids.shape
         inputs_embeds, output_lengths, taste_labels, _ = \
             self.prepare_conditional_embeds(
                 cb, llm_indices, llm_token_ids, llm_token_lengths, llm_word_ids)
+
+        if compute_ref_kl and ref_logits is None:
+            # frozen-base forward: the plain text stream [sos|tokens] through
+            # the backbone with adapters disabled (the reference runs a frozen
+            # ref model on exactly these ids, modeling_taste.py:864-871).
+            # Requires use_lora — with LoRA the base weights are frozen by the
+            # optimizer mask, so disabling the adapters recovers the original
+            # model at zero memory cost.
+            ref_ids = jnp.concatenate(
+                [jnp.full((b, 1), cfg.sos_id, llm_token_ids.dtype),
+                 llm_token_ids], axis=1)
+            ref_out = self.language_model(
+                input_ids=ref_ids, attention_lengths=llm_token_lengths + 1,
+                disable_lora=True)
+            ref_logits = jax.lax.stop_gradient(
+                self.language_model.logits(ref_out["last_hidden"]))
 
         out = self.language_model(
             inputs_embeds=inputs_embeds, attention_lengths=output_lengths,

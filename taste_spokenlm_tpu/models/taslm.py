@@ -166,6 +166,7 @@ class TaslmForCausalLM(nn.Module):
         train: bool = False,
         rng: Optional[jax.Array] = None,
         ref_logits: Optional[jnp.ndarray] = None,
+        compute_ref_kl: bool = False,
     ) -> Dict[str, jnp.ndarray]:
         cfg = self.config
         embed_tokens = self.language_model.embed_tokens
@@ -177,6 +178,17 @@ class TaslmForCausalLM(nn.Module):
                                   attention_lengths=attention_lengths)
         hidden = out["last_hidden"]
         text_logits = self.language_model.logits(hidden)
+
+        if (cfg.text_conduct_kl_loss and compute_ref_kl
+                and ref_logits is None):
+            # frozen-base forward over the PURE text embeddings with adapters
+            # disabled (reference: disable_adapter_layers + text-only decoder
+            # pass, modeling_taslm.py:599-613)
+            ref_out = self.language_model(
+                inputs_embeds=text_embeds,
+                attention_lengths=attention_lengths, disable_lora=True)
+            ref_logits = jax.lax.stop_gradient(
+                self.language_model.logits(ref_out["last_hidden"]))
 
         result: Dict[str, jnp.ndarray] = {"text_logits": text_logits}
         total_text, total_speech = 0.0, 0.0

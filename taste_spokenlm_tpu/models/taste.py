@@ -129,13 +129,17 @@ class TasteForCausalLM(nn.Module):
         speaker_embeds=None, asr_token_ids=None, asr_token_lengths=None,
         asr_word_ids=None, speech_token_ids=None, speech_token_lengths=None,
         train: bool = False, rng=None, ref_logits=None,
+        compute_ref_kl: bool = False,
     ) -> Dict[str, jnp.ndarray]:
         """Stage-2 joint LM (modeling_taste.py:1497-1531); optionally runs the
-        frozen speech decoder on predicted taste for eval metrics."""
+        frozen speech decoder on predicted taste for eval metrics.
+        `compute_ref_kl` runs the adapter-disabled backbone on the plain text
+        stream in-graph to produce the frozen-base KL target."""
         cb = self._cb()
         out = self.spoken_lm(cb, llm_indices, llm_token_ids, llm_token_lengths,
                              llm_word_ids, train=train, rng=rng,
-                             ref_logits=ref_logits)
+                             ref_logits=ref_logits,
+                             compute_ref_kl=compute_ref_kl)
         if speech_token_ids is not None and asr_token_ids is not None:
             audio_unit_embeds = self._taste_to_audio_embeds(
                 cb, out["taste_logits"], out["taste_labels"],

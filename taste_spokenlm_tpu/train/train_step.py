@@ -97,7 +97,11 @@ def make_stage2_step(model: TasteForCausalLM, tx,
                      use_ref_kl: bool = False,
                      donate: bool = True) -> Callable:
     """Stage-2 joint LM step (text CE (+KL to frozen base) + taste loss;
-    LoRA/bridge params trainable via the optimizer mask)."""
+    LoRA/bridge params trainable via the optimizer mask).  With `use_ref_kl`
+    the frozen-base logits are computed IN-GRAPH by an adapter-disabled
+    forward over the shared base weights (reference runs a live frozen ref
+    model, modeling_taste.py:864-877) — precomputed batch["ref_logits"] is
+    honored if present."""
 
     def loss_fn(params, quantizer, batch, rng):
         variables = {"params": params, "quantizer": quantizer}
@@ -106,9 +110,12 @@ def make_stage2_step(model: TasteForCausalLM, tx,
             batch["llm_token_lengths"], batch["llm_word_ids"],
             train=True, rng=rng,
             ref_logits=batch.get("ref_logits") if use_ref_kl else None,
+            compute_ref_kl=use_ref_kl,
             method=TasteForCausalLM.forward_spoken_llm)
         metrics = {"loss": out["loss"], "text_loss": out["text_loss"],
                    "taste_loss": out["taste_loss"]}
+        if "text_kl" in out:
+            metrics["text_kl"] = out["text_kl"]
         return out["loss"], metrics
 
     def step(state: TrainState, batch) -> Tuple[TrainState, Dict]:

@@ -132,3 +132,43 @@ def test_multi_token_cached_prefill_matches_full(hf_model):
                   caches=o["caches"], cache_index=jnp.int32(6))
     np.testing.assert_allclose(np.asarray(o2["last_hidden"]),
                                np.asarray(full2), atol=3e-4)
+
+def test_disable_lora_recovers_frozen_base(hf_model):
+    """disable_lora=True must reproduce the LoRA-free base model exactly even
+    with trained (nonzero) adapters — the in-graph frozen-base KL forward
+    relies on it (reference: peft disable_adapter_layers,
+    STAGE1_TRAIN/SpokenLM/taslm/modeling_taslm.py:602-613)."""
+    model, cfg = hf_model
+    ids = jnp.asarray(np.random.RandomState(3).randint(0, cfg.vocab_size,
+                                                       (2, 6)))
+    base_params = convert.llama_params(model.state_dict(), prefix="")
+    lm_lora = LlamaModel(cfg, lora=LoraConfig.tiny())
+    variables = lm_lora.init(jax.random.PRNGKey(0), ids)
+    import flax
+    merged = flax.core.unfreeze(variables)["params"]
+
+    def graft(dst, src):
+        for k, v in src.items():
+            if isinstance(v, dict):
+                graft(dst[k], v)
+            else:
+                dst[k] = jnp.asarray(v)
+    graft(merged, base_params)
+
+    # make the adapters ACTIVE (nonzero B)
+    def perturb(tree, key):
+        for k, v in tree.items():
+            if isinstance(v, dict):
+                perturb(v, key)
+            elif k == "lora_b":
+                tree[k] = jax.random.normal(key, v.shape) * 0.1
+    perturb(merged, jax.random.PRNGKey(7))
+
+    lm_base = LlamaModel(cfg, lora=None)
+    out_base = lm_base.apply({"params": base_params}, ids)["last_hidden"]
+    out_on = lm_lora.apply({"params": merged}, ids)["last_hidden"]
+    out_off = lm_lora.apply({"params": merged}, ids,
+                            disable_lora=True)["last_hidden"]
+    assert np.abs(np.asarray(out_on) - np.asarray(out_base)).max() > 1e-3
+    np.testing.assert_allclose(np.asarray(out_off), np.asarray(out_base),
+                               atol=1e-6)

@@ -153,6 +153,36 @@ def test_generate_deterministic(setup):
     np.testing.assert_array_equal(outs[0], outs[1])
 
 
+def test_forward_in_graph_ref_kl(setup):
+    """compute_ref_kl=True computes the frozen-base KL target in-graph (the
+    adapter-disabled backbone over [sos|tokens]) and must equal passing the
+    same logits precomputed (modeling_taste.py:864-877: 0.9 KL + 0.1 CE)."""
+    cfg, model, variables, (cb, indices, ids, lens, word_ids) = setup
+    b = ids.shape[0]
+
+    def base_fwd(m, ref_ids, ref_lens):
+        o = m.language_model(input_ids=ref_ids, attention_lengths=ref_lens,
+                             disable_lora=True)
+        return m.language_model.logits(o["last_hidden"])
+
+    ref_ids = jnp.concatenate(
+        [jnp.full((b, 1), cfg.sos_id, ids.dtype), ids], axis=1)
+    ref_logits = model.apply(variables, ref_ids, lens + 1, method=base_fwd)
+
+    out_in = model.apply(variables, cb, indices, ids, lens, word_ids,
+                         compute_ref_kl=True)
+    out_pre = model.apply(variables, cb, indices, ids, lens, word_ids,
+                          ref_logits=ref_logits)
+    assert np.isfinite(float(out_in["text_kl"]))
+    np.testing.assert_allclose(float(out_in["text_kl"]),
+                               float(out_pre["text_kl"]), rtol=1e-6)
+    np.testing.assert_allclose(float(out_in["loss"]), float(out_pre["loss"]),
+                               rtol=1e-6)
+    # text loss is the 0.9/0.1 KL/CE mix, different from the pure-CE loss
+    out_ce = model.apply(variables, cb, indices, ids, lens, word_ids)
+    assert abs(float(out_in["text_loss"]) - float(out_ce["text_loss"])) > 1e-8
+
+
 def test_generate_cached_matches_uncached(setup):
     """The KV-cached while_loop decode must match an uncached replay that
     re-runs the full forward over the growing sequence each step (the

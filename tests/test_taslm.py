@@ -197,3 +197,32 @@ def test_generate_cached_matches_uncached(setup):
     assert np.asarray(out["text_ids"])[:n].tolist() == texts
     np.testing.assert_array_equal(np.asarray(out["speech_ids"])[:n],
                                   np.stack(speeches))
+
+
+def test_in_graph_ref_kl(setup):
+    """compute_ref_kl runs the adapter-disabled backbone over the PURE text
+    embeddings in-graph (modeling_taslm.py:599-629) and must equal passing
+    the same logits precomputed."""
+    import dataclasses
+    cfg0, _, _, cb, text, speech = setup
+    cfg = dataclasses.replace(cfg0, text_conduct_kl_loss=True)
+    model = TaslmForCausalLM(cfg)
+    variables = model.init(jax.random.PRNGKey(3), cb, text, speech)
+    tl = jnp.where(jnp.arange(10)[None, :] < 8, text, IGNORE_ID)
+
+    def base_fwd(m, ids):
+        o = m.language_model(
+            inputs_embeds=m.language_model.embed_tokens(ids).astype(m.dtype),
+            disable_lora=True)
+        return m.language_model.logits(o["last_hidden"])
+
+    ref_logits = model.apply(variables, text, method=base_fwd)
+    out_in = model.apply(variables, cb, text, speech, tl, speech,
+                         compute_ref_kl=True)
+    out_pre = model.apply(variables, cb, text, speech, tl, speech,
+                          ref_logits=ref_logits)
+    assert np.isfinite(float(out_in["text_kl_loss"]))
+    np.testing.assert_allclose(float(out_in["text_kl_loss"]),
+                               float(out_pre["text_kl_loss"]), rtol=1e-6)
+    np.testing.assert_allclose(float(out_in["loss"]), float(out_pre["loss"]),
+                               rtol=1e-6)

@@ -143,3 +143,57 @@ def test_checkpoint_roundtrip(tmp_path, stage1):
         np.asarray(jax.tree_util.tree_leaves(restored.params)[0]),
         np.asarray(jax.tree_util.tree_leaves(state.params)[0]))
     mgr.close()
+
+
+def test_stage2_step_with_in_graph_ref_kl(stage1):
+    """Stage-2 pjit step with use_ref_kl: the frozen-base logits are computed
+    in-graph by the adapter-disabled backbone (modeling_taste.py:864-877);
+    only LoRA/bridge params move (the base stays frozen via the mask)."""
+    cfg, model, _, s1_batch = stage1
+    b = 8
+    rng = np.random.RandomState(3)
+    t = 6
+    k = cfg.audio_tower.quantizer.codebook_size
+    lvls = cfg.audio_tower.quantizer.num_quantizers
+    batch = {
+        "llm_indices": jnp.asarray(rng.randint(0, k, (b, t, lvls))),
+        "llm_token_ids": jnp.asarray(
+            rng.randint(2, cfg.spoken_lm.llama.vocab_size, (b, t))),
+        "llm_token_lengths": jnp.asarray([t, t, t, t, 4, 4, 4, 4]),
+        "llm_word_ids": jnp.asarray(
+            np.minimum(np.arange(t) // 2, t - 1)[None].repeat(b, 0)),
+    }
+    variables = model.init(
+        jax.random.PRNGKey(0), jax.random.PRNGKey(1),
+        s1_batch["speaker_embeds"], s1_batch["asr_token_ids"],
+        s1_batch["asr_token_lengths"], s1_batch["asr_word_ids"],
+        s1_batch["audio_features"], s1_batch["speech_token_ids"],
+        s1_batch["speech_token_lengths"], batch["llm_token_ids"],
+        batch["llm_token_lengths"], batch["llm_word_ids"],
+        method=TasteForCausalLM.init_all)
+
+    mask = optim.trainable_mask(
+        variables["params"], unfreeze_patterns=[r"lora_", r"spoken_lm/(?!language_model)"])
+    tx = optim.make_optimizer(1e-3, mask=mask)
+    mesh = mesh_lib.make_mesh(data=4, model=2)
+    state = train_step.init_state(jax.random.PRNGKey(0), variables["params"],
+                                  variables["quantizer"], tx)
+    state = jax.device_put(state, train_step.state_shardings(mesh, state))
+    sharded = jax.device_put(batch, mesh_lib.batch_specs(mesh, batch))
+    step = train_step.make_stage2_step(model, tx, mesh=mesh, use_ref_kl=True,
+                                       donate=False)
+    base_q = np.asarray(
+        variables["params"]["spoken_lm"]["language_model"]["layers_0"]
+        ["self_attn"]["q_proj"]["base"]["kernel"])
+    with mesh:
+        for _ in range(2):
+            state, metrics = step(state, sharded)
+    assert np.isfinite(float(metrics["loss"]))
+    assert np.isfinite(float(metrics["text_kl"]))
+    # frozen base weights did not move; adapters did
+    p = jax.device_get(state.params["spoken_lm"]["language_model"])
+    np.testing.assert_allclose(
+        np.asarray(p["layers_0"]["self_attn"]["q_proj"]["base"]["kernel"]),
+        base_q)
+    assert np.abs(np.asarray(
+        p["layers_0"]["self_attn"]["q_proj"]["lora_b"])).max() > 0
