@@ -168,9 +168,11 @@ class ConvolutionModule(nn.Module):
 
     pointwise 1x1 -> GLU -> depthwise (causal = left-pad k-1, else
     symmetric) -> norm -> act -> pointwise 1x1, with padded positions zeroed
-    on both sides.  Padding is applied to the raw input before the first
-    pointwise conv, matching the reference numerics (its bias leaks into the
-    depthwise window at the edges).
+    on both sides.  Causal mode left-pads the RAW input before the first
+    pointwise conv (convolution.py:115-117 — so GLU(pconv1 bias) leaks into
+    the left edge of the depthwise window, reproduced here); symmetric mode
+    zero-pads AFTER the GLU (the depthwise conv's own padding=(k-1)//2,
+    convolution.py:60-68).
     """
 
     channels: int
@@ -186,15 +188,14 @@ class ConvolutionModule(nn.Module):
         if pad_mask is not None:
             x = jnp.where(pad_mask[..., None], x, 0.0)
         if self.causal:
-            pad = ((0, 0), (self.kernel_size - 1, 0), (0, 0))
-        else:
-            half = (self.kernel_size - 1) // 2
-            pad = ((0, 0), (half, half), (0, 0))
-        x = jnp.pad(x, pad)
+            x = jnp.pad(x, ((0, 0), (self.kernel_size - 1, 0), (0, 0)))
         x = nn.Conv(2 * self.channels, (1,), padding="VALID",
                     dtype=self.dtype, name="pointwise_conv1")(x)
         a, b = jnp.split(x, 2, axis=-1)
         x = a * nn.sigmoid(b)                                  # GLU
+        if not self.causal:
+            half = (self.kernel_size - 1) // 2
+            x = jnp.pad(x, ((0, 0), (half, half), (0, 0)))
         x = nn.Conv(self.channels, (self.kernel_size,), padding="VALID",
                     feature_group_count=self.channels, dtype=self.dtype,
                     name="depthwise_conv")(x)

@@ -8,7 +8,7 @@ HF parameter names, so conversion is a mechanical rename + transpose.
 
 from __future__ import annotations
 
-from typing import Dict, Mapping
+from typing import Dict, Mapping, Optional
 
 import numpy as np
 
@@ -144,13 +144,21 @@ def _conv1d_to_flax(w: np.ndarray) -> np.ndarray:
     return w.transpose(2, 1, 0)
 
 
-def conformer_params(state_dict: Mapping[str, "np.ndarray"], prefix: str) -> Dict:
+def conformer_params(state_dict: Mapping[str, "np.ndarray"], prefix: str,
+                     batch_stats: Optional[Dict] = None) -> Dict:
     """CosyVoice Transformer/Conformer encoder state dict -> flax tree for
     models.conformer.ConformerEncoder.
 
     Reference names: embed.out.0 (linear), embed.out.1 (LN),
     encoders.{i}.self_attn.linear_{q,k,v,out,pos}, pos_bias_u/v,
-    feed_forward.w_1/w_2, norm1/norm2 or norm_mha/norm_ff, after_norm.
+    feed_forward[_macaron].w_1/w_2, norm1/norm2 or
+    norm_mha/norm_ff/norm_ff_macaron/norm_conv/norm_final,
+    conv_module.{pointwise_conv1,depthwise_conv,norm,pointwise_conv2},
+    after_norm (cosyvoice/encoder.py + encoder_layer.py + convolution.py).
+
+    BatchNorm running stats (conv_module.norm.running_{mean,var} when
+    cnn_module_norm='batch_norm') are written into `batch_stats` when a dict
+    is supplied — pass it as the flax 'batch_stats' collection.
     """
     tree: Dict = {}
     for name, w in state_dict.items():
@@ -182,13 +190,30 @@ def conformer_params(state_dict: Mapping[str, "np.ndarray"], prefix: str) -> Dic
                     kind = {"weight": "kernel", "bias": "bias"}[sub[2]]
                     _set(tree, [lk, "self_attn", sub[1], kind],
                          w.T if kind == "kernel" else w)
-            elif sub[0] == "feed_forward":
+            elif sub[0] in ("feed_forward", "feed_forward_macaron"):
                 kind = {"weight": "kernel", "bias": "bias"}[sub[2]]
-                _set(tree, [lk, "feed_forward", sub[1], kind],
+                _set(tree, [lk, sub[0], sub[1], kind],
                      w.T if kind == "kernel" else w)
-            elif sub[0] in ("norm1", "norm2", "norm_mha", "norm_ff"):
+            elif sub[0] in ("norm1", "norm2", "norm_mha", "norm_ff",
+                            "norm_ff_macaron", "norm_conv", "norm_final"):
                 _set(tree, [lk, sub[0],
                             {"weight": "scale", "bias": "bias"}[sub[1]]], w)
+            elif sub[0] == "conv_module":
+                if sub[1] == "norm":
+                    if sub[2] in ("running_mean", "running_var"):
+                        if batch_stats is not None:
+                            _set(batch_stats,
+                                 [lk, "conv_module", "norm",
+                                  {"running_mean": "mean",
+                                   "running_var": "var"}[sub[2]]], w)
+                    elif sub[2] != "num_batches_tracked":
+                        _set(tree, [lk, "conv_module", "norm",
+                                    {"weight": "scale", "bias": "bias"}[sub[2]]],
+                             w)
+                else:  # pointwise_conv1 / depthwise_conv / pointwise_conv2
+                    kind = {"weight": "kernel", "bias": "bias"}[sub[2]]
+                    _set(tree, [lk, "conv_module", sub[1], kind],
+                         _conv1d_to_flax(w) if kind == "kernel" else w)
     return tree
 
 
