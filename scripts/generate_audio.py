@@ -131,8 +131,8 @@ def main():
                 args.conditional_mode, 64,
                 method=TasteForCausalLM.generate_completion)
             jax.block_until_ready(gen["llm_token_ids"])
-        n_words = int(gen["num_taste_words"])
-        taste = gen["taste_indices"][None, :max(n_words, 1)]
+        n_words = int(gen["num_taste_words"][0])
+        taste = gen["taste_indices"][:, :max(n_words, 1)]
         word_ids = jnp.asarray((np.arange(t_tok) % max(n_words, 1))[None])
         with timer.stage("synthesis"):
             out = model.apply(

@@ -83,11 +83,11 @@ class CompletionPipeline:
             conditional_mode, self.max_decode_steps,
             method=TasteForCausalLM.generate_completion)
 
-        n = int(gen["num_tokens"])
-        n_taste = int(gen["num_taste_words"])
-        gen_ids = np.asarray(gen["llm_token_ids"])[:n]
-        gen_words = np.asarray(gen["llm_word_ids"])[:n]
-        gen_taste = np.asarray(gen["taste_indices"])[:n_taste]
+        n = int(gen["num_tokens"][0])
+        n_taste = int(gen["num_taste_words"][0])
+        gen_ids = np.asarray(gen["llm_token_ids"])[0, :n]
+        gen_words = np.asarray(gen["llm_word_ids"])[0, :n]
+        gen_taste = np.asarray(gen["taste_indices"])[0, :n_taste]
 
         generated_text = self.llm_tokenizer.decode(gen_ids.tolist()).strip()
         if output_text_only:

@@ -88,11 +88,14 @@ def llama3_inv_freq(cfg: LlamaConfig) -> np.ndarray:
 
 
 def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarray:
-    """x: [B, T, H, D]; cos/sin: [T, D/2] -> rotate-half convention (HF)."""
+    """x: [B, T, H, D]; cos/sin: [T, D/2] (shared positions) or [B, T, D/2]
+    (per-row positions) -> rotate-half convention (HF)."""
     d2 = x.shape[-1] // 2
     x1, x2 = x[..., :d2], x[..., d2:]
-    cos = cos[None, :, None, :]
-    sin = sin[None, :, None, :]
+    if cos.ndim == 2:
+        cos, sin = cos[None], sin[None]
+    cos = cos[:, :, None, :]
+    sin = sin[:, :, None, :]
     return jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
 
 
@@ -209,7 +212,8 @@ class LlamaModel(nn.Module):
         self.inv_freq = jnp.asarray(llama3_inv_freq(cfg))
 
     def _rope(self, positions: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        freqs = positions.astype(jnp.float32)[:, None] * self.inv_freq[None, :]
+        # positions [T] or [B, T] -> cos/sin [..., T, D/2]
+        freqs = positions.astype(jnp.float32)[..., None] * self.inv_freq
         return jnp.cos(freqs).astype(self.dtype), jnp.sin(freqs).astype(self.dtype)
 
     def __call__(
@@ -229,7 +233,10 @@ class LlamaModel(nn.Module):
             inputs_embeds = self.embed_tokens(input_ids)
         x = inputs_embeds.astype(self.dtype)
         b, t, _ = x.shape
-        positions = jnp.arange(t) + position_offset
+        off = jnp.asarray(position_offset)
+        # scalar offset -> positions [T]; per-row [B] offsets -> [B, T]
+        positions = (jnp.arange(t) + off if off.ndim == 0
+                     else off[:, None] + jnp.arange(t)[None, :])
         cos, sin = self._rope(positions)
 
         if caches is None:

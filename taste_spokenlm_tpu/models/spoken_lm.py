@@ -381,173 +381,204 @@ class TasteSpokenLM(nn.Module):
         cb: Codebook,
         sampler_cfg: SamplerConfig,
         tables: Dict[str, jnp.ndarray],
-        llm_indices: Optional[jnp.ndarray] = None,      # [1, T, L]
-        llm_token_ids: Optional[jnp.ndarray] = None,    # [1, T]
+        llm_indices: Optional[jnp.ndarray] = None,      # [B, T, L]
+        llm_token_ids: Optional[jnp.ndarray] = None,    # [B, T]
         llm_token_lengths: Optional[jnp.ndarray] = None,
         llm_word_ids: Optional[jnp.ndarray] = None,
         conditional_mode: str = "audio",
         max_steps: int = 256,
         instruct_prefix_ids: Optional[jnp.ndarray] = None,   # [P]
         instruct_suffix_ids: Optional[jnp.ndarray] = None,   # [S]
+        batch_size: int = 1,   # used by 'zero' mode only (no input arrays)
     ) -> Dict[str, jnp.ndarray]:
-        """Single-sequence joint decode with KV cache.
+        """Batched joint decode with KV cache (the reference's generation
+        loop, modeling_taste.py:1030-1206, is B=1 and cache-less; this is a
+        TPU-first batched redesign — per-row sampler states, per-row done
+        flags, uniform cache layout with per-row RoPE offsets).
 
         Modes (modeling_taste.py:1071-1107): 'zero' (sos only), 'text'
         (text-token prefix), 'audio' (fused text+taste prefix with pending
         audio embeds), 'instruct' (audio prefix wrapped in instruct
         prefix/suffix tokens; pair with `SamplerConfig.stop_id`).
 
-        Returns generated llm token ids [max_steps], taste indices
-        [max_steps, L] (IGNORE at non-word-start), word ids [max_steps], and
-        their length.
+        Row i derives its sampling stream as fold_in(step_key, i), so a
+        row's trajectory depends only on (rng, its inputs, its row index),
+        not on the batch size.
+
+        Returns generated llm token ids [B, max_steps], taste indices
+        [B, max_steps, L] (dense, one row per word), word ids [B, max_steps],
+        and per-row counts.
         """
         cfg = self.config
         embed_tokens = self.language_model.embed_tokens
         d = cfg.delay
         t = llm_token_ids.shape[1] if llm_token_ids is not None else 0
+        b = llm_token_ids.shape[0] if llm_token_ids is not None else batch_size
 
-        # ---- build the conditional prefix ----
+        # ---- build the conditional prefix (all [B, ...]) ----
         if conditional_mode == "audio":
             inputs_embeds, _, _, audio_stream = self.prepare_conditional_embeds(
                 cb, llm_indices, llm_token_ids, llm_token_lengths, llm_word_ids)
-            text_len = llm_token_lengths[0] + 1
-            # prefix embeds: positions [0, text_len) of [sos|fused]
-            prefix_embeds = inputs_embeds[0]                    # [1+T+D, H]
+            text_len = llm_token_lengths + 1                    # [B]
+            # prefix embeds: positions [0, text_len_i) of [sos|fused]
+            prefix_embeds = inputs_embeds                       # [B, 1+T+D, H]
             # pending audio embeds consumed at future word starts
             # (modeling_taste.py:1086: single_audio_embed[text_len-1:])
-            pending = audio_stream[0]                           # [T+D, A]
+            pending = audio_stream                              # [B, T+D, A]
             pending_start = text_len - 1
             prefix_len = text_len
         elif conditional_mode == "text":
-            prefix_embeds = embed_tokens(llm_token_ids[0]).astype(self.dtype)
-            pending = jnp.zeros((t + d, self.audio_dim), self.dtype)
-            pending_start = jnp.int32(0)
-            prefix_len = llm_token_lengths[0]
+            prefix_embeds = embed_tokens(llm_token_ids).astype(self.dtype)
+            pending = jnp.zeros((b, t + d, self.audio_dim), self.dtype)
+            pending_start = jnp.zeros((b,), jnp.int32)
+            prefix_len = llm_token_lengths
         elif conditional_mode == "zero":
-            prefix_embeds = embed_tokens(
-                jnp.asarray([cfg.sos_id])).astype(self.dtype)      # [1, H]
-            pending = jnp.zeros((1 + d, self.audio_dim), self.dtype)
-            pending_start = jnp.int32(0)
-            prefix_len = jnp.int32(1)
+            prefix_embeds = jnp.tile(
+                embed_tokens(jnp.asarray([[cfg.sos_id]])).astype(self.dtype),
+                (b, 1, 1))                                      # [B, 1, H]
+            pending = jnp.zeros((b, 1 + d, self.audio_dim), self.dtype)
+            pending_start = jnp.zeros((b,), jnp.int32)
+            prefix_len = jnp.full((b,), 1, jnp.int32)
         elif conditional_mode == "instruct":
             # [instruct prefix | fused audio+text (sans sos) | suffix]
             # (modeling_taste.py:1089-1107); no pending audio, has_prefix
             # False, termination via SamplerConfig.stop_id
             inputs_embeds, _, _, _ = self.prepare_conditional_embeds(
                 cb, llm_indices, llm_token_ids, llm_token_lengths, llm_word_ids)
-            text_len = llm_token_lengths[0] + 1
+            text_len = llm_token_lengths + 1
             pre = embed_tokens(instruct_prefix_ids).astype(self.dtype)
             suf = embed_tokens(instruct_suffix_ids).astype(self.dtype)
-            fused = inputs_embeds[0, 1:1 + t]                   # drop sos
-            stacked, _ = ragged_concat(
-                [(pre[None], None), (fused[None], (text_len - 1)[None]),
-                 (suf[None], None)],
+            fused = inputs_embeds[:, 1:1 + t]                   # drop sos
+            prefix_embeds, _ = ragged_concat(
+                [(jnp.tile(pre[None], (b, 1, 1)), None),
+                 (fused, text_len - 1),
+                 (jnp.tile(suf[None], (b, 1, 1)), None)],
                 pre.shape[0] + t + suf.shape[0])
-            prefix_embeds = stacked[0]
             prefix_len = pre.shape[0] + (text_len - 1) + suf.shape[0]
-            pending = jnp.zeros((t + d, self.audio_dim), self.dtype)
-            pending_start = jnp.int32(0)
+            pending = jnp.zeros((b, t + d, self.audio_dim), self.dtype)
+            pending_start = jnp.zeros((b,), jnp.int32)
         else:
             raise NotImplementedError(conditional_mode)
 
-        max_prefix = prefix_embeds.shape[0]
+        # Uniform cache layout: prefix rows live in slots [0, max_prefix)
+        # (left-aligned, per-row valid length), generated token i in slot
+        # max_prefix + i for EVERY row.  RoPE positions stay logical
+        # (prefix_len_i + i) via per-row position offsets.
+        max_prefix = prefix_embeds.shape[1]
         total = max_prefix + max_steps
-        caches = self.language_model.init_cache(1, total)
-        key_valid0 = jnp.arange(total)[None, :] < prefix_len
+        caches = self.language_model.init_cache(b, total)
+        slot = jnp.arange(total)
+        key_valid0 = slot[None, :] < prefix_len[:, None]        # [B, total]
 
         out0 = self.language_model(
-            inputs_embeds=prefix_embeds[None], caches=caches,
+            inputs_embeds=prefix_embeds, caches=caches,
             cache_index=jnp.int32(0), output_hidden_states=True,
             key_valid=key_valid0)
-        # hidden at the LAST VALID prefix position
-        last_h = out0["last_hidden"][0, prefix_len - 1]
-        hs = tuple(h[0, prefix_len - 1] for h in out0["hidden_states"])
+
+        def at_last_valid(h):   # [B, T, H] -> [B, H] at prefix_len-1
+            idx = (prefix_len - 1)[:, None, None]
+            return jnp.take_along_axis(h, idx, axis=1)[:, 0]
+
+        last_h = at_last_valid(out0["last_hidden"])
+        hs = tuple(at_last_valid(h) for h in out0["hidden_states"])
         caches = out0["caches"]
 
-        sampler0 = init_state(cfg.llama.vocab_size, d)
+        sampler0 = jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(x, (b,) + x.shape),
+            init_state(cfg.llama.vocab_size, d))
         if conditional_mode in ("text", "audio", "instruct"):
             # count prefix tokens for repetition penalty (the reference seeds
             # input_ids with the full prompt — in instruct mode that includes
             # the instruct prefix/suffix wrappers, modeling_taste.py:1101-1124)
-            onehot = jax.nn.one_hot(llm_token_ids[0], cfg.llama.vocab_size,
-                                    dtype=jnp.int32)
+            onehot = jax.nn.one_hot(llm_token_ids, cfg.llama.vocab_size,
+                                    dtype=jnp.int32)              # [B, T, V]
             counts = jnp.sum(
-                onehot * (jnp.arange(t)[:, None] < llm_token_lengths[0]), axis=0)
+                onehot * (jnp.arange(t)[None, :, None]
+                          < llm_token_lengths[:, None, None]), axis=1)
             if conditional_mode == "instruct":
                 for extra in (instruct_prefix_ids, instruct_suffix_ids):
                     counts = counts + jnp.sum(
                         jax.nn.one_hot(extra, cfg.llama.vocab_size,
-                                       dtype=jnp.int32), axis=0)
+                                       dtype=jnp.int32), axis=0)[None]
             sampler0 = sampler0._replace(token_counts=counts)
 
         class GenState(NamedTuple):
             step: jnp.ndarray
             rng: jax.Array
             caches: Any
-            hidden: jnp.ndarray           # [H] last hidden
-            all_hidden: Any               # tuple of [H] per layer (for bridge)
-            sampler: SamplerState
-            last_audio_embed: jnp.ndarray # [A] fill-forward audio embed
-            pending_ptr: jnp.ndarray
-            out_tokens: jnp.ndarray       # [max_steps]
-            out_taste: jnp.ndarray        # [max_steps, L] one row per WORD
-            out_words: jnp.ndarray        # [max_steps] word id per out token
-            n_out: jnp.ndarray            # emitted token count
-            n_taste: jnp.ndarray          # sampled taste-word count
-            word_id_cur: jnp.ndarray
-            done: jnp.ndarray
+            hidden: jnp.ndarray           # [B, H] last hidden
+            all_hidden: Any               # tuple of [B, H] per layer (bridge)
+            sampler: SamplerState         # batched [B, ...]
+            last_audio_embed: jnp.ndarray # [B, A] fill-forward audio embed
+            pending_ptr: jnp.ndarray      # [B]
+            out_tokens: jnp.ndarray       # [B, max_steps]
+            out_taste: jnp.ndarray        # [B, max_steps, L] one row per WORD
+            out_words: jnp.ndarray        # [B, max_steps] word id per token
+            n_out: jnp.ndarray            # [B] emitted token count
+            n_taste: jnp.ndarray          # [B] sampled taste-word count
+            word_id_cur: jnp.ndarray      # [B]
+            done: jnp.ndarray             # [B]
 
         gen0 = GenState(jnp.int32(0), rng, caches, last_h, hs, sampler0,
-                        jnp.zeros((self.audio_dim,), jnp.float32),
+                        jnp.zeros((b, self.audio_dim), jnp.float32),
                         jnp.asarray(pending_start, jnp.int32),
-                        jnp.full((max_steps,), IGNORE_ID, jnp.int32),
-                        jnp.full((max_steps, self.taste_l), IGNORE_ID, jnp.int32),
-                        jnp.full((max_steps,), IGNORE_ID, jnp.int32),
-                        jnp.int32(0), jnp.int32(0), jnp.int32(-1),
-                        jnp.asarray(False))
+                        jnp.full((b, max_steps), IGNORE_ID, jnp.int32),
+                        jnp.full((b, max_steps, self.taste_l), IGNORE_ID,
+                                 jnp.int32),
+                        jnp.full((b, max_steps), IGNORE_ID, jnp.int32),
+                        jnp.zeros((b,), jnp.int32), jnp.zeros((b,), jnp.int32),
+                        jnp.full((b,), -1, jnp.int32),
+                        jnp.zeros((b,), bool))
+
+        bi = jnp.arange(b)
 
         def cond(mdl, st):
-            return jnp.logical_and(st.step < max_steps, ~st.done)
+            return jnp.logical_and(st.step < max_steps, ~jnp.all(st.done))
 
         def body(mdl, st: GenState):
             rng, sub = jax.random.split(st.rng)
-            text_logits = mdl.language_model.logits(st.hidden[None, None])[0, 0]
+            # per-row streams independent of batch size (row i == fold_in i)
+            subs = jax.vmap(lambda i: jax.random.fold_in(sub, i))(bi)
+            text_logits = mdl.language_model.logits(st.hidden[:, None])[:, 0]
             taste_logits, _ = mdl.extract_for_bridge_out_llm(
-                st.hidden[None, None].astype(jnp.float32),
-                tuple(h[None, None] for h in st.all_hidden), cb)
-            taste_logits = taste_logits[0, 0]
+                st.hidden[:, None].astype(jnp.float32),
+                tuple(h[:, None] for h in st.all_hidden), cb)
+            taste_logits = taste_logits[:, 0]                    # [B, L, K]
 
-            sampler, step_out = sampler_step(sub, st.sampler, text_logits,
-                                             taste_logits, sampler_cfg, tables)
+            sampler, step_out = jax.vmap(
+                lambda r, s, tl, tsl: sampler_step(r, s, tl, tsl,
+                                                   sampler_cfg, tables)
+            )(subs, st.sampler, text_logits, taste_logits)
 
-            # ---- record text/word outputs ----
+            # ---- record text/word outputs (per-row write cursors) ----
             emit = jnp.logical_and(step_out.emit_text, ~st.done)
-            out_tokens = st.out_tokens.at[st.n_out].set(
-                jnp.where(emit, step_out.text_id, st.out_tokens[st.n_out]))
+            out_tokens = st.out_tokens.at[bi, st.n_out].set(
+                jnp.where(emit, step_out.text_id,
+                          st.out_tokens[bi, st.n_out]))
             word_id_cur = jnp.where(
                 jnp.logical_and(emit, step_out.is_word_start),
                 st.word_id_cur + 1, st.word_id_cur)
-            out_words = st.out_words.at[st.n_out].set(
-                jnp.where(emit, word_id_cur, st.out_words[st.n_out]))
+            out_words = st.out_words.at[bi, st.n_out].set(
+                jnp.where(emit, word_id_cur, st.out_words[bi, st.n_out]))
             n_out = st.n_out + emit.astype(jnp.int32)
 
             # ---- record taste (one dense row per word, in order) ----
             do_taste = jnp.logical_and(step_out.taste_sample, ~st.done)
-            out_taste = st.out_taste.at[st.n_taste].set(
-                jnp.where(do_taste, step_out.taste_ids,
-                          st.out_taste[st.n_taste]))
+            out_taste = st.out_taste.at[bi, st.n_taste].set(
+                jnp.where(do_taste[:, None], step_out.taste_ids,
+                          st.out_taste[bi, st.n_taste]))
             n_taste = st.n_taste + do_taste.astype(jnp.int32)
 
             # ---- next-step audio embed (fill-forward semantics,
             #      modeling_taste.py:1158-1194) ----
             taste_embed = codebook_output_from_indices(
-                cb, jnp.maximum(step_out.taste_ids, 0)[None, None])[0, 0]
-            prefix_audio = pending[jnp.minimum(st.pending_ptr,
-                                               pending.shape[0] - 1)]
+                cb, jnp.maximum(step_out.taste_ids, 0)[:, None])[:, 0]
+            prefix_audio = pending[bi, jnp.minimum(st.pending_ptr,
+                                                   pending.shape[1] - 1)]
             pending_ptr = st.pending_ptr + step_out.use_prefix.astype(jnp.int32)
             last_audio = jnp.where(
-                do_taste, taste_embed.astype(jnp.float32),
-                jnp.where(step_out.use_prefix,
+                do_taste[:, None], taste_embed.astype(jnp.float32),
+                jnp.where(step_out.use_prefix[:, None],
                           prefix_audio.astype(jnp.float32),
                           st.last_audio_embed))
             # before taste sampling starts and with no prefix: pad embedding
@@ -556,24 +587,27 @@ class TasteSpokenLM(nn.Module):
             # delay, word-start-count for word delay)
             started_or_prefix = jnp.logical_or(
                 step_out.taste_started, jnp.asarray(sampler_cfg.has_prefix))
-            audio_embed = jnp.where(started_or_prefix, last_audio,
-                                    mdl.pad_audio_unit_embed.astype(jnp.float32))
+            audio_embed = jnp.where(
+                started_or_prefix[:, None], last_audio,
+                mdl.pad_audio_unit_embed.astype(jnp.float32)[None])
 
-            text_embed = embed_tokens(step_out.text_id[None])[0]
+            text_embed = embed_tokens(step_out.text_id[:, None])  # [B, 1, H]
             fused = mdl.fuse_for_bridge_in_llm(
-                text_embed[None, None].astype(mdl.dtype),
-                audio_embed[None, None].astype(mdl.dtype))
+                text_embed.astype(mdl.dtype),
+                audio_embed[:, None].astype(mdl.dtype))
 
+            gen_valid = jnp.logical_and(slot >= max_prefix,
+                                        slot < max_prefix + st.step + 1)
             out_step = mdl.language_model(
                 inputs_embeds=fused, caches=st.caches,
-                cache_index=prefix_len + st.step,
+                cache_index=max_prefix + st.step,
                 position_offset=prefix_len + st.step,
                 output_hidden_states=True,
-                key_valid=(jnp.arange(total)[None, :] < prefix_len + st.step + 1))
+                key_valid=jnp.logical_or(key_valid0, gen_valid[None]))
             return GenState(
                 st.step + 1, rng, out_step["caches"],
-                out_step["last_hidden"][0, 0],
-                tuple(h[0, 0] for h in out_step["hidden_states"]),
+                out_step["last_hidden"][:, 0],
+                tuple(h[:, 0] for h in out_step["hidden_states"]),
                 sampler, last_audio, pending_ptr, out_tokens, out_taste,
                 out_words, n_out, n_taste, word_id_cur,
                 jnp.logical_or(st.done, step_out.terminate))

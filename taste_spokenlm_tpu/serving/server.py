@@ -98,10 +98,23 @@ class TasteEngine:
 
     def complete(self, llm_ids, llm_word_ids, llm_indices, sampler_kwargs,
                  seed, max_steps: int = 128):
+        return self.complete_batch(
+            [dict(llm_ids=llm_ids, llm_word_ids=llm_word_ids,
+                  llm_indices=llm_indices, seed=seed)],
+            sampler_kwargs, max_steps)[0]
+
+    BATCH_BUCKETS = (1, 2, 4, 8)
+
+    def complete_batch(self, requests, sampler_kwargs, max_steps: int = 128):
+        """One batched joint text+taste decode over N concurrent requests
+        (models/spoken_lm.generate is natively batched; rows are padded to a
+        shared token bucket and the batch to a batch bucket so repeated
+        calls hit the jit cache).  Row i's sampling stream derives from
+        (batch key, i) — batching trades exact per-seed reproducibility for
+        throughput; greedy decodes are unaffected."""
         import jax
         import jax.numpy as jnp
-        from taste_spokenlm_tpu.models.sampler import (SamplerConfig,
-                                                       build_sampler_tables)
+        from taste_spokenlm_tpu.models.sampler import SamplerConfig
         from taste_spokenlm_tpu.models.taste import TasteForCausalLM
         v = self.config.spoken_lm.llama.vocab_size
         if not hasattr(self, "_tables"):
@@ -110,10 +123,12 @@ class TasteEngine:
                 "word_start": jnp.asarray(np.arange(v) % 3 == 0),
                 "banned": jnp.zeros((v,), bool),
                 "sentence_end": jnp.asarray(np.arange(v) % 7 == 0)}
-        bucket = self._bucket(len(llm_ids))
+        n_req = len(requests)
+        bucket = self._bucket(max(len(r["llm_ids"]) for r in requests))
+        nb = next(b for b in self.BATCH_BUCKETS if n_req <= b)
         scfg = SamplerConfig(delay=self.config.spoken_lm.delay,
                              **sampler_kwargs)
-        key = ("complete", bucket, max_steps, scfg)
+        key = ("complete", bucket, nb, max_steps, scfg)
         if key not in self._jits:
             def fn(v_, rng, idx, ids, lens, words):
                 return self.model.apply(
@@ -121,13 +136,80 @@ class TasteEngine:
                     "audio", max_steps,
                     method=TasteForCausalLM.generate_completion)
             self._jits[key] = jax.jit(fn)
-        ids, lens, words = self._pad_tokens(llm_ids, llm_word_ids, bucket)
         nq = self.config.audio_tower.quantizer.num_quantizers
-        idx = np.full((bucket, nq), -1, np.int32)
-        idx[:len(llm_indices)] = np.asarray(llm_indices, np.int32)
-        out = self._jits[key](self.variables, jax.random.PRNGKey(seed),
-                              jnp.asarray(idx[None]), ids, lens, words)
-        return {k: np.asarray(val) for k, val in out.items()}
+        ids = np.zeros((nb, bucket), np.int32)
+        words = np.zeros((nb, bucket), np.int32)
+        lens = np.zeros((nb,), np.int32)
+        idx = np.full((nb, bucket, nq), -1, np.int32)
+        for i, r in enumerate(requests):
+            row = list(r["llm_ids"])[:bucket]
+            ids[i, :len(row)] = row
+            words[i, :len(row)] = list(r["llm_word_ids"])[:bucket]
+            lens[i] = len(row)
+            ridx = np.asarray(r["llm_indices"], np.int32)[:bucket]
+            idx[i, :len(ridx)] = ridx
+        lens = np.maximum(lens, 1)  # pad rows decode a dummy 1-token prefix
+        rng = jax.random.PRNGKey(requests[0].get("seed", 0))
+        for r in requests[1:]:
+            rng = jax.random.fold_in(rng, r.get("seed", 0))
+        out = self._jits[key](self.variables, rng, jnp.asarray(idx),
+                              jnp.asarray(ids), jnp.asarray(lens),
+                              jnp.asarray(words))
+        out = {k: np.asarray(val) for k, val in out.items()}
+        return [{k: val[i] for k, val in out.items()} for i in range(n_req)]
+
+
+class CompleteBatcher:
+    """Micro-batching front for `TasteEngine.complete_batch`: concurrent
+    Complete requests that share a sampling config are gathered for up to
+    `window_ms` (or until `max_batch`) and decoded in ONE batched generate
+    call.  Counterpart of the reference runtime's one-request-at-a-time
+    CosyVoice servers — a TPU-first throughput win."""
+
+    def __init__(self, engine: TasteEngine, max_batch: int = 4,
+                 window_ms: float = 5.0):
+        self.engine = engine
+        self.max_batch = max_batch
+        self.window = window_ms / 1e3
+        self._cv = threading.Condition()
+        self._queue: list = []   # (group_key, request_dict, future)
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def submit(self, llm_ids, llm_word_ids, llm_indices, sampler_kwargs,
+               seed, max_steps: int = 128) -> "concurrent.futures.Future":
+        fut: concurrent.futures.Future = concurrent.futures.Future()
+        gk = (tuple(sorted(sampler_kwargs.items())), max_steps)
+        req = dict(llm_ids=llm_ids, llm_word_ids=llm_word_ids,
+                   llm_indices=llm_indices, seed=seed)
+        with self._cv:
+            self._queue.append((gk, req, fut))
+            self._cv.notify()
+        return fut
+
+    def _loop(self):
+        while True:
+            with self._cv:
+                while not self._queue:
+                    self._cv.wait()
+                deadline = time.perf_counter() + self.window
+                while len(self._queue) < self.max_batch:
+                    remaining = deadline - time.perf_counter()
+                    if remaining <= 0:
+                        break
+                    self._cv.wait(remaining)
+                gk = self._queue[0][0]
+                batch = [q for q in self._queue if q[0] == gk][:self.max_batch]
+                for q in batch:
+                    self._queue.remove(q)
+            try:
+                results = self.engine.complete_batch(
+                    [q[1] for q in batch], dict(gk[0]), gk[1])
+                for (_, _, fut), res in zip(batch, results):
+                    fut.set_result(res)
+            except Exception as e:
+                for _, _, fut in batch:
+                    fut.set_exception(e)
 
 
 # ---------------------------------------------------------------------------
@@ -136,8 +218,11 @@ class TasteEngine:
 
 
 def create_grpc_server(engine: TasteEngine, port: int = 50051,
-                       max_workers: int = 4):
+                       max_workers: int = 4,
+                       batcher: Optional[CompleteBatcher] = None):
     import grpc
+    if batcher is None:
+        batcher = CompleteBatcher(engine, max_batch=max_workers)
 
     def Tokenize(request: pb.TokenizeRequest, context) -> pb.TokenizeResponse:
         mel = np.asarray(request.audio_features, np.float32).reshape(
@@ -163,14 +248,14 @@ def create_grpc_server(engine: TasteEngine, port: int = 50051,
     def Complete(request: pb.CompleteRequest, context) -> pb.CompleteResponse:
         nq = engine.config.audio_tower.quantizer.num_quantizers
         idx = np.asarray(request.llm_indices, np.int32).reshape(-1, nq)
-        out = engine.complete(
+        out = batcher.submit(
             list(request.llm_token_ids), list(request.llm_word_ids), idx,
             dict(extra_words=request.extra_words or 8,
                  text_top_p=request.text_top_p,
                  taste_top_p=request.taste_top_p,
                  text_temperature=request.temperature or 1.0,
                  repetition_penalty=request.repetition_penalty or 1.0),
-            request.seed)
+            request.seed).result()
         n = int(out["num_tokens"])
         nt = int(out["num_taste_words"])
         return pb.CompleteResponse(

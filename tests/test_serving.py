@@ -115,3 +115,38 @@ def test_http_health_and_tokenize(engine):
             assert e.code == 404
     finally:
         server.shutdown()
+
+def test_complete_batcher_micro_batches(engine):
+    """Concurrent Complete submissions share one batched decode and each get
+    a consistent per-row result (greedy -> batched rows equal solo runs)."""
+    from taste_spokenlm_tpu.serving.server import CompleteBatcher
+
+    nq = engine.config.audio_tower.quantizer.num_quantizers
+    kw = dict(extra_words=2, text_top_p=0.0, taste_top_p=0.0,
+              text_temperature=1.0, repetition_penalty=1.0)
+    reqs = []
+    rng = np.random.RandomState(7)
+    for i in range(3):
+        n = 4 + i
+        reqs.append(dict(
+            llm_ids=rng.randint(2, 90, n).tolist(),
+            llm_word_ids=(np.arange(n) // 2).tolist(),
+            llm_indices=np.where(
+                (np.arange(n) % 2 == 0)[:, None],
+                rng.randint(0, 4, (n, nq)), -1).astype(np.int32)))
+
+    batcher = CompleteBatcher(engine, max_batch=4, window_ms=200.0)
+    futs = [batcher.submit(r["llm_ids"], r["llm_word_ids"], r["llm_indices"],
+                           kw, seed=0, max_steps=8) for r in reqs]
+    results = [f.result(timeout=600) for f in futs]
+
+    for r, res in zip(reqs, results):
+        n = int(res["num_tokens"])
+        assert 0 < n <= 8
+        solo = engine.complete(r["llm_ids"], r["llm_word_ids"],
+                               r["llm_indices"], kw, seed=0, max_steps=8)
+        # greedy decode: batched row == solo run
+        np.testing.assert_array_equal(res["llm_token_ids"],
+                                      solo["llm_token_ids"])
+        np.testing.assert_array_equal(res["taste_indices"],
+                                      solo["taste_indices"])

@@ -117,11 +117,11 @@ def test_generate_joint_decode(setup):
         variables, jax.random.PRNGKey(0), cb, scfg, tables,
         indices[:1], ids[:1], lens[:1], word_ids[:1], "audio", 48,
         method=TasteSpokenLM.generate)
-    n = int(out["num_tokens"])
-    nt = int(out["num_taste_words"])
-    toks = np.asarray(out["llm_token_ids"])
-    words = np.asarray(out["llm_word_ids"])
-    taste = np.asarray(out["taste_indices"])
+    n = int(out["num_tokens"][0])
+    nt = int(out["num_taste_words"][0])
+    toks = np.asarray(out["llm_token_ids"])[0]
+    words = np.asarray(out["llm_word_ids"])[0]
+    taste = np.asarray(out["taste_indices"])[0]
     assert 0 < n <= 48
     assert (toks[:n] >= 0).all() and (toks[:n] < v).all()
     assert (toks[n:] == IGNORE_ID).all()
@@ -267,13 +267,13 @@ def test_generate_cached_matches_uncached(setup):
         if bool(so.terminate):
             break
 
-    n, nt = int(out["num_tokens"]), int(out["num_taste_words"])
+    n, nt = int(out["num_tokens"][0]), int(out["num_taste_words"][0])
     assert n == len(toks), (n, toks)
-    assert np.asarray(out["llm_token_ids"])[:n].tolist() == toks
+    assert np.asarray(out["llm_token_ids"])[0, :n].tolist() == toks
     assert nt == len(taste_rows)
     if nt:
         np.testing.assert_array_equal(
-            np.asarray(out["taste_indices"])[:nt], np.stack(taste_rows))
+            np.asarray(out["taste_indices"])[0, :nt], np.stack(taste_rows))
 
 
 @pytest.mark.parametrize("mode", ["pad", "embed_a0_only",
@@ -363,8 +363,8 @@ def test_generate_zero_and_instruct_modes(setup):
         variables, jax.random.PRNGKey(0), cb, scfg, tables,
         None, None, None, None, "zero", 48,
         method=TasteSpokenLM.generate)
-    n = int(out["num_tokens"])
-    toks = np.asarray(out["llm_token_ids"])
+    n = int(out["num_tokens"][0])
+    toks = np.asarray(out["llm_token_ids"])[0]
     assert 0 < n <= 48
     assert (toks[:n] >= 0).all() and (toks[:n] < v).all()
 
@@ -375,9 +375,64 @@ def test_generate_zero_and_instruct_modes(setup):
         indices[:1], ids[:1], lens[:1], word_ids[:1], "instruct", 48,
         jnp.asarray([1, 2, 3]), jnp.asarray([4, 5]),
         method=TasteSpokenLM.generate)
-    n_i = int(out_i["num_tokens"])
-    toks_i = np.asarray(out_i["llm_token_ids"])
+    n_i = int(out_i["num_tokens"][0])
+    toks_i = np.asarray(out_i["llm_token_ids"])[0]
     assert 0 < n_i <= 48
     assert (toks_i[:n_i] >= 0).all() and (toks_i[:n_i] < v).all()
     # the stop id itself is never emitted (sampler.py:139-140)
     assert (toks_i[:n_i] != 7).all()
+
+def test_generate_batched_matches_single_rows(setup):
+    """Batched joint decode: each row of a ragged B=2 batch must match its
+    own B=1 run exactly (greedy; per-row rng is fold_in(step_key, row), so
+    sampled row 0 also matches — covered below)."""
+    cfg, model, variables, (cb, indices, ids, lens, word_ids) = setup
+    v = cfg.llama.vocab_size
+    tables = {
+        "word_start": jnp.asarray(np.arange(v) % 3 == 0),
+        "banned": jnp.zeros((v,), bool),
+        "sentence_end": jnp.asarray(np.arange(v) % 7 == 0),
+    }
+    scfg = SamplerConfig(delay=cfg.delay, delay_level="word", extra_words=2,
+                         max_words_factor=2, has_prefix=True)  # greedy
+    key = jax.random.PRNGKey(5)
+    out_b = model.apply(variables, key, cb, scfg, tables, indices, ids, lens,
+                        word_ids, "audio", 16, method=TasteSpokenLM.generate)
+    for r in range(2):
+        out_1 = model.apply(
+            variables, key, cb, scfg, tables, indices[r:r + 1], ids[r:r + 1],
+            lens[r:r + 1], word_ids[r:r + 1], "audio", 16,
+            method=TasteSpokenLM.generate)
+        # row 1's B=1 run derives its sampler rng as fold_in(key, 0), the
+        # batched row 1 as fold_in(key, 1) — greedy sampling ignores rng, so
+        # trajectories must still agree exactly
+        for k in ("llm_token_ids", "llm_word_ids", "taste_indices",
+                  "num_tokens", "num_taste_words"):
+            np.testing.assert_array_equal(
+                np.asarray(out_b[k])[r], np.asarray(out_1[k])[0],
+                err_msg=f"row={r} key={k}")
+
+
+def test_generate_batched_row0_matches_single_sampled(setup):
+    """With top-p sampling, batched row 0 uses the same per-row stream
+    (fold_in(step_key, 0)) as a B=1 run, so the trajectories are identical."""
+    cfg, model, variables, (cb, indices, ids, lens, word_ids) = setup
+    v = cfg.llama.vocab_size
+    tables = {
+        "word_start": jnp.asarray(np.arange(v) % 3 == 0),
+        "banned": jnp.zeros((v,), bool),
+        "sentence_end": jnp.asarray(np.arange(v) % 7 == 0),
+    }
+    scfg = SamplerConfig(delay=cfg.delay, delay_level="word", extra_words=2,
+                         max_words_factor=2, has_prefix=True,
+                         text_top_p=0.9, text_temperature=0.8,
+                         repetition_penalty=1.1)
+    key = jax.random.PRNGKey(6)
+    out_b = model.apply(variables, key, cb, scfg, tables, indices, ids, lens,
+                        word_ids, "audio", 12, method=TasteSpokenLM.generate)
+    out_1 = model.apply(variables, key, cb, scfg, tables, indices[:1],
+                        ids[:1], lens[:1], word_ids[:1], "audio", 12,
+                        method=TasteSpokenLM.generate)
+    for k in ("llm_token_ids", "taste_indices", "num_tokens"):
+        np.testing.assert_array_equal(np.asarray(out_b[k])[0],
+                                      np.asarray(out_1[k])[0], err_msg=k)
