@@ -630,3 +630,28 @@ class OnnxJaxFunction:
 
 def supported_ops() -> List[str]:
     return sorted(_OPS)
+
+
+def audit_ops(graph_or_blob) -> Dict[str, Any]:
+    """Inventory a graph's ops BEFORE execution.
+
+    Use this on a freshly downloaded campplus.onnx / speech_tokenizer_v1.onnx
+    to learn up front whether `OnnxJaxFunction` can run it (instead of
+    hitting NotImplementedError mid-graph).  Accepts an OnnxGraph, .onnx
+    bytes, or a path.
+
+    Returns {"op_counts": {op: n}, "unsupported": [op...], "ok": bool,
+    "num_nodes": int, "num_initializers": int}.
+    """
+    from collections import Counter
+    g = (graph_or_blob if isinstance(graph_or_blob, OnnxGraph)
+         else load_onnx(graph_or_blob))
+    counts = Counter(n.op_type for n in g.nodes)
+    unsupported = sorted(set(counts) - set(_OPS))
+    return {
+        "op_counts": dict(sorted(counts.items())),
+        "unsupported": unsupported,
+        "ok": not unsupported,
+        "num_nodes": len(g.nodes),
+        "num_initializers": len(g.initializers),
+    }
