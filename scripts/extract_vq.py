@@ -103,7 +103,9 @@ def main():
         ds = Stage1Dataset(
             files, tokenize_fn=lambda text: proc.process_text(text=text),
             host_index=jax.process_index(), host_count=jax.process_count(),
-            token_budget=args.token_budget)
+            token_budget=args.token_budget,
+            n_mels=cfg.audio_tower.whisper.n_mels,
+            mel_frames=2 * cfg.audio_tower.whisper.max_source_positions)
 
         def batch_iter():
             yield from itertools.islice(ds.batches(epoch=0),

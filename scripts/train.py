@@ -74,7 +74,7 @@ def _expand_globs(patterns):
     return files
 
 
-def stage1_batches(args):
+def stage1_batches(args, cfg):
     """Endless epochs over the TASTE-Dump arrow shards (host-sharded,
     bucket-batched) — the real-data stage-1 path."""
     import jax
@@ -94,7 +94,9 @@ def stage1_batches(args):
         _expand_globs(args.data),
         tokenize_fn=lambda text: proc.process_text(text=text),
         host_index=jax.process_index(), host_count=jax.process_count(),
-        seed=args.seed, token_budget=args.token_budget)
+        seed=args.seed, token_budget=args.token_budget,
+        n_mels=cfg.audio_tower.whisper.n_mels,
+        mel_frames=2 * cfg.audio_tower.whisper.max_source_positions)
     for epoch in itertools.count():
         yield from ds.batches(epoch)
 
@@ -185,7 +187,7 @@ def main():
     if args.synthetic:
         batches = synthetic_batches(cfg, args.batch_size, args.stage)
     elif args.stage == 1:
-        batches = stage1_batches(args)
+        batches = stage1_batches(args, cfg)
     else:
         batches = stage2_batches(args)
 
@@ -231,9 +233,20 @@ def main():
         step = train_step.make_stage2_step(model, tx, mesh=mesh,
                                            use_ref_kl=args.ref_kl)
 
+    n_data = mesh.shape["data"]
+
+    def _pad_rows(x):
+        # bucketed real-data batches can end with a ragged row count; pad by
+        # repeating the last row so dim 0 shards evenly over the data axis
+        r = (-x.shape[0]) % n_data
+        if r:
+            x = np.concatenate([x, np.repeat(x[-1:], r, axis=0)], axis=0)
+        return x
+
     def sharded_batches():
         for b in itertools.chain([first], batches):
-            b = jax.tree_util.tree_map(jnp.asarray, b)
+            b = jax.tree_util.tree_map(lambda x: jnp.asarray(_pad_rows(
+                np.asarray(x))), b)
             yield jax.device_put(b, mesh_lib.batch_specs(mesh, b))
 
     trainer = Trainer(

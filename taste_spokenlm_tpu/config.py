@@ -113,6 +113,21 @@ class WhisperConfig(_Base):
     # (/root/reference/taste_speech/modeling_taste.py:145-160)
     decoder_prompt: Tuple[int, ...] = (50258, 50259, 50360, 50364)
     eos_token_id: int = 50257
+    # ASR decode suppression (HF whisper-large-v3 generation_config:
+    # suppress_tokens = the non-speech token list, begin_suppress_tokens =
+    # [" ", eos], timestamps suppressed from no_timestamps+1 when decoding
+    # with return_timestamps=None — processing_taste.py:256-266)
+    suppress_ids: Tuple[int, ...] = (
+        1, 2, 7, 8, 9, 10, 14, 25, 26, 27, 28, 29, 31, 58, 59, 60, 61, 62,
+        63, 90, 91, 92, 93, 359, 503, 522, 542, 873, 893, 902, 918, 922,
+        931, 1350, 1853, 1982, 2460, 2627, 3246, 3253, 3268, 3536, 3846,
+        3961, 4183, 4667, 6585, 6647, 7273, 9061, 9383, 10428, 10929, 11938,
+        12033, 12331, 12562, 13793, 14157, 14635, 15265, 15618, 16553,
+        16604, 18362, 18956, 20075, 21675, 22520, 26130, 26161, 26435,
+        28279, 29464, 31650, 32302, 32470, 36865, 42863, 47425, 49870,
+        50254, 50258, 50359, 50360, 50361, 50362, 50363)
+    begin_suppress_ids: Tuple[int, ...] = (220, 50257)
+    timestamp_begin_id: int = 50365  # <|0.00|>; -1 disables
 
     @classmethod
     def tiny(cls) -> "WhisperConfig":
@@ -121,6 +136,8 @@ class WhisperConfig(_Base):
             decoder_layers=2, decoder_heads=4, ffn_dim=128, n_mels=128,
             max_source_positions=96, max_target_positions=64,
             decoder_prompt=(1, 2, 3, 4), eos_token_id=5,
+            suppress_ids=(7, 8), begin_suppress_ids=(6,),
+            timestamp_begin_id=990,
         )
 
 

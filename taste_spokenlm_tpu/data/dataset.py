@@ -156,11 +156,17 @@ class Stage1Dataset:
     def __init__(self, files: Sequence[str], tokenize_fn,
                  host_index: int = 0, host_count: int = 1,
                  seed: int = 0, buckets=DEFAULT_BUCKETS,
-                 token_budget: int = 2048):
+                 token_budget: int = 2048,
+                 n_mels: int = 128, mel_frames: int = 3000):
+        # n_mels/mel_frames default to the whisper-large 30 s window; pass
+        # the model's (whisper.n_mels, 2*whisper.max_source_positions) so
+        # smaller configs (e.g. TasteConfig.tiny) can train on real shards
         self.files = shard_files(files, host_index, host_count)
         self.tokenize_fn = tokenize_fn
         self.seed = seed
         self.batcher = BucketBatcher(buckets, token_budget)
+        self.n_mels = n_mels
+        self.mel_frames = mel_frames
 
     def _iter_raw(self, epoch: int) -> Iterator[Dict]:
         import datasets  # lazy: offline unit tests use synthetic examples
@@ -181,7 +187,9 @@ class Stage1Dataset:
         if wav.ndim > 1:
             wav = wav.mean(0)
         wav16 = np.asarray(audio_ops.resample(jnp.asarray(wav[None]), sr, 16000))[0]
-        mel = np.asarray(audio_ops.whisper_log_mel(jnp.asarray(wav16[None])))[0]
+        mel = np.asarray(audio_ops.whisper_log_mel(
+            jnp.asarray(wav16[None]), n_mels=self.n_mels,
+            n_samples=self.mel_frames * 160))[0]
         tok = self.tokenize_fn(raw["json"]["text"])
         if tok is None:
             return None
@@ -192,7 +200,7 @@ class Stage1Dataset:
         return {
             "speaker_embeds": np.asarray(raw["spk_emb"], np.float32),
             "audio_features": mel,
-            "audio_feature_lengths": len(wav16) // 160,
+            "audio_feature_lengths": min(len(wav16) // 160, self.mel_frames),
             "speech_token_ids": np.asarray(raw["s3_token"], np.int32),
             **tok,
         }
@@ -204,7 +212,10 @@ class Stage1Dataset:
                 if ex is not None:
                     yield ex
         for bucket, group in self.batcher(gen()):
-            yield collate(group, bucket)
+            yield collate(group, bucket, self.n_mels, self.mel_frames)
+        # epoch tail: emit partially-filled buckets instead of dropping them
+        for bucket, group in self.batcher.flush():
+            yield collate(group, bucket, self.n_mels, self.mel_frames)
 
 
 class Stage2JsonlDataset:

@@ -70,6 +70,57 @@ def s3_tokenizer_from_onnx(path_or_bytes) -> Callable:
     return tokenize
 
 
+def transcribe_with_fallback(asr_apply, mel, tokenizer=None,
+                             max_tokens: int = 224,
+                             temperatures=(0.0, 0.2, 0.4, 0.6, 0.8, 1.0),
+                             logprob_threshold: float = -1.0,
+                             compression_ratio_threshold: float = 2.4,
+                             seed: int = 0):
+    """Whisper's temperature-fallback decode (the recipe behind the HF
+    pipeline the reference uses for data prep, processing_taste.py:256-266):
+    start greedy; rows whose avg logprob falls below `logprob_threshold` or
+    whose decoded text zlib-compresses too well (degenerate repetition,
+    ratio >= `compression_ratio_threshold`) are re-decoded at the next
+    temperature.
+
+    `asr_apply(mel, max_tokens, temperature, rng) -> (tokens [B, T],
+    avg_logprob [B])` — e.g. a jitted WhisperForASR.apply closure.
+    Returns (tokens [B, T], avg_logprob [B], temperature_used [B]).
+    """
+    import zlib
+    import jax
+
+    mel = np.asarray(mel)
+    b = mel.shape[0]
+    out_tokens = out_lp = None
+    out_temp = np.zeros((b,), np.float32)
+    remaining = np.ones((b,), bool)
+    for ti, temp in enumerate(temperatures):
+        tokens, avg_lp = asr_apply(mel, max_tokens, float(temp),
+                                   jax.random.PRNGKey(seed + ti))
+        tokens, avg_lp = np.asarray(tokens), np.asarray(avg_lp)
+        if out_tokens is None:
+            out_tokens, out_lp = tokens.copy(), avg_lp.copy()
+            out_temp[:] = temp
+        else:
+            out_tokens[remaining] = tokens[remaining]
+            out_lp[remaining] = avg_lp[remaining]
+            out_temp[remaining] = temp
+        ok = out_lp > logprob_threshold
+        if tokenizer is not None:
+            for i in np.flatnonzero(remaining):
+                text = tokenizer.decode(
+                    [int(t) for t in out_tokens[i]], skip_special_tokens=True)
+                raw = text.encode("utf-8")
+                if raw:
+                    ratio = len(raw) / max(len(zlib.compress(raw)), 1)
+                    ok[i] = ok[i] and ratio < compression_ratio_threshold
+        remaining = remaining & ~ok
+        if not remaining.any():
+            break
+    return out_tokens, out_lp, out_temp
+
+
 def split_words(text: str) -> List[str]:
     """' '-prefixed whitespace words (processing_taste.py:175)."""
     return [" " + w for w in re.split(r"\s", text.strip()) if w]

@@ -19,6 +19,7 @@ from typing import Any, Dict, Optional, Tuple
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from taste_spokenlm_tpu.config import WhisperConfig
 from taste_spokenlm_tpu.ops.attention import multi_head_attention
@@ -275,26 +276,41 @@ class WhisperDecoder(nn.Module):
 
 
 class WhisperForASR(nn.Module):
-    """Whisper encoder + decoder with greedy transcription.
+    """Whisper encoder + decoder transcription with the HF pipeline's decode
+    semantics.
 
     The TPU-side replacement for the reference's HF ASR pipeline used in
-    preprocessing (/root/reference/taste_speech/processing_taste.py:256-266):
-    mel -> encoder -> KV-cached greedy decode from the task prompt until EOS.
-    Plugs into frontend.TasteProcessor as the `transcriber` hook (token ids
-    out; text decoding happens with the host tokenizer).
+    preprocessing (/root/reference/taste_speech/processing_taste.py:256-266,
+    return_timestamps=None): mel -> encoder -> KV-cached decode from the
+    task prompt until EOS, with `suppress_tokens` / `begin_suppress_tokens`
+    masking, timestamp suppression, and optional temperature sampling (the
+    building block for the whisper temperature-fallback recipe — see
+    frontend.processor.transcribe_with_fallback).  Plugs into
+    frontend.TasteProcessor as the `transcriber` hook (token ids out; text
+    decoding happens with the host tokenizer).
     """
 
     config: WhisperConfig
     dtype: Any = jnp.float32
 
     def setup(self):
-        self.encoder = WhisperEncoder(self.config, dtype=self.dtype,
-                                      name="encoder")
-        self.decoder = WhisperDecoder(self.config, dtype=self.dtype,
-                                      name="decoder")
+        cfg = self.config
+        self.encoder = WhisperEncoder(cfg, dtype=self.dtype, name="encoder")
+        self.decoder = WhisperDecoder(cfg, dtype=self.dtype, name="decoder")
+        sup = np.zeros((cfg.vocab_size,), np.float32)
+        sup[list(cfg.suppress_ids)] = -np.inf
+        if cfg.timestamp_begin_id >= 0:
+            sup[cfg.timestamp_begin_id:] = -np.inf
+        begin = np.zeros((cfg.vocab_size,), np.float32)
+        begin[list(cfg.begin_suppress_ids)] = -np.inf
+        self._suppress_mask = jnp.asarray(sup)
+        self._begin_mask = jnp.asarray(begin)
 
-    def __call__(self, mel: jnp.ndarray, max_tokens: int = 224):
-        """mel [B, n_mels, 3000] -> token ids [B, max_tokens] (EOS-padded)."""
+    def __call__(self, mel: jnp.ndarray, max_tokens: int = 224,
+                 temperature: float = 0.0, rng: Optional[jax.Array] = None):
+        """mel [B, n_mels, 3000] -> (token ids [B, max_tokens] EOS-padded,
+        avg logprob [B] of the emitted tokens incl. EOS — whisper's
+        fallback quality signal)."""
         cfg = self.config
         b = mel.shape[0]
         enc = self.encoder(mel)["last_hidden"]
@@ -307,37 +323,55 @@ class WhisperForASR(nn.Module):
         # prefill the prompt
         hidden, caches = self.decoder(prompt, enc, caches=caches,
                                       cache_index=jnp.int32(0))
-        # logits via tied embedding (whisper ties lm head to embed_tokens)
-        emb = self.decoder.embed_tokens.embedding
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
 
         from typing import NamedTuple as _NT
 
         class S(_NT):
             step: jnp.ndarray
+            rng: jax.Array
             last_hidden: jnp.ndarray   # [B, C]
             caches: Any
             tokens: jnp.ndarray        # [B, max_tokens]
+            sum_logprob: jnp.ndarray   # [B]
+            n_emitted: jnp.ndarray     # [B]
             done: jnp.ndarray          # [B]
 
-        init = S(jnp.int32(0), hidden[:, -1], caches,
+        init = S(jnp.int32(0), rng, hidden[:, -1], caches,
                  jnp.full((b, max_tokens), cfg.eos_token_id, jnp.int32),
+                 jnp.zeros((b,), jnp.float32), jnp.zeros((b,), jnp.int32),
                  jnp.zeros((b,), bool))
 
         def cond(mdl, s):
             return jnp.logical_and(s.step < max_tokens, ~jnp.all(s.done))
 
         def body(mdl, s):
+            rng, sub = jax.random.split(s.rng)
+            # logits via tied embedding (whisper ties lm head to embeds)
             logits = (s.last_hidden.astype(jnp.float32)
                       @ mdl.decoder.embed_tokens.embedding.astype(jnp.float32).T)
-            ids = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            logits = logits + mdl._suppress_mask[None]
+            logits = jnp.where(s.step == 0, logits + mdl._begin_mask[None],
+                               logits)
+            if temperature > 0.0:
+                ids = jax.random.categorical(
+                    sub, logits / temperature, axis=-1).astype(jnp.int32)
+            else:
+                ids = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            logprobs = jax.nn.log_softmax(logits, axis=-1)
+            lp = jnp.take_along_axis(logprobs, ids[:, None], axis=1)[:, 0]
             is_eos = ids == cfg.eos_token_id
             emit = jnp.where(s.done, cfg.eos_token_id, ids)
             tokens = s.tokens.at[:, s.step].set(emit)
+            sum_lp = s.sum_logprob + jnp.where(s.done, 0.0, lp)
+            n_emit = s.n_emitted + (~s.done).astype(jnp.int32)
             hidden, caches = mdl.decoder(
                 emit[:, None], enc, position_offset=p + s.step,
                 caches=s.caches, cache_index=p + s.step)
-            return S(s.step + 1, hidden[:, 0], caches, tokens,
-                     s.done | is_eos)
+            return S(s.step + 1, rng, hidden[:, 0], caches, tokens,
+                     sum_lp, n_emit, s.done | is_eos)
 
         final = nn.while_loop(cond, body, self, init)
-        return final.tokens
+        avg_logprob = final.sum_logprob / jnp.maximum(final.n_emitted, 1)
+        return final.tokens, avg_logprob

@@ -67,13 +67,25 @@ def test_whisper_greedy_asr_decode():
     mel = jnp.asarray(np.random.RandomState(0).randn(2, cfg.n_mels, 192),
                       jnp.float32)
     variables = model.init(jax.random.PRNGKey(0), mel, max_tokens=4)
-    tokens = model.apply(variables, mel, max_tokens=8)
+    tokens, avg_lp = model.apply(variables, mel, max_tokens=8)
     t = np.asarray(tokens)
     assert t.shape == (2, 8)
     assert (t >= 0).all() and (t < cfg.vocab_size).all()
+    # HF-pipeline decode semantics: suppress_tokens never sampled,
+    # timestamp ids (>= timestamp_begin_id) never sampled
+    non_eos = t[t != cfg.eos_token_id]
+    for sid in cfg.suppress_ids:
+        assert (non_eos != sid).all()
+    assert (non_eos < cfg.timestamp_begin_id).all()
+    assert np.isfinite(np.asarray(avg_lp)).all() and (np.asarray(avg_lp) <= 0).all()
     # deterministic (greedy)
-    tokens2 = model.apply(variables, mel, max_tokens=8)
+    tokens2, _ = model.apply(variables, mel, max_tokens=8)
     np.testing.assert_array_equal(t, np.asarray(tokens2))
+    # temperature sampling path is rng-driven but shape/vocab safe
+    tokens3, _ = model.apply(variables, mel, max_tokens=8, temperature=0.8,
+                             rng=jax.random.PRNGKey(4))
+    t3 = np.asarray(tokens3)
+    assert t3.shape == (2, 8) and (t3 >= 0).all() and (t3 < cfg.vocab_size).all()
 
 
 def test_concat_fusion_speech_decoder():

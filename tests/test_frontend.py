@@ -113,3 +113,53 @@ def test_load_onnx_roundtrip():
     assert g.nodes[0].outputs == ["y"]
     assert g.nodes[0].attributes["alpha"] == pytest.approx(0.5)
     assert g.inputs == ["x"] and g.outputs == ["y"]
+
+def test_transcribe_with_fallback_retries_low_quality_rows():
+    """Rows below the logprob threshold are re-decoded at the next
+    temperature; good rows keep their greedy result."""
+    from taste_spokenlm_tpu.frontend.processor import transcribe_with_fallback
+
+    calls = []
+
+    def fake_asr(mel, max_tokens, temperature, rng):
+        calls.append(temperature)
+        b = mel.shape[0]
+        toks = np.full((b, 4), 7, np.int32)
+        if temperature == 0.0:
+            lp = np.asarray([-0.1, -3.0])   # row 1 fails the threshold
+            toks[1] = 9
+        else:
+            lp = np.asarray([-0.05, -0.2])  # retry fixes row 1
+            toks[:] = 11
+        return toks, lp
+
+    mel = np.zeros((2, 8, 16), np.float32)
+    tokens, lp, temps = transcribe_with_fallback(
+        fake_asr, mel, temperatures=(0.0, 0.4), logprob_threshold=-1.0)
+    assert calls == [0.0, 0.4]
+    assert tokens[0].tolist() == [7, 7, 7, 7]     # good row untouched
+    assert tokens[1].tolist() == [11, 11, 11, 11]  # failed row re-decoded
+    np.testing.assert_allclose(temps, [0.0, 0.4], rtol=1e-6)
+    np.testing.assert_allclose(lp[1], -0.2, rtol=1e-6)
+
+
+def test_transcribe_with_fallback_compression_ratio():
+    """Degenerate repetitive text trips the zlib compression check even when
+    the logprob looks fine."""
+    from taste_spokenlm_tpu.frontend.processor import transcribe_with_fallback
+
+    class Tok:
+        def decode(self, ids, skip_special_tokens=True):
+            if all(i == 9 for i in ids):
+                return "the the the the the the the the the the the the"
+            return "a perfectly normal varied sentence with many words"
+
+    def fake_asr(mel, max_tokens, temperature, rng):
+        toks = np.full((1, 12), 9 if temperature == 0.0 else 3, np.int32)
+        return toks, np.asarray([-0.1])
+
+    tokens, _, temps = transcribe_with_fallback(
+        fake_asr, np.zeros((1, 8, 16), np.float32), tokenizer=Tok(),
+        temperatures=(0.0, 0.5), compression_ratio_threshold=2.0)
+    np.testing.assert_allclose(temps, [0.5], rtol=1e-6)
+    assert (tokens == 3).all()
