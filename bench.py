@@ -152,13 +152,18 @@ def main():
 
     counter = iter(range(10 ** 9))
     base_key = jax.random.PRNGKey(42)
+    # serve weights in bf16 (the production serving layout — halves HBM
+    # traffic on the memory-bound AR decode; flax modules upcast where the
+    # compute dtype is f32).  Override with BENCH_PARAM_DTYPE=float32.
+    param_dtype = jnp.dtype(os.environ.get("BENCH_PARAM_DTYPE", "bfloat16"))
+    print(f"param dtype: {param_dtype}", file=sys.stderr)
 
     def make(leaf):
         if not np.issubdtype(leaf.dtype, np.floating):
             return jnp.zeros(leaf.shape, leaf.dtype)
         scale = 0.02 if leaf.ndim >= 2 else 1e-3
         k = jax.random.fold_in(base_key, next(counter))
-        return fill_fn(tuple(leaf.shape), leaf.dtype, scale)(k)
+        return fill_fn(tuple(leaf.shape), param_dtype, scale)(k)
 
     variables = jax.tree_util.tree_map(make, shapes)
     jax.block_until_ready(variables)
@@ -233,8 +238,13 @@ def main():
                     (variables, r2, voc_tokens, gen["speech_token_lengths"],
                      batch["speaker_embeds"])),
     }
+    from taste_spokenlm_tpu.utils.profiling import StageTimer
+    timer = StageTimer()
     for name, (jitted, a) in stage_calls.items():
         best = min(_timed(lambda: jitted(*a)) for _ in range(2))
+        with timer.stage(name):  # annotated re-run for profiler traces
+            jax.block_until_ready(jitted(*a))
+        timer.stages[name] = best  # keep the best-of wall time in the report
         mfu = _mfu(jitted, a, best)
         mfu_s = f" mfu={mfu*100:.1f}%" if mfu is not None else ""
         print(f"stage {name}: {best*1e3:.0f} ms{mfu_s}", file=sys.stderr)
@@ -356,8 +366,11 @@ def main():
     syn_mfu = _mfu(run_synth, syn_args, syn_wall)
     for name, w, m in (("joint_decode", dec_wall, dec_mfu),
                        ("synthesis", syn_wall, syn_mfu)):
+        timer.stages[name] = w
         mfu_s = f" mfu={m*100:.1f}%" if m is not None else ""
         print(f"stage {name}: {w*1e3:.0f} ms{mfu_s}", file=sys.stderr)
+    print("stage report:", json.dumps(timer.report(audio_sec)),
+          file=sys.stderr)
     print(f"completion: tokens={n_tokens} decode={dec_wall*1e3:.0f}ms "
           f"synth={syn_wall*1e3:.0f}ms ttfa_p50={ttfa_p50*1e3:.0f}ms "
           f"rtf={completion_rtf:.4f}", file=sys.stderr)

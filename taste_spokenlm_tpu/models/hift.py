@@ -30,12 +30,16 @@ from taste_spokenlm_tpu.config import HiFTConfig
 
 
 def conv1d(x, w, b=None, stride=1, padding=0, dilation=1):
-    """torch-semantics Conv1d on channels-last x [B, T, C]; w [k, Cin, Cout]."""
+    """torch-semantics Conv1d on channels-last x [B, T, C]; w [k, Cin, Cout].
+
+    Weights are upcast to the activation dtype (raw lax convs do not
+    auto-promote, unlike flax modules — supports bf16-stored checkpoints)."""
+    w = w.astype(x.dtype)
     out = jax.lax.conv_general_dilated(
         x, w, window_strides=(stride,), padding=[(padding, padding)],
         rhs_dilation=(dilation,), dimension_numbers=("NHC", "HIO", "NHC"))
     if b is not None:
-        out = out + b
+        out = out + b.astype(out.dtype)
     return out
 
 
@@ -43,6 +47,7 @@ def conv_transpose1d(x, w, b=None, stride=1, padding=0):
     """torch ConvTranspose1d semantics: x [B, T, C]; w [k, Cout, Cin]
     (flipped + transposed inside).  out_len = (T-1)*stride + k - 2*padding."""
     k = w.shape[0]
+    w = w.astype(x.dtype)
     w_conv = jnp.flip(w, axis=0).transpose(0, 2, 1)  # -> [k, Cin, Cout]
     out = jax.lax.conv_general_dilated(
         x, w_conv, window_strides=(1,),

@@ -169,3 +169,22 @@ def test_cli_pipeline_stage1_extract_stage2(arrow_shard, tokenizer_dir,
           "--stage2-data", shards[0], "--steps", "2", "--token-budget", "96",
           "--log-every", "1", "--save-every", "2", "--warmup", "1",
           "--workdir", str(w2)])
+
+def test_preemption_resume_drill(tmp_path):
+    """Fault-tolerance drill: a killed-and-relaunched run resumes from the
+    latest checkpoint instead of step 0 (trainer.maybe_resume + orbax
+    CheckpointManager — the reference relies on HF Trainer auto-resume)."""
+    w = tmp_path / "work"
+    base = ["scripts/train.py", "--platform", "cpu", "--tiny", "--synthetic",
+            "--stage", "1", "--batch-size", "2", "--save-every", "1",
+            "--log-every", "1", "--warmup", "1", "--workdir", str(w)]
+    _run(base + ["--steps", "2"])   # "preempted" after step 2
+    ckpts = sorted(p.name for p in (w / "ckpt").iterdir() if p.is_dir())
+    assert "2" in ckpts, ckpts
+
+    r = _run(base + ["--steps", "4"])  # relaunch: must resume, not restart
+    out = r.stdout + r.stderr
+    assert "resuming from step 2" in out, out[-2000:]
+    ckpts = sorted(int(p.name) for p in (w / "ckpt").iterdir()
+                   if p.is_dir() and p.name.isdigit())
+    assert max(ckpts) == 4, ckpts
