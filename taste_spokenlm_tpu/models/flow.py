@@ -247,11 +247,13 @@ class ConditionalCFM(nn.Module):
         self.estimator = ConditionalDecoder(self.config, name="estimator")
 
     def __call__(self, rng, mu, mask, spks, cond, n_timesteps: Optional[int] = None,
-                 temperature: float = 1.0):
-        """Euler ODE solve: noise -> mel.  mu/cond: [B, T, M]; mask [B, T]."""
+                 temperature: float = 1.0, z: Optional[jnp.ndarray] = None):
+        """Euler ODE solve: noise -> mel.  mu/cond: [B, T, M]; mask [B, T].
+        `z` overrides the initial noise (reproducible synthesis / parity)."""
         cfg = self.config
         n = n_timesteps or cfg.n_timesteps
-        z = jax.random.normal(rng, mu.shape, jnp.float32) * temperature
+        if z is None:
+            z = jax.random.normal(rng, mu.shape, jnp.float32) * temperature
         t_span = jnp.linspace(0.0, 1.0, n + 1)
         if cfg.t_scheduler == "cosine":
             t_span = 1.0 - jnp.cos(t_span * 0.5 * jnp.pi)

@@ -421,22 +421,38 @@ def flow_params(state_dict: Mapping[str, "np.ndarray"],
     _conv(lr, ["proj"], sub, f"length_regulator.model.{lr_layers * 3}")
     tree["length_regulator"] = lr
     # CFM estimator
+    est = estimator_params(sub, "decoder.estimator.", n_channels, n_blocks,
+                           num_mid_blocks)
+    tree["decoder"] = {"estimator": est}
+    return tree
+
+
+def estimator_params(state_dict: Mapping[str, "np.ndarray"],
+                     prefix: str = "decoder.estimator.", n_channels: int = 2,
+                     n_blocks: int = 4, num_mid_blocks: int = 12) -> Dict:
+    """matcha/cosyvoice ConditionalDecoder state dict -> flax tree for
+    models.flow.ConditionalDecoder (decoder.py:21-222)."""
+    sub = {k[len(prefix):]: v for k, v in state_dict.items()
+           if k.startswith(prefix)}
     est: Dict = {}
-    _dense(est, ["time_mlp_1"], sub, "decoder.estimator.time_mlp.linear_1")
-    _dense(est, ["time_mlp_2"], sub, "decoder.estimator.time_mlp.linear_2")
+    _dense(est, ["time_mlp_1"], sub, "time_mlp.linear_1")
+    _dense(est, ["time_mlp_2"], sub, "time_mlp.linear_2")
     for i in range(n_channels):
-        base = f"decoder.estimator.down_blocks.{i}"
+        base = f"down_blocks.{i}"
         _estimator_resnet(est, sub, f"{base}.0", f"down_{i}_resnet")
         for j in range(n_blocks):
             _estimator_tf(est, sub, f"{base}.1.{j}", f"down_{i}_tf_{j}")
-        _conv(est, [f"down_{i}_downsample"], sub, f"{base}.2")
+        # non-last blocks use matcha Downsample1D (weights under `.conv`),
+        # the last block a plain Conv1d (decoder.py:64-70 / flow decoder)
+        ds = f"{base}.2.conv" if f"{base}.2.conv.weight" in sub else f"{base}.2"
+        _conv(est, [f"down_{i}_downsample"], sub, ds)
     for i in range(num_mid_blocks):
-        base = f"decoder.estimator.mid_blocks.{i}"
+        base = f"mid_blocks.{i}"
         _estimator_resnet(est, sub, f"{base}.0", f"mid_{i}_resnet")
         for j in range(n_blocks):
             _estimator_tf(est, sub, f"{base}.1.{j}", f"mid_{i}_tf_{j}")
     for i in range(n_channels):
-        base = f"decoder.estimator.up_blocks.{i}"
+        base = f"up_blocks.{i}"
         _estimator_resnet(est, sub, f"{base}.0", f"up_{i}_resnet")
         for j in range(n_blocks):
             _estimator_tf(est, sub, f"{base}.1.{j}", f"up_{i}_tf_{j}")
@@ -447,12 +463,10 @@ def flow_params(state_dict: Mapping[str, "np.ndarray"],
             _set(est, [f"up_{i}_upsample", "bias"], _np(sub[f"{base}.2.conv.bias"]))
         else:
             _conv(est, [f"up_{i}_upsample"], sub, f"{base}.2")
-    _conv(est, ["final_block", "conv"], sub, "decoder.estimator.final_block.block.0")
-    _groupnorm(est, ["final_block", "norm"], sub,
-               "decoder.estimator.final_block.block.1")
-    _conv(est, ["final_proj"], sub, "decoder.estimator.final_proj")
-    tree["decoder"] = {"estimator": est}
-    return tree
+    _conv(est, ["final_block", "conv"], sub, "final_block.block.0")
+    _groupnorm(est, ["final_block", "norm"], sub, "final_block.block.1")
+    _conv(est, ["final_proj"], sub, "final_proj")
+    return est
 
 
 # ---------------------------------------------------------------------------
