@@ -137,20 +137,24 @@ class ConvRNNF0Predictor(nn.Module):
 
 
 def sine_source(rng, f0_up: jnp.ndarray, sampling_rate: int, harmonics: int,
-                sine_amp: float, noise_std: float, voiced_threshold: float
-                ) -> jnp.ndarray:
+                sine_amp: float, noise_std: float, voiced_threshold: float,
+                deterministic: bool = False) -> jnp.ndarray:
     """f0 at sample rate [B, T] -> harmonic source [B, T] (SineGen +
-    SourceModuleHnNSF merge happens in the caller)."""
+    SourceModuleHnNSF merge happens in the caller).  `deterministic` zeros
+    the random initial phases and additive noise (reproducible synthesis /
+    golden parity against the reference with its sampling patched out)."""
     b, t = f0_up.shape
     h = jnp.arange(1, harmonics + 2, dtype=jnp.float32)     # [H+1]
     rads = f0_up[:, None, :] * h[None, :, None] / sampling_rate  # [B, H+1, T]
     theta = 2.0 * jnp.pi * (jnp.cumsum(rads, axis=-1) % 1.0)
+    uv = (f0_up > voiced_threshold).astype(jnp.float32)[:, None, :]
+    if deterministic:
+        return sine_amp * jnp.sin(theta) * uv
     rng_phase, rng_noise = jax.random.split(rng)
     phase = jax.random.uniform(rng_phase, (b, harmonics + 1, 1),
                                minval=-jnp.pi, maxval=jnp.pi)
     phase = phase.at[:, 0, :].set(0.0)
     sines = sine_amp * jnp.sin(theta + phase)
-    uv = (f0_up > voiced_threshold).astype(jnp.float32)[:, None, :]
     noise_amp = uv * noise_std + (1.0 - uv) * sine_amp / 3.0
     noise = noise_amp * jax.random.normal(rng_noise, sines.shape)
     return sines * uv + noise                               # [B, H+1, T]
@@ -192,7 +196,8 @@ class HiFTGenerator(nn.Module):
     config: HiFTConfig
 
     @nn.compact
-    def __call__(self, mel: jnp.ndarray, rng: jax.Array) -> jnp.ndarray:
+    def __call__(self, mel: jnp.ndarray, rng: jax.Array,
+                 deterministic: bool = False) -> jnp.ndarray:
         cfg = self.config
         nfft, hop = cfg.istft_n_fft, cfg.istft_hop_len
         up_total = int(np.prod(cfg.upsample_rates)) * hop
@@ -205,7 +210,8 @@ class HiFTGenerator(nn.Module):
         rng_src, rng = jax.random.split(rng)
         sines = sine_source(rng_src, f0_up, cfg.sampling_rate, cfg.nb_harmonics,
                             cfg.nsf_alpha, cfg.nsf_sigma,
-                            cfg.nsf_voiced_threshold)       # [B, H+1, Ts]
+                            cfg.nsf_voiced_threshold,
+                            deterministic=deterministic)    # [B, H+1, Ts]
         merged = jnp.tanh(nn.Dense(1, name="source_linear")(
             sines.transpose(0, 2, 1)))[..., 0]              # [B, Ts]
         s_real, s_imag = stft_16(merged, nfft, hop)
