@@ -92,6 +92,14 @@ class TasteSpeechDecoder(nn.Module):
         cfg = self.config
         if cfg.fuse_type == "weighted_sum":
             w = jax.nn.softmax(self.fuse_weights)
+            if cfg.fuse_normalize:
+                # parameter-free layer norm on each input (fusion.py:136-143)
+                def _ln(x):
+                    xf = x.astype(jnp.float32)
+                    mu = jnp.mean(xf, axis=-1, keepdims=True)
+                    var = jnp.var(xf, axis=-1, keepdims=True)
+                    return ((xf - mu) * jax.lax.rsqrt(var + 1e-5)).astype(x.dtype)
+                audio_encoded, text_encoded = _ln(audio_encoded), _ln(text_encoded)
             return w[0] * audio_encoded + w[1] * text_encoded, lengths
         if cfg.fuse_type in ("concat", "concat_with_sep"):
             t = audio_encoded.shape[1]
