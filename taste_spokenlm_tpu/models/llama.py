@@ -209,6 +209,12 @@ class LlamaModel(nn.Module):
         self.layers = [layer_cls(cfg, self.lora, self.dtype, name=f"layers_{i}")
                        for i in range(cfg.num_hidden_layers)]
         self.norm = RMSNorm(cfg.rms_norm_eps, self.dtype)
+        if not cfg.tie_word_embeddings:
+            # direct param (not nn.Dense) so it materializes at init even
+            # though logits() is not traced by __call__
+            self.lm_head_kernel = self.param(
+                "lm_head_kernel", nn.initializers.lecun_normal(),
+                (cfg.hidden_size, cfg.vocab_size))
         self.inv_freq = jnp.asarray(llama3_inv_freq(cfg))
 
     def _rope(self, positions: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -274,7 +280,11 @@ class LlamaModel(nn.Module):
         return out
 
     def logits(self, hidden: jnp.ndarray) -> jnp.ndarray:
-        """Tied lm_head: hidden @ embed^T."""
+        """lm_head: tied to embed_tokens (Llama-3.2-1B) or a separate
+        projection when config.tie_word_embeddings is False."""
+        if not self.config.tie_word_embeddings:
+            return (hidden.astype(jnp.float32)
+                    @ self.lm_head_kernel.astype(jnp.float32))
         emb = self.embed_tokens.embedding
         return (hidden.astype(jnp.float32)
                 @ emb.astype(jnp.float32).T)

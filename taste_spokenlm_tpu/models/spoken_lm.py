@@ -245,6 +245,17 @@ class TasteSpokenLM(nn.Module):
         # before the first valid row; post rows likewise
         emb_pre = self.encode_audio(delayed_pre, cb)            # [B, T, A]
         emb_post = self.encode_audio(post, cb)                  # [B, D, A]
+        # positions before the first delayed word-start take the PAD embed
+        # in every conversion mode (the reference prepends
+        # pad_audio_unit_embed rows up to start_x, modeling_taste.py:800-806,
+        # so its encode_audio never sees this region; fill_forward already
+        # does this inside encode_audio)
+        if cfg.audio_embed_conv_mode != "fill_forward":
+            before_start = jnp.cumsum(src_ok.astype(jnp.int32), axis=1) == 0
+            emb_pre = jnp.where(
+                before_start[:, :, None],
+                self.pad_audio_unit_embed[None, None, :].astype(emb_pre.dtype),
+                emb_pre)
 
         audio_stream, _ = ragged_concat(
             [(emb_pre, llm_token_lengths), (emb_post, None)], t + d)

@@ -102,7 +102,17 @@ def llama_params(state_dict: Mapping[str, "np.ndarray"],
                 raise KeyError(name)
         elif parts[0] == "rotary_emb":
             continue
+    _maybe_lm_head(tree, state_dict, prefix)
     return tree
+
+
+def _maybe_lm_head(tree: Dict, state_dict, prefix: str) -> None:
+    """Untied lm_head sits one level above the backbone prefix
+    (language_model.lm_head / base_model.model.lm_head); tied checkpoints
+    omit it and LlamaModel.logits() falls back to embed^T."""
+    head_key = prefix[: -len("model.")] + "lm_head.weight"
+    if head_key in state_dict:
+        tree["lm_head_kernel"] = _np(state_dict[head_key]).T
 
 
 def _set_layer(tree: Dict, layer_key: str, sub: list, w: np.ndarray):
@@ -513,6 +523,7 @@ def peft_llama_params(state_dict: Mapping[str, "np.ndarray"],
                 raise KeyError(name)
         elif parts[0] == "rotary_emb":
             continue
+    _maybe_lm_head(tree, state_dict, prefix)
     return tree
 
 

@@ -1,0 +1,202 @@
+"""Golden parity: our TasteSpokenLM (stage-2 joint text+taste LM) vs the
+reference imported from /root/reference (torch-CPU), on converted weights at
+tiny scale.
+
+Pins the riskiest redesign in the repo — the reference builds delayed
+text/taste streams with per-sample Python loops
+(modeling_taste.py:715-857) while ours constructs them batched — plus the
+bridge fusion/extraction, text/taste labels, and the CE losses, over:
+
+  * word-level delay 1 and 2 (fill_forward audio conversion)
+  * token-level delay 1
+  * delay 0
+  * word-level delay with 'pad' audio conversion
+
+The reference instantiates its backbone via
+AutoModelForCausalLM.from_pretrained(text_config._name_or_path); a tiny
+HF llama checkpoint is saved to a tmp dir to feed that path.  The reference
+casts the LM to bf16 (modeling_taste.py:573) — the test restores f32 on
+both sides so it compares semantics, not rounding.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+
+from ref_compat import import_reference
+from taste_spokenlm_tpu.config import LlamaConfig, SpokenLMConfig
+from taste_spokenlm_tpu.models.quantizer import Codebook
+from taste_spokenlm_tpu.models.spoken_lm import TasteSpokenLM
+from taste_spokenlm_tpu.utils.convert import rvq_state, spoken_lm_params
+
+VOCAB = 100
+HID = 32
+SOS = 7
+K, D, Q = 16, 8, 4      # taste codebook size / dim / levels (l=4 fixed
+                        # in the reference ctor, modeling_taste.py:605)
+AUDIO_DIM = 1280        # hard-coded in the reference pad embeds
+
+
+@pytest.fixture(scope="module")
+def llama_dir(tmp_path_factory):
+    from transformers import LlamaConfig as HFLlamaConfig
+    from transformers import LlamaForCausalLM
+    torch.manual_seed(0)
+    cfg = HFLlamaConfig(
+        vocab_size=VOCAB, hidden_size=HID, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=2, num_key_value_heads=2,
+        head_dim=16, max_position_embeddings=64, rope_theta=10000.0,
+        attention_dropout=0.0, tie_word_embeddings=False,
+        # the default 0.02 std makes RMSNorm amplify f32 rounding noise
+        # ~50x per layer; much larger saturates attention into chaos —
+        # 0.1 keeps activations O(1) so f32 agreement holds to ~1e-4
+        initializer_range=0.1)
+    model = LlamaForCausalLM(cfg)
+    d = tmp_path_factory.mktemp("tiny_llama")
+    model.save_pretrained(d, safe_serialization=True)
+    return str(d), cfg
+
+
+@pytest.fixture(scope="module")
+def ref_vq():
+    vq_mod = import_reference("ref_mt.vq.residual_vq")
+    torch.manual_seed(1)
+    rvq = vq_mod.ResidualVQ(
+        dim=AUDIO_DIM, num_quantizers=Q, codebook_dim=D, codebook_size=K,
+        kmeans_init=False, decay=0.9, threshold_ema_dead_code=0,
+        commitment_weight=1.0, sample_codebook_temp=0.0).eval()
+    state = {k: v.detach().numpy() for k, v in rvq.state_dict().items()}
+    _, quant = rvq_state(state, prefix="")
+    cb = Codebook(
+        embed=jnp.asarray(quant["embed"]),
+        proj_kernel=jnp.asarray(state["project_out.weight"].T),
+        proj_bias=jnp.asarray(state["project_out.bias"]))
+    return rvq, cb
+
+
+def _build(llama_dir, delay, delay_level, audio_mode):
+    mt = import_reference("taste_speech.modeling_taste")
+    path, hf_cfg = llama_dir
+    hf_cfg._name_or_path = path
+    torch.manual_seed(2)
+    ref = mt.TasteSpokenLM(
+        text_config=hf_cfg, k=K, d=D, sos_id=SOS, loss_weights="0.5-0.5",
+        delay=delay, delay_level=delay_level,
+        audio_embed_conv_mode=audio_mode, in_llm_module="weighted_sum",
+        out_llm_module="weighted_layer", _attn_implementation="eager",
+        use_lora=False).eval()
+    ref.language_model = ref.language_model.to(torch.float32)
+    # the pad/empty embeds init to zeros; a zero input puts RMSNorm in its
+    # eps regime where f32 noise amplifies ~300x — trained pads are not
+    # zero, so give them realistic magnitudes for the comparison
+    with torch.no_grad():
+        if delay > 0:
+            ref.pad_text_unit_embed.normal_(0, 0.1)
+            ref.pad_audio_unit_embed.normal_(0, 0.1)
+        if hasattr(ref, "empty_audio_unit_embed"):
+            ref.empty_audio_unit_embed.normal_(0, 0.1)
+
+    cfg = SpokenLMConfig(
+        llama=LlamaConfig(
+            vocab_size=VOCAB, hidden_size=HID, intermediate_size=64,
+            num_hidden_layers=2, num_attention_heads=2,
+            num_key_value_heads=2, head_dim=16, max_position_embeddings=64,
+            rope_theta=10000.0, rope_scaling_factor=1.0,
+            tie_word_embeddings=False),
+        lora=None, use_lora=False, delay=delay, delay_level=delay_level,
+        audio_embed_conv_mode=audio_mode, in_llm_module="weighted_sum",
+        out_llm_module="weighted_layer", loss_weights="0.5-0.5", sos_id=SOS)
+    ours = TasteSpokenLM(cfg, audio_dim=AUDIO_DIM, taste_k=K, taste_d=D,
+                         taste_l=Q)
+    state = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params = spoken_lm_params(state, prefix="")
+    if "pad_audio_unit_embed" not in params:
+        # delay-0 reference checkpoints omit it; our module keeps the param
+        # (fill_forward uses it for rows before the first valid index)
+        params["pad_audio_unit_embed"] = np.zeros(AUDIO_DIM, np.float32)
+    return ref, ours, {"params": params}
+
+
+def _batch(delay_level):
+    rng = np.random.RandomState(3)
+    b, t = 2, 8
+    token_ids = rng.randint(0, VOCAB, (b, t))
+    lengths = np.asarray([t, t], np.int32)   # equal: the reference's ragged
+    # text-label tail keeps pad ids, a known artifact our IGNORE semantics fix
+    word_ids = np.asarray([[0, 0, 1, 1, 2, 2, 3, 3],
+                           [0, 1, 1, 1, 2, 2, 3, 3]], np.int32)
+    indices = rng.randint(0, K, (b, t, Q))
+    return indices, token_ids, lengths, word_ids
+
+
+@pytest.mark.parametrize("delay,delay_level,audio_mode", [
+    (1, "word", "fill_forward"),
+    (2, "word", "fill_forward"),
+    (1, "token", "fill_forward"),
+    (0, "word", "fill_forward"),
+    (1, "word", "pad"),
+])
+def test_forward_matches_reference(llama_dir, ref_vq, delay, delay_level,
+                                   audio_mode):
+    ref, ours, variables = _build(llama_dir, delay, delay_level, audio_mode)
+    rvq, cb = ref_vq
+    indices, token_ids, lengths, word_ids = _batch(delay_level)
+
+    if delay == 0:
+        # the reference's delay-0 forward crashes on its own text-label pad
+        # (modeling_taste.py:960-963 pads T+1 against a T-wide mask); its
+        # prepare path works, so pin input construction + labels there
+        with torch.no_grad():
+            ie_ref, _, ol_ref, tl_ref = ref.prepare_conditional_embeds(
+                torch.from_numpy(indices.astype(np.int64)),
+                torch.from_numpy(token_ids.astype(np.int64)),
+                torch.from_numpy(lengths.astype(np.int64)),
+                torch.from_numpy(word_ids.astype(np.int64)),
+                ref.language_model.model.embed_tokens, rvq)
+        ie, ol, tl, _ = ours.apply(
+            variables, cb, jnp.asarray(indices), jnp.asarray(token_ids),
+            jnp.asarray(lengths), jnp.asarray(word_ids),
+            method=ours.prepare_conditional_embeds)
+        np.testing.assert_array_equal(np.asarray(ol), ol_ref.numpy())
+        np.testing.assert_array_equal(np.asarray(tl), tl_ref.numpy())
+        np.testing.assert_allclose(np.asarray(ie), ie_ref.numpy(), atol=1e-5)
+        return
+
+    with torch.no_grad():
+        out_ref = ref(
+            torch.from_numpy(indices.astype(np.int64)),
+            torch.from_numpy(token_ids.astype(np.int64)),
+            torch.from_numpy(lengths.astype(np.int64)),
+            torch.from_numpy(word_ids.astype(np.int64)),
+            rvq, output_loss_at_inference=True)
+
+    out = ours.apply(
+        variables, cb, jnp.asarray(indices), jnp.asarray(token_ids),
+        jnp.asarray(lengths), jnp.asarray(word_ids))
+
+    np.testing.assert_array_equal(np.asarray(out["output_lengths"]),
+                                  out_ref["output_lengths"].numpy())
+    out_len = np.asarray(out["output_lengths"])
+    tl_ref = out_ref["taste_labels"].numpy()
+    txt_ref = out_ref["text_labels"].numpy()
+    for i in range(len(out_len)):
+        n = out_len[i]
+        np.testing.assert_array_equal(
+            np.asarray(out["taste_labels"])[i, :n], tl_ref[i, :n],
+            err_msg=f"taste_labels row {i}")
+        np.testing.assert_array_equal(
+            np.asarray(out["text_labels"])[i, :n], txt_ref[i, :n],
+            err_msg=f"text_labels row {i}")
+        np.testing.assert_allclose(
+            np.asarray(out["text_logits"])[i, :n],
+            out_ref["text_logits"].numpy()[i, :n], atol=3e-3,
+            err_msg=f"text_logits row {i}")
+        np.testing.assert_allclose(
+            np.asarray(out["taste_logits"])[i, :n],
+            out_ref["taste_logits"].numpy()[i, :n], atol=3e-3,
+            err_msg=f"taste_logits row {i}")
+    np.testing.assert_allclose(float(out["loss"]), float(out_ref["loss"]),
+                               atol=1e-3)
