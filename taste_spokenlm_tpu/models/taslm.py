@@ -48,6 +48,10 @@ class TaslmConfig(_Base):
     latent_dim: int = 256
     text_conduct_kl_loss: bool = False
     text_kl_vocab_cutoff: int = 80000       # KL over the plain-text vocab slice
+    # auxiliary RVQ-hidden reconstruction loss (modeling_taslm.py:685-697):
+    # project the LM hidden back to the RVQ model space and MSE against the
+    # next step's encoded speech input
+    speech_labels_apply_quantization: bool = False
 
     @classmethod
     def tiny(cls) -> "TaslmConfig":
@@ -127,6 +131,9 @@ class TaslmForCausalLM(nn.Module):
             self.speech_embed_tokens = nn.Embed(
                 cfg.speech_vocab_size + 2, cfg.llama.hidden_size,
                 dtype=self.dtype)
+        if cfg.speech_num_channels > 1 and cfg.speech_labels_apply_quantization:
+            self.speech_rvq_hidden_proj_layer = nn.Dense(
+                cfg.speech_hidden_size, dtype=self.dtype)
         if cfg.speech_token_adopt_latent_sampling:
             self.speech_latent_sampler = LatentSamplingLayer(cfg.latent_dim)
         else:
@@ -140,20 +147,27 @@ class TaslmForCausalLM(nn.Module):
                 cfg.speech_num_channels * self.speech_head_size,
                 use_bias=False, dtype=self.dtype)
 
-    def embed_speech(self, cb: Optional[Codebook], speech_ids: jnp.ndarray
-                     ) -> jnp.ndarray:
-        """[B, T, C] multi-channel ids (or [B, T] single-channel) -> llm-width
-        embeddings.  bos/eos (>= vocab) use learned special rows."""
+    def _encode_speech_rvq(self, cb: Optional[Codebook],
+                           speech_ids: jnp.ndarray) -> jnp.ndarray:
+        """Multi-channel ids [B, T, C] -> RVQ model-space embeds [B, T, A];
+        bos/eos (>= vocab) use learned special rows."""
         cfg = self.config
-        if cfg.speech_num_channels == 1:
-            return self.speech_embed_tokens(speech_ids)
         is_special = speech_ids[..., 0] >= cfg.speech_vocab_size
         rvq = codebook_output_from_indices(
             cb, jnp.clip(speech_ids, 0, cfg.speech_vocab_size - 1))
         special = self.speech_special_embed(
             jnp.clip(speech_ids[..., 0] - cfg.speech_vocab_size, 0, 3))
-        h = jnp.where(is_special[..., None], special, rvq.astype(self.dtype))
-        return self.speech_token_embed_proj_layer(h)
+        return jnp.where(is_special[..., None], special,
+                         rvq.astype(self.dtype))
+
+    def embed_speech(self, cb: Optional[Codebook], speech_ids: jnp.ndarray
+                     ) -> jnp.ndarray:
+        """[B, T, C] multi-channel ids (or [B, T] single-channel) -> llm-width
+        embeddings."""
+        if self.config.speech_num_channels == 1:
+            return self.speech_embed_tokens(speech_ids)
+        return self.speech_token_embed_proj_layer(
+            self._encode_speech_rvq(cb, speech_ids))
 
     def __call__(
         self,
@@ -213,6 +227,8 @@ class TaslmForCausalLM(nn.Module):
         if cfg.speech_token_adopt_latent_sampling:
             mu, logvar, z = self.speech_latent_sampler(hidden, train, rng)
             result["speech_y_pred"] = z
+            result["speech_mu"] = mu
+            result["speech_logvar"] = logvar
             if speech_labels is not None:
                 target = codebook_output_from_indices(
                     cb, jnp.clip(speech_labels, 0, cfg.speech_vocab_size - 1)
@@ -239,14 +255,31 @@ class TaslmForCausalLM(nn.Module):
                     sl = speech_labels[:, 1:, c]
                     logp = jax.nn.log_softmax(
                         sp_logits[:, :-1, c].astype(jnp.float32), -1)
-                    valid = (sl != IGNORE_ID) & (sl < cfg.speech_vocab_size)
+                    # the head covers the full label range (single-channel
+                    # folds bos/eos in; eos must stay IN the loss,
+                    # modeling_taslm.py:626 note)
+                    valid = (sl != IGNORE_ID) & (sl < self.speech_head_size)
                     nll = -jnp.take_along_axis(
-                        logp, jnp.clip(sl, 0, cfg.speech_vocab_size - 1)[..., None],
+                        logp, jnp.clip(sl, 0, self.speech_head_size - 1)[..., None],
                         -1)[..., 0]
                     ce = jnp.sum(jnp.where(valid, nll, 0.0)) / \
                         jnp.maximum(jnp.sum(valid), 1)
                     total_speech = total_speech + decay ** (c + 1) * ce
                     result[f"speech_layer_{c}_ce_loss"] = ce
+                if (cfg.speech_num_channels > 1
+                        and cfg.speech_labels_apply_quantization):
+                    # project the hidden back to RVQ model space and MSE it
+                    # against the NEXT step's encoded speech input
+                    # (modeling_taste.py analog: modeling_taslm.py:685-697)
+                    enc_in = self._encode_speech_rvq(cb, speech_input_ids)
+                    recon = self.speech_rvq_hidden_proj_layer(hidden)
+                    tgt, pred = enc_in[:, 1:].astype(jnp.float32), \
+                        recon[:, :-1].astype(jnp.float32)
+                    valid = (speech_labels[:, 1:, 0] != IGNORE_ID)[..., None]
+                    denom = jnp.maximum(jnp.sum(valid) * tgt.shape[-1], 1.0)
+                    recon_loss = jnp.sum((pred - tgt) ** 2 * valid) / denom
+                    total_speech = total_speech + decay * recon_loss
+                    result["speech_recon_loss"] = recon_loss
 
         result["loss"] = 0.5 * total_text + 0.5 * total_speech
         return result

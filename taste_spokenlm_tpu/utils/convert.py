@@ -585,6 +585,64 @@ def spoken_lm_params(state_dict: Mapping[str, "np.ndarray"],
     return tree
 
 
+def taslm_params(state_dict: Mapping[str, "np.ndarray"],
+                 prefix: str = "") -> Dict:
+    """Reference TaslmForCausalLM state dict -> flax tree
+    (STAGE1_TRAIN/SpokenLM/taslm/modeling_taslm.py:35-130 attribute layout).
+    The RVQ speech codebooks are converted separately via
+    rvq_state(state, "speech_embed_tokens.rvq.") into a Codebook pytree."""
+    sub = {k[len(prefix):]: v for k, v in state_dict.items()
+           if k.startswith(prefix)}
+    tree: Dict = {}
+    lm = {k[len("language_model."):]: v for k, v in sub.items()
+          if k.startswith("language_model.")}
+    peft = any(k.startswith("base_model.") for k in lm)
+    tree["language_model"] = peft_llama_params(
+        lm, prefix="base_model.model.model." if peft else "model.")
+    fl: Dict = {}
+    if "fusion_layer.layer_norm_speech.weight" in sub:
+        fl["layer_norm_speech"] = {
+            "scale": _np(sub["fusion_layer.layer_norm_speech.weight"]),
+            "bias": _np(sub["fusion_layer.layer_norm_speech.bias"])}
+    if "fusion_layer.gate.weight" in sub:
+        fl["gate"] = {"kernel": _np(sub["fusion_layer.gate.weight"]).T}
+    if "fusion_layer.weights" in sub:
+        fl["weights"] = _np(sub["fusion_layer.weights"])
+    if fl:
+        tree["fusion_layer"] = fl
+    if "speech_embed_tokens.weight" in sub:   # single-channel Embedding
+        tree["speech_embed_tokens"] = {
+            "embedding": _np(sub["speech_embed_tokens.weight"])}
+    for name in ("speech_token_embed_proj_layer",
+                 "speech_rvq_hidden_proj_layer"):
+        if f"{name}.weight" in sub:
+            tree[name] = {"kernel": _np(sub[f"{name}.weight"]).T}
+            if f"{name}.bias" in sub:
+                tree[name]["bias"] = _np(sub[f"{name}.bias"])
+    if "speech_head.weight" in sub:
+        tree["speech_head"] = {"kernel": _np(sub["speech_head.weight"]).T}
+    if "speech_latent_sampler.fc_mu.weight" in sub:
+        ls: Dict = {"fc_mu": {
+            "kernel": _np(sub["speech_latent_sampler.fc_mu.weight"]).T}}
+        if "speech_latent_sampler.fc_mu.bias" in sub:
+            ls["fc_mu"]["bias"] = _np(sub["speech_latent_sampler.fc_mu.bias"])
+        if "speech_latent_sampler.b_logvar" in sub:
+            ls["b_logvar"] = _np(sub["speech_latent_sampler.b_logvar"])
+        tree["speech_latent_sampler"] = ls
+    # the reference has no learned special (bos/eos) rows for the RVQ
+    # channel (it routes raw ids through the codebooks); ours does — zeros
+    # keep converted checkpoints loadable, training learns them
+    rvq_embed_key = "speech_embed_tokens.rvq.layers.0._codebook.embed"
+    if rvq_embed_key in sub:
+        if "speech_embed_tokens.rvq.project_out.weight" in sub:
+            dim = _np(sub["speech_embed_tokens.rvq.project_out.weight"]).shape[0]
+        else:
+            dim = _np(sub[rvq_embed_key]).shape[-1]
+        tree["speech_special_embed"] = {
+            "embedding": np.zeros((4, dim), np.float32)}
+    return tree
+
+
 def audio_tower_params(state_dict: Mapping[str, "np.ndarray"],
                        prefix: str = "audio_tower.") -> Dict:
     """Joint encoder-segmenter weights from a composite checkpoint -> our
