@@ -132,18 +132,26 @@ def _batch(delay_level):
     return indices, token_ids, lengths, word_ids
 
 
-@pytest.mark.parametrize("delay,delay_level,audio_mode", [
-    (1, "word", "fill_forward"),
-    (2, "word", "fill_forward"),
-    (1, "token", "fill_forward"),
-    (0, "word", "fill_forward"),
-    (1, "word", "pad"),
+@pytest.mark.parametrize("delay,delay_level,audio_mode,few_words", [
+    (1, "word", "fill_forward", False),
+    (2, "word", "fill_forward", False),
+    (1, "token", "fill_forward", False),
+    (0, "word", "fill_forward", False),
+    (1, "word", "pad", False),
+    # word_count <= delay exercises the reference's start_x=None branch
+    # (modeling_taste.py:762-786): all word tastes packed at the tail
+    (2, "word", "fill_forward", True),
 ])
 def test_forward_matches_reference(llama_dir, ref_vq, delay, delay_level,
-                                   audio_mode):
+                                   audio_mode, few_words):
     ref, ours, variables = _build(llama_dir, delay, delay_level, audio_mode)
     rvq, cb = ref_vq
     indices, token_ids, lengths, word_ids = _batch(delay_level)
+    if few_words:
+        # row0: one word spanning the utterance (W=1 <= delay);
+        # row1: two words (W=2 <= delay)
+        word_ids = np.asarray([[0] * word_ids.shape[1],
+                               [0, 0, 0, 0, 1, 1, 1, 1]], np.int32)
 
     if delay == 0:
         # the reference's delay-0 forward crashes on its own text-label pad
