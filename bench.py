@@ -84,6 +84,14 @@ def main():
 
     dtype = jnp.bfloat16
     cfg = TasteConfig.tiny() if tiny else TasteConfig.full()
+    # int8 weight-only serving layout for the joint-decode backbone
+    # (utils/quant; ~1.66x decode tokens/sec) — BENCH_QUANT=0 opts out
+    quant = os.environ.get("BENCH_QUANT", "1") == "1" and not tiny
+    if quant:
+        cfg = cfg.replace(spoken_lm=cfg.spoken_lm.replace(
+            llama=cfg.spoken_lm.llama.replace(quantized_serving=True)))
+    print(f"llama serving quantization: {'int8' if quant else 'off'}",
+          file=sys.stderr)
     model = TasteForCausalLM(cfg, dtype=dtype)
 
     # ~14 s of source audio -> ~40 asr tokens; decode up to 512 S3 tokens
@@ -159,6 +167,11 @@ def main():
     print(f"param dtype: {param_dtype}", file=sys.stderr)
 
     def make(leaf):
+        if leaf.dtype == jnp.int8:
+            # quantized base kernels: realistic int8 payload
+            k = jax.random.fold_in(base_key, next(counter))
+            return jax.random.randint(k, leaf.shape, -127, 128, jnp.int32
+                                      ).astype(jnp.int8)
         if not np.issubdtype(leaf.dtype, np.floating):
             return jnp.zeros(leaf.shape, leaf.dtype)
         scale = 0.02 if leaf.ndim >= 2 else 1e-3

@@ -41,6 +41,11 @@ def main():
     p.add_argument("--flow", help="CosyVoice flow.pt")
     p.add_argument("--hift", help="CosyVoice hift.pt")
     p.add_argument("--output", required=True)
+    p.add_argument("--quantize-llama", action="store_true",
+                   help="store the spoken-LM backbone's base kernels as "
+                        "int8 + per-channel scales (weight-only serving "
+                        "quantization; pair with "
+                        "llama.quantized_serving=True)")
     args = p.parse_args()
 
     from taste_spokenlm_tpu.utils import convert
@@ -90,6 +95,16 @@ def main():
         tree["params"].setdefault("voice_generator", {})["hift"] = \
             convert.hift_params(state)
         print("converted hift")
+
+    if args.quantize_llama:
+        lm = tree["params"].get("spoken_lm", {}).get("language_model")
+        if lm is None:
+            sys.exit("--quantize-llama needs a converted spoken-LM backbone "
+                     "(--llama or a composite --taste checkpoint)")
+        from taste_spokenlm_tpu.utils.quant import quantize_llama_params
+        tree["params"]["spoken_lm"]["language_model"] = \
+            quantize_llama_params(lm)
+        print("quantized spoken-LM base kernels to int8")
 
     os.makedirs(args.output, exist_ok=True)
     save_params(os.path.join(args.output, "params"), tree)

@@ -320,6 +320,10 @@ class LlamaConfig(_Base):
     tie_word_embeddings: bool = True
     bos_token_id: int = 128000
     eos_token_id: int = 128001
+    # serve base Dense kernels as int8 + per-channel scale (weight-only
+    # quantization; ~1.66x AR-decode tokens/sec on v5e) — use
+    # utils/quant.quantize_llama_params to convert a trained tree
+    quantized_serving: bool = False
     # llama3 rope scaling
     rope_scaling_factor: float = 32.0
     rope_low_freq_factor: float = 1.0

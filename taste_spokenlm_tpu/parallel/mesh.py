@@ -57,6 +57,11 @@ _TP_RULES = [
     # llama attention + mlp: column-parallel qkv/gate/up, row-parallel o/down
     (r".*(q_proj|k_proj|v_proj|gate_proj|up_proj).*/base/kernel$", P(None, "model")),
     (r".*(o_proj|down_proj).*/base/kernel$", P("model", None)),
+    # int8 serving layout (utils/quant): base_q shards like kernel, the
+    # per-output-channel scale follows the output dim
+    (r".*(q_proj|k_proj|v_proj|gate_proj|up_proj).*/base_q$", P(None, "model")),
+    (r".*(q_proj|k_proj|v_proj|gate_proj|up_proj).*/base_scale$", P("model")),
+    (r".*(o_proj|down_proj).*/base_q$", P("model", None)),
     (r".*embed_tokens/embedding$", P("model", None)),
 ]
 

@@ -1,0 +1,77 @@
+"""Weight-only int8 serving quantization (utils/quant + LoraDense
+quantized=True): tree transformation round-trip, forward agreement with the
+float model, and LoRA adapters riding on the quantized base."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from taste_spokenlm_tpu.config import LlamaConfig, LoraConfig
+from taste_spokenlm_tpu.models.llama import LlamaModel
+from taste_spokenlm_tpu.utils.quant import (quantization_error,
+                                            quantize_llama_params)
+
+
+def _cfg(**kw):
+    return LlamaConfig.tiny().replace(**kw)
+
+
+def test_quantized_forward_matches_float():
+    cfg = _cfg()
+    lm = LlamaModel(cfg)
+    rng = jax.random.PRNGKey(0)
+    ids = jax.random.randint(rng, (2, 6), 0, cfg.vocab_size)
+    v = lm.init(rng, input_ids=ids)
+    out_fp = lm.apply(v, input_ids=ids)
+
+    qtree = quantize_llama_params(v["params"])
+    assert quantization_error(v["params"], qtree) < 0.01
+    lm_q = LlamaModel(cfg.replace(quantized_serving=True))
+    out_q = lm_q.apply({"params": qtree}, input_ids=ids)
+
+    a = np.asarray(out_fp["last_hidden"])
+    b = np.asarray(out_q["last_hidden"])
+    # int8 carries ~0.4% per-kernel error; hidden states stay close
+    assert np.abs(a - b).max() / max(np.abs(a).max(), 1e-6) < 0.05
+    logits_fp = np.asarray(lm.apply(v, out_fp["last_hidden"],
+                                    method=lm.logits))
+    logits_q = np.asarray(lm_q.apply({"params": qtree}, out_q["last_hidden"],
+                                     method=lm_q.logits))
+    # random-init logits are near-uniform, so compare values not argmax
+    assert (np.abs(logits_fp - logits_q).max()
+            / max(np.abs(logits_fp).max(), 1e-6)) < 0.05
+
+
+def test_quantized_with_lora_adapters():
+    cfg = _cfg()
+    lora = LoraConfig.tiny()
+    lm = LlamaModel(cfg, lora=lora)
+    rng = jax.random.PRNGKey(1)
+    ids = jax.random.randint(rng, (1, 5), 0, cfg.vocab_size)
+    v = lm.init(rng, input_ids=ids)
+    qtree = quantize_llama_params(v["params"])
+    # adapters survive the transformation
+    p0 = qtree["layers_0"]["self_attn"]["q_proj"]
+    assert set(p0) == {"base_q", "base_scale", "lora_a", "lora_b"}
+    assert p0["base_q"].dtype == jnp.int8
+
+    lm_q = LlamaModel(cfg.replace(quantized_serving=True), lora=lora)
+    out_on = lm_q.apply({"params": qtree}, input_ids=ids)
+    out_off = lm_q.apply({"params": qtree}, input_ids=ids, disable_lora=True)
+    # lora_b starts at zero -> adapter is a no-op either way
+    np.testing.assert_allclose(np.asarray(out_on["last_hidden"]),
+                               np.asarray(out_off["last_hidden"]), atol=1e-6)
+
+
+def test_quantized_cached_decode_runs():
+    cfg = _cfg().replace(quantized_serving=True)
+    lm = LlamaModel(cfg)
+    rng = jax.random.PRNGKey(2)
+    ids = jax.random.randint(rng, (1, 4), 0, cfg.vocab_size)
+    v = lm.init(rng, input_ids=ids)
+    caches = lm.apply(v, 1, 8, method=lm.init_cache)
+    out = lm.apply(v, input_ids=ids, caches=caches,
+                   cache_index=jnp.int32(0))
+    step = lm.apply(v, input_ids=ids[:, :1], caches=out["caches"],
+                    cache_index=jnp.int32(4), position_offset=4)
+    assert np.isfinite(np.asarray(step["last_hidden"])).all()
