@@ -88,8 +88,11 @@ def main():
     # (utils/quant; ~1.66x decode tokens/sec) — BENCH_QUANT=0 opts out
     quant = os.environ.get("BENCH_QUANT", "1") == "1" and not tiny
     if quant:
-        cfg = cfg.replace(spoken_lm=cfg.spoken_lm.replace(
-            llama=cfg.spoken_lm.llama.replace(quantized_serving=True)))
+        cfg = cfg.replace(
+            spoken_lm=cfg.spoken_lm.replace(
+                llama=cfg.spoken_lm.llama.replace(quantized_serving=True)),
+            speech_decoder=cfg.speech_decoder.replace(
+                llm=cfg.speech_decoder.llm.replace(quantized_serving=True)))
     print(f"llama serving quantization: {'int8' if quant else 'off'}",
           file=sys.stderr)
     model = TasteForCausalLM(cfg, dtype=dtype)

@@ -46,6 +46,9 @@ def main():
                         "int8 + per-channel scales (weight-only serving "
                         "quantization; pair with "
                         "llama.quantized_serving=True)")
+    p.add_argument("--quantize-s3-decoder", action="store_true",
+                   help="int8-quantize the speech decoder's AR llm stack "
+                        "(pair with speech_decoder.llm.quantized_serving)")
     args = p.parse_args()
 
     from taste_spokenlm_tpu.utils import convert
@@ -105,6 +108,15 @@ def main():
         tree["params"]["spoken_lm"]["language_model"] = \
             quantize_llama_params(lm)
         print("quantized spoken-LM base kernels to int8")
+
+    if args.quantize_s3_decoder:
+        sd = tree["params"].get("speech_decoder", {})
+        if "llm" not in sd:
+            sys.exit("--quantize-s3-decoder needs a converted speech "
+                     "decoder (--taste checkpoint)")
+        from taste_spokenlm_tpu.utils.quant import quantize_encoder_params
+        sd["llm"] = quantize_encoder_params(sd["llm"])
+        print("quantized S3 decoder llm stack to int8")
 
     os.makedirs(args.output, exist_ok=True)
     save_params(os.path.join(args.output, "params"), tree)

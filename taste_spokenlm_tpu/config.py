@@ -243,6 +243,9 @@ class EncoderStackConfig(_Base):
     macaron_style: bool = False
     activation_type: str = "swish"
     input_size: int = 512
+    # int8 weight-only serving layout for the layer Dense kernels
+    # (ops/quantized.QDense; utils/quant.quantize_encoder_params converts)
+    quantized_serving: bool = False
 
     @classmethod
     def tiny(cls, input_size: int = 32, output_size: int = 32,

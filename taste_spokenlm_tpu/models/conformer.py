@@ -29,6 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from taste_spokenlm_tpu.config import EncoderStackConfig
+from taste_spokenlm_tpu.ops.quantized import dense as _q_dense
 from taste_spokenlm_tpu.ops.masking import chunk_causal_mask, length_mask
 
 _ACT = {
@@ -81,14 +82,20 @@ class RelPositionAttention(nn.Module):
     d_model: int
     num_heads: int
     dtype: Any = jnp.float32
+    quantized: bool = False
 
     def setup(self):
         d = self.d_model
-        self.linear_q = nn.Dense(d, dtype=self.dtype)
-        self.linear_k = nn.Dense(d, dtype=self.dtype)
-        self.linear_v = nn.Dense(d, dtype=self.dtype)
-        self.linear_out = nn.Dense(d, dtype=self.dtype)
-        self.linear_pos = nn.Dense(d, use_bias=False, dtype=self.dtype)
+        self.linear_q = _q_dense(d, self.quantized, dtype=self.dtype,
+                                 name="linear_q")
+        self.linear_k = _q_dense(d, self.quantized, dtype=self.dtype,
+                                 name="linear_k")
+        self.linear_v = _q_dense(d, self.quantized, dtype=self.dtype,
+                                 name="linear_v")
+        self.linear_out = _q_dense(d, self.quantized, dtype=self.dtype,
+                                   name="linear_out")
+        self.linear_pos = _q_dense(d, self.quantized, use_bias=False,
+                                   dtype=self.dtype, name="linear_pos")
         init = nn.initializers.xavier_uniform()
         dk = d // self.num_heads
         self.pos_bias_u = self.param("pos_bias_u", init, (self.num_heads, dk))
@@ -155,12 +162,15 @@ class PositionwiseFeedForward(nn.Module):
     hidden: int
     activation: str = "relu"
     dtype: Any = jnp.float32
+    quantized: bool = False
 
     @nn.compact
     def __call__(self, x):
-        h = nn.Dense(self.hidden, dtype=self.dtype, name="w_1")(x)
+        h = _q_dense(self.hidden, self.quantized, dtype=self.dtype,
+                     name="w_1")(x)
         h = _ACT[self.activation](h)
-        return nn.Dense(self.d_model, dtype=self.dtype, name="w_2")(h)
+        return _q_dense(self.d_model, self.quantized, dtype=self.dtype,
+                        name="w_2")(h)
 
 
 class ConvolutionModule(nn.Module):
@@ -229,22 +239,25 @@ class EncoderLayer(nn.Module):
     cnn_module_norm: str = "batch_norm"
     cnn_causal: bool = False
     dtype: Any = jnp.float32
+    quantized: bool = False
 
     def setup(self):
         mha_norm = "norm_mha" if self.conformer_names else "norm1"
         ffn_norm = "norm_ff" if self.conformer_names else "norm2"
         self.attn = RelPositionAttention(self.d_model, self.num_heads,
-                                         self.dtype, name="self_attn")
+                                         self.dtype, self.quantized,
+                                         name="self_attn")
         self.attn_norm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=mha_norm)
         self.ffn = PositionwiseFeedForward(self.d_model, self.ffn_dim,
                                            self.activation, self.dtype,
+                                           self.quantized,
                                            name="feed_forward")
         self.ffn_norm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=ffn_norm)
         self.ff_scale = 0.5 if self.macaron_style else 1.0
         if self.macaron_style:
             self.ffn_macaron = PositionwiseFeedForward(
                 self.d_model, self.ffn_dim, self.activation, self.dtype,
-                name="feed_forward_macaron")
+                self.quantized, name="feed_forward_macaron")
             self.macaron_norm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
                                              name="norm_ff_macaron")
         if self.use_cnn_module:
@@ -334,6 +347,7 @@ class ConformerEncoder(nn.Module):
                       cnn_module_kernel=cfg.cnn_module_kernel,
                       cnn_module_norm=cfg.cnn_module_norm,
                       cnn_causal=cfg.cnn_causal, dtype=self.dtype,
+                      quantized=cfg.quantized_serving,
                       name=f"encoders_{i}")
             for i in range(cfg.num_blocks)
         ]

@@ -73,6 +73,47 @@ def quantize_llama_params(tree: Dict) -> Dict:
     return out
 
 
+def _quantize_dense_leaf(pt: Dict) -> Dict:
+    """{"kernel", "bias"?} Dense params -> {"kernel_q", "scale", "bias"?}
+    (ops/quantized.QDense layout)."""
+    out = {k: v for k, v in pt.items() if k != "kernel"}
+    qd = quantize_kernel(pt["kernel"])
+    out["kernel_q"] = qd["base_q"]
+    out["scale"] = qd["base_scale"]
+    return out
+
+
+_ENCODER_DENSE = ("linear_q", "linear_k", "linear_v", "linear_out",
+                  "linear_pos", "w_1", "w_2")
+
+
+def quantize_encoder_params(tree: Dict) -> Dict:
+    """ConformerEncoder param tree -> the quantized_serving layout: the
+    per-layer attention/ffn Dense kernels become int8 + scale (input layers,
+    norms, pos biases, conv modules untouched)."""
+    out: Dict = {}
+    for key, val in tree.items():
+        if not key.startswith("encoders_"):
+            out[key] = val
+            continue
+        layer_out: Dict = {}
+        for sub, subtree in val.items():
+            if sub == "self_attn":
+                layer_out[sub] = {
+                    name: (_quantize_dense_leaf(pt)
+                           if name in _ENCODER_DENSE else pt)
+                    for name, pt in subtree.items()}
+            elif sub.startswith("feed_forward"):
+                layer_out[sub] = {
+                    name: (_quantize_dense_leaf(pt)
+                           if name in _ENCODER_DENSE else pt)
+                    for name, pt in subtree.items()}
+            else:
+                layer_out[sub] = subtree
+        out[key] = layer_out
+    return out
+
+
 def quantization_error(tree_fp: Dict, tree_q: Dict) -> float:
     """Max relative kernel reconstruction error across quantized kernels
     (sanity metric; ~0.4% for gaussian weights)."""

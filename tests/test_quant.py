@@ -63,6 +63,54 @@ def test_quantized_with_lora_adapters():
                                np.asarray(out_off["last_hidden"]), atol=1e-6)
 
 
+def test_quantized_conformer_matches_float():
+    from taste_spokenlm_tpu.config import EncoderStackConfig
+    from taste_spokenlm_tpu.models.conformer import ConformerEncoder
+    from taste_spokenlm_tpu.utils.quant import quantize_encoder_params
+
+    cfg = EncoderStackConfig.tiny(32, 32, 2)
+    enc = ConformerEncoder(cfg)
+    rng = jax.random.PRNGKey(3)
+    x = jax.random.normal(rng, (2, 7, 32))
+    lens = jnp.asarray([7, 5])
+    v = enc.init(rng, x, lens)
+    out_fp = enc.apply(v, x, lens)
+
+    qtree = quantize_encoder_params(v["params"])
+    p0 = qtree["encoders_0"]["self_attn"]["linear_q"]
+    assert set(p0) == {"kernel_q", "scale", "bias"}
+    enc_q = ConformerEncoder(cfg.replace(quantized_serving=True))
+    out_q = enc_q.apply({"params": qtree}, x, lens)
+    a, b = np.asarray(out_fp), np.asarray(out_q)
+    assert np.abs(a - b).max() / max(np.abs(a).max(), 1e-6) < 0.05
+
+
+def test_quantized_speech_decoder_generate_runs():
+    from taste_spokenlm_tpu.config import SpeechDecoderConfig
+    from taste_spokenlm_tpu.models.speech_decoder import TasteSpeechDecoder
+    from taste_spokenlm_tpu.utils.quant import quantize_encoder_params
+
+    cfg = SpeechDecoderConfig.tiny()
+    m = TasteSpeechDecoder(cfg)
+    rng = jax.random.PRNGKey(4)
+    b, t = 1, 5
+    spk = jax.random.normal(rng, (b, cfg.spk_embed_dim))
+    audio = jax.random.normal(rng, (b, t, cfg.audio_encoder_input_size))
+    asr = jax.random.randint(rng, (b, t), 0, cfg.text_token_size)
+    lens = jnp.asarray([t])
+    sp = jax.random.randint(rng, (b, 6), 0, cfg.speech_token_size)
+    slens = jnp.asarray([6])
+    v = m.init(rng, spk, audio, lens, asr, lens, sp, slens)
+    v = {"params": dict(v["params"],
+                        llm=quantize_encoder_params(v["params"]["llm"]))}
+    mq = TasteSpeechDecoder(cfg.replace(
+        llm=cfg.llm.replace(quantized_serving=True)))
+    out = mq.apply(v, rng, spk, audio, lens, asr, lens, max_steps=8,
+                   method=mq.generate)
+    assert np.isfinite(np.asarray(out["speech_token_ids"])).all() \
+        if isinstance(out, dict) else True
+
+
 def test_quantized_cached_decode_runs():
     cfg = _cfg().replace(quantized_serving=True)
     lm = LlamaModel(cfg)
