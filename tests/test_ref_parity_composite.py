@@ -295,3 +295,56 @@ def test_extract_vq_matches_reference(composite_pair):
         np.testing.assert_array_equal(
             np.asarray(llm_idx)[i, :n], llm_idx_ref.numpy()[i, :n],
             err_msg=f"llm indices row {i}")
+
+
+def test_s3_decode_loop_matches_reference(composite_pair, monkeypatch):
+    """The KV-cached AR S3 decode (speech_decoder.generate) emits the same
+    greedy trajectory as the reference's _voice_decoder_generate loop
+    (modeling_taste.py:1559-1626), incl. the eos-ban below
+    min_token_text_ratio, on the tower's own quantized embeds."""
+    ref, ours, variables = composite_pair
+    (mel, spk, asr, asr_len, word_ids, word_ids_ref, _s, _sl) = _batch(3)
+    b = 1
+    mel, spk = mel[:b], spk[:b]
+    asr, asr_len = asr[:b], asr_len[:b]
+    word_ids, word_ids_ref = word_ids[:b], word_ids_ref[:b]
+    feat_len = np.full((b,), SRC_POS * 2, np.int64)
+
+    def greedy_sampling_ids(weighted_scores, sampling, beam_size,
+                            ignore_eos=True):
+        ws = weighted_scores.clone()
+        if ignore_eos:
+            ws[ref.speech_decoder.speech_token_size] = -float("inf")
+        return ws.argmax().reshape(1)
+
+    monkeypatch.setattr(ref.speech_decoder, "sampling_ids",
+                        greedy_sampling_ids)
+    with torch.no_grad():
+        out_ref = ref.inference_reconstruction(
+            speaker_embeds=torch.from_numpy(spk),
+            asr_token_ids=torch.from_numpy(asr.astype(np.int64)),
+            asr_token_lengths=torch.from_numpy(asr_len.astype(np.int64)),
+            asr_word_ids=torch.from_numpy(word_ids_ref.astype(np.int64)),
+            audio_features=torch.from_numpy(mel),
+            audio_feature_lengths=torch.from_numpy(feat_len))
+    ref_tokens = out_ref["speech_token_ids"].numpy()[0]
+
+    max_steps = 48
+    enc = ours.apply(
+        variables, jnp.asarray(mel.transpose(0, 2, 1)), jnp.asarray(asr),
+        jnp.asarray(asr_len), jnp.asarray(word_ids),
+        method=lambda m, *a: m.audio_tower(*a))
+    gen = ours.apply(
+        variables, jax.random.PRNGKey(0), jnp.asarray(spk),
+        enc["audio_unit_embeds"], enc["audio_unit_lengths"],
+        jnp.asarray(asr), jnp.asarray(asr_len),
+        method=lambda m, *a, **k: m.speech_decoder.generate(
+            *a, max_steps=max_steps, sampling_k=1))
+    n_ours = int(gen["speech_token_lengths"][0])
+    our_tokens = np.asarray(gen["speech_token_ids"])[0, :n_ours]
+
+    n = min(len(ref_tokens), max_steps)
+    np.testing.assert_array_equal(our_tokens[:n], ref_tokens[:n])
+    if len(ref_tokens) < max_steps:
+        # reference stopped at eos within our budget: lengths agree too
+        assert n_ours == len(ref_tokens), (n_ours, len(ref_tokens))
