@@ -123,3 +123,37 @@ def test_quantized_cached_decode_runs():
     step = lm.apply(v, input_ids=ids[:, :1], caches=out["caches"],
                     cache_index=jnp.int32(4), position_offset=4)
     assert np.isfinite(np.asarray(step["last_hidden"])).all()
+
+
+def test_quantized_params_shard_under_tp():
+    """The int8 serving layout shards over the ('data','model') mesh with
+    the TP rules (base_q like kernel, base_scale on the output axis) and the
+    sharded forward matches single-device."""
+    from taste_spokenlm_tpu.parallel import mesh as mesh_lib
+    from taste_spokenlm_tpu.utils.quant import quantize_llama_params
+    import jax
+
+    if len(jax.devices()) < 8:
+        import pytest
+        pytest.skip("needs the virtual 8-device mesh")
+    cfg = _cfg().replace(quantized_serving=True)
+    lm = LlamaModel(cfg)
+    rng = jax.random.PRNGKey(5)
+    ids = jax.random.randint(rng, (4, 6), 0, cfg.vocab_size)
+    v = lm.init(rng, input_ids=ids)
+    base = LlamaModel(_cfg())
+    vb = base.init(rng, input_ids=ids)
+    qtree = quantize_llama_params(vb["params"])
+    ref = np.asarray(lm.apply({"params": qtree}, input_ids=ids)["last_hidden"])
+
+    mesh = mesh_lib.make_mesh(data=4, model=2)
+    shardings = mesh_lib.param_shardings(mesh, qtree)
+    # q/k/v kernels must actually be model-sharded
+    s = shardings["layers_0"]["self_attn"]["q_proj"]["base_q"]
+    assert "model" in str(s.spec), s.spec
+    with mesh:
+        qdev = jax.device_put(qtree, shardings)
+        out = jax.jit(lambda p, i: lm.apply({"params": p}, input_ids=i))(
+            qdev, ids)
+    np.testing.assert_allclose(np.asarray(out["last_hidden"]), ref,
+                               atol=2e-5)
