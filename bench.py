@@ -90,7 +90,8 @@ def main():
     if quant:
         cfg = cfg.replace(
             spoken_lm=cfg.spoken_lm.replace(
-                llama=cfg.spoken_lm.llama.replace(quantized_serving=True)),
+                llama=cfg.spoken_lm.llama.replace(
+                    quantized_serving=True, quantized_embed_serving=True)),
             speech_decoder=cfg.speech_decoder.replace(
                 llm=cfg.speech_decoder.llm.replace(quantized_serving=True)))
     print(f"llama serving quantization: {'int8' if quant else 'off'}",

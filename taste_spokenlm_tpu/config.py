@@ -327,6 +327,9 @@ class LlamaConfig(_Base):
     # quantization; ~1.66x AR-decode tokens/sec on v5e) — use
     # utils/quant.quantize_llama_params to convert a trained tree
     quantized_serving: bool = False
+    # also serve the embedding table (and thus the tied lm_head) as int8
+    # with per-row scales (QEmbed)
+    quantized_embed_serving: bool = False
     # llama3 rope scaling
     rope_scaling_factor: float = 32.0
     rope_low_freq_factor: float = 1.0

@@ -224,8 +224,13 @@ class LlamaModel(nn.Module):
 
     def setup(self):
         cfg = self.config
-        self.embed_tokens = nn.Embed(cfg.vocab_size, cfg.hidden_size,
-                                     dtype=self.dtype)
+        if cfg.quantized_embed_serving:
+            from taste_spokenlm_tpu.ops.quantized import QEmbed
+            self.embed_tokens = QEmbed(cfg.vocab_size, cfg.hidden_size,
+                                       dtype=self.dtype)
+        else:
+            self.embed_tokens = nn.Embed(cfg.vocab_size, cfg.hidden_size,
+                                         dtype=self.dtype)
         # static_argnums: 0 is self; 7 is the python-bool disable_lora flag
         layer_cls = (nn.remat(LlamaLayer, static_argnums=(7,))
                      if self.remat else LlamaLayer)
@@ -308,6 +313,8 @@ class LlamaModel(nn.Module):
         if not self.config.tie_word_embeddings:
             return (hidden.astype(jnp.float32)
                     @ self.lm_head_kernel.astype(jnp.float32))
+        if self.config.quantized_embed_serving:
+            return self.embed_tokens.logits(hidden)
         emb = self.embed_tokens.embedding
         return (hidden.astype(jnp.float32)
                 @ emb.astype(jnp.float32).T)

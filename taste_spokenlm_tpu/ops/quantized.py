@@ -42,3 +42,33 @@ def dense(features: int, quantized: bool, use_bias: bool = True,
     if quantized:
         return QDense(features, use_bias=use_bias, dtype=dtype, name=name)
     return nn.Dense(features, use_bias=use_bias, dtype=dtype, name=name)
+
+
+class QEmbed(nn.Module):
+    """Int8 embedding table with per-row scales.  Lookups gather int8 rows
+    and dequantize; a tied lm_head reads the int8 table through the logits
+    matmul (logits = (h @ q^T) * scale), halving the 0.5 GB/step the
+    Llama-1B tied head re-reads per decoded token."""
+
+    num_embeddings: int
+    features: int
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.embedding_q = self.param(
+            "embedding_q", nn.initializers.zeros,
+            (self.num_embeddings, self.features), jnp.int8)
+        self.embedding_scale = self.param(
+            "embedding_scale", nn.initializers.ones,
+            (self.num_embeddings,), jnp.float32)
+
+    def __call__(self, ids):
+        rows = jnp.take(self.embedding_q, ids, axis=0).astype(self.dtype)
+        return rows * jnp.take(self.embedding_scale, ids,
+                               axis=0)[..., None].astype(self.dtype)
+
+    def logits(self, hidden):
+        """Tied-head projection against the int8 table."""
+        return (hidden.astype(jnp.float32)
+                @ self.embedding_q.astype(jnp.float32).T) \
+            * self.embedding_scale.astype(jnp.float32)[None, None, :]

@@ -63,6 +63,8 @@ _TP_RULES = [
     (r".*(q_proj|k_proj|v_proj|gate_proj|up_proj).*/base_scale$", P("model")),
     (r".*(o_proj|down_proj).*/base_q$", P("model", None)),
     (r".*embed_tokens/embedding$", P("model", None)),
+    (r".*embed_tokens/embedding_q$", P("model", None)),
+    (r".*embed_tokens/embedding_scale$", P("model")),
 ]
 
 

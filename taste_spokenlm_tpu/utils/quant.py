@@ -45,12 +45,27 @@ def dequantize_kernel(qdict) -> jnp.ndarray:
             * jnp.asarray(qdict["base_scale"], jnp.float32)[None, :])
 
 
-def quantize_llama_params(tree: Dict) -> Dict:
+def quantize_embed(table) -> Dict:
+    """[V, H] embedding table -> {"embedding_q" int8, "embedding_scale"
+    f32 [V]} with symmetric per-row scales (ops/quantized.QEmbed layout)."""
+    w = jnp.asarray(table, jnp.float32)
+    amax = jnp.max(jnp.abs(w), axis=1)
+    scale = jnp.maximum(amax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(w / scale[:, None]), -127, 127).astype(jnp.int8)
+    return {"embedding_q": q, "embedding_scale": scale}
+
+
+def quantize_llama_params(tree: Dict, include_embed: bool = False) -> Dict:
     """LlamaModel param tree (bf16/f32 "base" kernels) -> the
     quantized_serving layout ("base_q"/"base_scale" per projection).
-    LoRA adapters, norms, embeddings, and the lm_head stay untouched."""
+    LoRA adapters, norms, and the untied lm_head stay untouched;
+    `include_embed` also converts embed_tokens (and thus the tied head)
+    to the QEmbed int8 layout (pair with quantized_embed_serving)."""
     out: Dict = {}
     for key, val in tree.items():
+        if key == "embed_tokens" and include_embed:
+            out[key] = quantize_embed(val["embedding"])
+            continue
         if key.startswith("layers_"):
             layer_out: Dict = {}
             for sub, subtree in val.items():

@@ -157,3 +157,26 @@ def test_quantized_params_shard_under_tp():
             qdev, ids)
     np.testing.assert_allclose(np.asarray(out["last_hidden"]), ref,
                                atol=2e-5)
+
+
+def test_quantized_embed_and_tied_head():
+    from taste_spokenlm_tpu.utils.quant import quantize_llama_params
+
+    cfg = _cfg()   # tied embeddings
+    lm = LlamaModel(cfg)
+    rng = jax.random.PRNGKey(6)
+    ids = jax.random.randint(rng, (2, 5), 0, cfg.vocab_size)
+    v = lm.init(rng, input_ids=ids)
+    out_fp = lm.apply(v, input_ids=ids)
+    logits_fp = np.asarray(lm.apply(v, out_fp["last_hidden"],
+                                    method=lm.logits))
+
+    qtree = quantize_llama_params(v["params"], include_embed=True)
+    assert qtree["embed_tokens"]["embedding_q"].dtype == jnp.int8
+    lm_q = LlamaModel(cfg.replace(quantized_serving=True,
+                                  quantized_embed_serving=True))
+    out_q = lm_q.apply({"params": qtree}, input_ids=ids)
+    logits_q = np.asarray(lm_q.apply({"params": qtree}, out_q["last_hidden"],
+                                     method=lm_q.logits))
+    assert (np.abs(logits_fp - logits_q).max()
+            / max(np.abs(logits_fp).max(), 1e-6)) < 0.05
