@@ -39,7 +39,7 @@ SRC_POS = 60
 VOCAB = 50366
 PROMPT = (50258, 50259, 50360, 50364)
 EOS = 50257
-Q, K, CDIM = 2, 16, 8
+Q, K, CDIM = 4, 16, 8   # Q=4: the reference spoken-LM hard-codes 4 levels
 ENC_IN = 16       # speech decoder encoder_input_size
 LLM_IN = 32
 SPEECH_VOCAB = 40
@@ -348,3 +348,55 @@ def test_s3_decode_loop_matches_reference(composite_pair, monkeypatch):
     if len(ref_tokens) < max_steps:
         # reference stopped at eos within our budget: lengths agree too
         assert n_ours == len(ref_tokens), (n_ours, len(ref_tokens))
+
+
+def test_scoring_matches_reference(composite_pair):
+    """Composite scoring (extract_vq -> spoken_lm loss,
+    modeling_taste.py:1627-1660).  The reference computes the spoken-LM
+    losses in bf16 (its ctor casts the backbone); ours stays f32, so the
+    tolerance reflects bf16 rounding, with taste labels exact via the
+    shared extract_vq parity above."""
+    ref, ours, variables = composite_pair
+    (mel, spk, asr, asr_len, word_ids, word_ids_ref, _s, _sl) = _batch(4)
+    feat_len = np.full((2,), SRC_POS * 2, np.int64)
+    llm_tokens = np.random.RandomState(9).randint(0, 100, (2, 5))
+    llm_len = np.asarray([5, 4], np.int32)
+    llm_words = np.asarray([[0, 1, 1, 2, 2], [0, 0, 1, 2, 0]], np.int32)
+
+    # the reference hard-codes audio dim 1280 in its spoken-LM fusion and
+    # pad embeds (modeling_taste.py:631-639 + bridge.py:46) — at tiny scale
+    # they must be rebuilt for the tower's actual embed width (the reference
+    # itself cannot run scoring at any other size)
+    from taste_speech.modules_taste.bridge import BRIDGE_FUSION_CLASSES
+    torch.manual_seed(7)
+    ref.spoken_lm.fuse_for_bridge_in_llm = BRIDGE_FUSION_CLASSES[
+        "weighted_sum"](audio_dim=D, llm_dim=32)
+    with torch.no_grad():
+        ref.spoken_lm.pad_audio_unit_embed = torch.nn.Parameter(
+            torch.randn(D) * 0.1)
+        ref.spoken_lm.pad_text_unit_embed.normal_(0, 0.1)
+
+    # spoken-LM weights were not converted in the shared fixture
+    state = {k: v.detach().float().numpy()
+             for k, v in ref.state_dict().items()}
+    params = dict(variables["params"])
+    params["spoken_lm"] = convert.spoken_lm_params(state, "spoken_lm.")
+    variables = dict(variables, params=params)
+
+    with torch.no_grad():
+        loss_ref = ref.scoring(
+            torch.from_numpy(asr.astype(np.int64)),
+            torch.from_numpy(asr_len.astype(np.int64)),
+            torch.from_numpy(word_ids.astype(np.int64)),
+            torch.from_numpy(llm_tokens.astype(np.int64)),
+            torch.from_numpy(llm_len.astype(np.int64)),
+            torch.from_numpy(llm_words.astype(np.int64)),
+            torch.from_numpy(mel),
+            torch.from_numpy(feat_len))
+
+    loss = ours.apply(
+        variables, jnp.asarray(asr), jnp.asarray(asr_len),
+        jnp.asarray(word_ids), jnp.asarray(llm_tokens),
+        jnp.asarray(llm_len), jnp.asarray(llm_words),
+        jnp.asarray(mel.transpose(0, 2, 1)), method=ours.scoring)
+    np.testing.assert_allclose(float(loss), float(loss_ref), rtol=0.05)
