@@ -159,3 +159,41 @@ def test_decode_step_matches_reference_full_forward(ref_encoder_mod):
         outs.append(np.asarray(y)[:, 0])
     ours_out = np.stack(outs, axis=1)
     np.testing.assert_allclose(ours_out, ref_out, atol=1e-4)
+
+
+def test_decode_step_matches_reference_forward_chunk(ref_encoder_mod):
+    """Our KV-cached decode_step == the reference's STREAMING forward_chunk
+    API (encoder.py:183-271) consumed chunk-by-chunk with a growing
+    att_cache — the reference's own incremental serving path."""
+    ref, ours, variables = _build_pair(
+        ref_encoder_mod, CASES["conformer_linear_causal"])
+    rng = np.random.RandomState(5)
+    # chunk=1: forward_chunk applies full attention WITHIN a chunk (no
+    # att_mask), so the causal streaming unit — and what the reference's
+    # own decode loop feeds it (modeling_taste.py:1608) — is one token
+    t, chunk = 8, 1
+    x = rng.randn(1, t, D_IN).astype(np.float32)
+
+    ref_outs = []
+    att_cache = torch.zeros((0, 0, 0, 0))
+    cnn_cache = torch.zeros((0, 0, 0, 0))
+    offset = 0
+    with torch.no_grad():
+        for s in range(0, t, chunk):
+            y, att_cache, cnn_cache = ref.forward_chunk(
+                torch.from_numpy(x[:, s:s + chunk]), offset=offset,
+                required_cache_size=-1, att_cache=att_cache,
+                cnn_cache=cnn_cache)
+            ref_outs.append(y.numpy())
+            offset += chunk
+    ref_out = np.concatenate(ref_outs, axis=1)
+
+    caches = ours.apply(variables, 1, t, method=ConformerEncoder.init_cache)
+    outs = []
+    for i in range(t):
+        y, caches = ours.apply(variables, jnp.asarray(x[:, i:i + 1]), caches,
+                               jnp.int32(i),
+                               method=ConformerEncoder.decode_step)
+        outs.append(np.asarray(y)[:, 0])
+    ours_out = np.stack(outs, axis=1)
+    np.testing.assert_allclose(ours_out, ref_out, atol=1e-4)
