@@ -208,3 +208,47 @@ def test_forward_matches_reference(llama_dir, ref_vq, delay, delay_level,
             err_msg=f"taste_logits row {i}")
     np.testing.assert_allclose(float(out["loss"]), float(out_ref["loss"]),
                                atol=1e-3)
+
+
+def test_get_audio_embeds_from_taste_matches_reference(llama_dir, ref_vq):
+    """Per-word taste predictions -> per-asr-token audio embeds
+    (modeling_taste.py:1006-1028): the reference compacts IGNORE rows and
+    index-selects by word id per sample; ours gathers from the dense
+    per-word rows directly."""
+    ref, ours, variables = _build(llama_dir, 1, "word", "fill_forward")
+    rvq, cb = ref_vq
+    rng = np.random.RandomState(21)
+    b, t_llm, t_asr, n_words = 2, 7, 6, 3
+    # taste labels: valid rows at word starts, IGNORE elsewhere (the
+    # reference derives preds from argmax at non-IGNORE label rows)
+    taste_labels = np.full((b, t_llm, Q), -1, np.int64)
+    word_rows = [[0, 2, 4], [1, 3, 5]]
+    word_tastes = rng.randint(0, K, (b, n_words, Q))
+    for i in range(b):
+        taste_labels[i, word_rows[i]] = word_tastes[i]
+    taste_logits = rng.randn(b, t_llm, Q, K).astype(np.float32)
+    asr_word_ids = np.asarray([[0, 0, 1, 1, 2, 2],
+                               [0, 1, 1, 2, 2, 2]], np.int32)
+    asr_len = np.asarray([t_asr, t_asr - 2], np.int32)
+
+    with torch.no_grad():
+        emb_ref, len_ref = ref.get_audio_embeds_from_taste(
+            rvq,
+            asr_token_lengths=torch.from_numpy(asr_len.astype(np.int64)),
+            asr_word_ids=torch.from_numpy(asr_word_ids.astype(np.int64)),
+            taste_logits=torch.from_numpy(taste_logits),
+            taste_labels=torch.from_numpy(taste_labels))
+
+    # our dense per-word preds = the reference's argmax at valid label rows
+    preds = np.zeros((b, n_words, Q), np.int32)
+    for i in range(b):
+        preds[i] = taste_logits[i, word_rows[i]].argmax(-1)
+    emb = ours.apply(variables, cb, jnp.asarray(asr_len),
+                     jnp.asarray(asr_word_ids), jnp.asarray(preds),
+                     method=ours.get_audio_embeds_from_taste)
+
+    np.testing.assert_array_equal(np.asarray(asr_len), len_ref.numpy())
+    for i, n in enumerate(asr_len):
+        np.testing.assert_allclose(np.asarray(emb)[i, :n],
+                                   emb_ref.numpy()[i, :n], atol=1e-5,
+                                   err_msg=f"row {i}")
