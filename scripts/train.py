@@ -235,18 +235,25 @@ def main():
 
     n_data = mesh.shape["data"]
 
-    def _pad_rows(x):
+    def _pad_batch(b):
         # bucketed real-data batches can end with a ragged row count; pad by
-        # repeating the last row so dim 0 shards evenly over the data axis
-        r = (-x.shape[0]) % n_data
+        # repeating the last row so dim 0 shards evenly over the data axis,
+        # then zero the *_lengths fields of the padded rows so every loss
+        # mask drops them — padding never re-weights real examples
+        b = {k: np.asarray(v) for k, v in b.items()}
+        n = next(iter(b.values())).shape[0]
+        r = (-n) % n_data
         if r:
-            x = np.concatenate([x, np.repeat(x[-1:], r, axis=0)], axis=0)
-        return x
+            b = {k: np.concatenate([v, np.repeat(v[-1:], r, axis=0)], axis=0)
+                 for k, v in b.items()}
+            for k, v in b.items():
+                if k.endswith("_lengths"):
+                    v[n:] = 0
+        return {k: jnp.asarray(v) for k, v in b.items()}
 
     def sharded_batches():
         for b in itertools.chain([first], batches):
-            b = jax.tree_util.tree_map(lambda x: jnp.asarray(_pad_rows(
-                np.asarray(x))), b)
+            b = _pad_batch(b)
             yield jax.device_put(b, mesh_lib.batch_specs(mesh, b))
 
     trainer = Trainer(

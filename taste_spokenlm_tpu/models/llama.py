@@ -57,6 +57,10 @@ class LoraDense(nn.Module):
     def __call__(self, x, deterministic: bool = True,
                  disable_lora: bool = False):
         if self.quantized:
+            # the int8 serving layout stores only (base_q, base_scale); a
+            # bias would be silently dropped — fail loudly instead
+            assert not self.use_bias, \
+                "LoraDense(quantized=True) does not support use_bias"
             in_dim = x.shape[-1]
             q = self.param("base_q", nn.initializers.zeros,
                            (in_dim, self.features), jnp.int8)

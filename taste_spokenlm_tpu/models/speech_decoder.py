@@ -165,7 +165,10 @@ class TasteSpeechDecoder(nn.Module):
              (task, None), (speech_emb, speech_token_lengths)], out_len)
 
         ign = jnp.full((b, 2 + tf), IGNORE_ID, jnp.int32)
-        eos = jnp.full((b, 1), cfg.speech_token_size, jnp.int32)
+        # zero-length rows (epoch-tail padding, scripts/train._pad_batch)
+        # carry no targets at all — not even the EOS
+        eos = jnp.where((speech_token_lengths > 0)[:, None],
+                        cfg.speech_token_size, IGNORE_ID).astype(jnp.int32)
         lm_target, _ = ragged_concat(
             [(ign, fused_lengths + 2),
              (speech_token_ids.astype(jnp.int32), speech_token_lengths),

@@ -414,7 +414,11 @@ class TasteSpokenLM(nn.Module):
 
         Row i derives its sampling stream as fold_in(step_key, i), so a
         row's trajectory depends only on (rng, its inputs, its row index),
-        not on the batch size.
+        not on the batch size.  Alternatively `rng` may be a BATCH of keys
+        [B, 2]: row i's step-t stream is then fold_in(rng[i], t) — fully
+        independent of cohort composition and row position, which is what
+        the serving micro-batcher uses to keep per-request `seed`
+        reproducibility under concurrent load.
 
         Returns generated llm token ids [B, max_steps], taste indices
         [B, max_steps, L] (dense, one row per word), word ids [B, max_steps],
@@ -542,14 +546,22 @@ class TasteSpokenLM(nn.Module):
                         jnp.zeros((b,), bool))
 
         bi = jnp.arange(b)
+        per_row_keys = jnp.ndim(rng) == 2   # [B, 2] key batch (see docstring)
 
         def cond(mdl, st):
             return jnp.logical_and(st.step < max_steps, ~jnp.all(st.done))
 
         def body(mdl, st: GenState):
-            rng, sub = jax.random.split(st.rng)
-            # per-row streams independent of batch size (row i == fold_in i)
-            subs = jax.vmap(lambda i: jax.random.fold_in(sub, i))(bi)
+            if per_row_keys:
+                # row i's stream = fold_in(its own key, step): independent of
+                # cohort composition (per-request seed reproducibility)
+                rng = st.rng
+                subs = jax.vmap(
+                    lambda k: jax.random.fold_in(k, st.step))(st.rng)
+            else:
+                rng, sub = jax.random.split(st.rng)
+                # per-row streams independent of batch size (row i == fold_in i)
+                subs = jax.vmap(lambda i: jax.random.fold_in(sub, i))(bi)
             text_logits = mdl.language_model.logits(st.hidden[:, None])[:, 0]
             taste_logits, _ = mdl.extract_for_bridge_out_llm(
                 st.hidden[:, None].astype(jnp.float32),

@@ -307,12 +307,19 @@ class WhisperForASR(nn.Module):
         self._begin_mask = jnp.asarray(begin)
 
     def __call__(self, mel: jnp.ndarray, max_tokens: int = 224,
-                 temperature: float = 0.0, rng: Optional[jax.Array] = None):
+                 temperature: float | jnp.ndarray = 0.0,
+                 rng: Optional[jax.Array] = None):
         """mel [B, n_mels, 3000] -> (token ids [B, max_tokens] EOS-padded,
         avg logprob [B] of the emitted tokens incl. EOS — whisper's
-        fallback quality signal)."""
+        fallback quality signal).
+
+        `temperature` is a TRACED scalar (argmax vs categorical selected
+        in-graph with jnp.where), so one compiled program serves every
+        rung of the temperature-fallback ladder
+        (frontend.processor.transcribe_with_fallback)."""
         cfg = self.config
         b = mel.shape[0]
+        temperature = jnp.asarray(temperature, jnp.float32)
         enc = self.encoder(mel)["last_hidden"]
         prompt = jnp.tile(jnp.asarray(cfg.decoder_prompt, jnp.int32)[None],
                           (b, 1))
@@ -354,11 +361,11 @@ class WhisperForASR(nn.Module):
             logits = logits + mdl._suppress_mask[None]
             logits = jnp.where(s.step == 0, logits + mdl._begin_mask[None],
                                logits)
-            if temperature > 0.0:
-                ids = jax.random.categorical(
-                    sub, logits / temperature, axis=-1).astype(jnp.int32)
-            else:
-                ids = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            sampled = jax.random.categorical(
+                sub, logits / jnp.maximum(temperature, 1e-6), axis=-1
+            ).astype(jnp.int32)
+            greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            ids = jnp.where(temperature > 0.0, sampled, greedy)
             logprobs = jax.nn.log_softmax(logits, axis=-1)
             lp = jnp.take_along_axis(logprobs, ids[:, None], axis=1)[:, 0]
             is_eos = ids == cfg.eos_token_id

@@ -109,9 +109,11 @@ class TasteEngine:
         """One batched joint text+taste decode over N concurrent requests
         (models/spoken_lm.generate is natively batched; rows are padded to a
         shared token bucket and the batch to a batch bucket so repeated
-        calls hit the jit cache).  Row i's sampling stream derives from
-        (batch key, i) — batching trades exact per-seed reproducibility for
-        throughput; greedy decodes are unaffected."""
+        calls hit the jit cache).  Row i's sampling stream derives from ITS
+        OWN request seed (a [B] key batch into generate), so a sampled
+        request's output is reproducible regardless of which other requests
+        it was micro-batched with.  Cohorts larger than the biggest batch
+        bucket are decoded in bucket-sized chunks."""
         import jax
         import jax.numpy as jnp
         from taste_spokenlm_tpu.models.sampler import SamplerConfig
@@ -124,8 +126,15 @@ class TasteEngine:
                 "banned": jnp.zeros((v,), bool),
                 "sentence_end": jnp.asarray(np.arange(v) % 7 == 0)}
         n_req = len(requests)
+        cap = self.BATCH_BUCKETS[-1]
+        if n_req > cap:
+            out = []
+            for i in range(0, n_req, cap):
+                out.extend(self.complete_batch(requests[i:i + cap],
+                                               sampler_kwargs, max_steps))
+            return out
         bucket = self._bucket(max(len(r["llm_ids"]) for r in requests))
-        nb = next(b for b in self.BATCH_BUCKETS if n_req <= b)
+        nb = next((b for b in self.BATCH_BUCKETS if n_req <= b), cap)
         scfg = SamplerConfig(delay=self.config.spoken_lm.delay,
                              **sampler_kwargs)
         key = ("complete", bucket, nb, max_steps, scfg)
@@ -149,9 +158,11 @@ class TasteEngine:
             ridx = np.asarray(r["llm_indices"], np.int32)[:bucket]
             idx[i, :len(ridx)] = ridx
         lens = np.maximum(lens, 1)  # pad rows decode a dummy 1-token prefix
-        rng = jax.random.PRNGKey(requests[0].get("seed", 0))
-        for r in requests[1:]:
-            rng = jax.random.fold_in(rng, r.get("seed", 0))
+        # [nb, 2] key batch: row i streams from its own request seed
+        seeds = np.zeros((nb,), np.uint32)
+        for i, r in enumerate(requests):
+            seeds[i] = np.uint32(r.get("seed", 0))
+        rng = jax.vmap(jax.random.PRNGKey)(jnp.asarray(seeds))
         out = self._jits[key](self.variables, rng, jnp.asarray(idx),
                               jnp.asarray(ids), jnp.asarray(lens),
                               jnp.asarray(words))
@@ -222,7 +233,12 @@ def create_grpc_server(engine: TasteEngine, port: int = 50051,
                        batcher: Optional[CompleteBatcher] = None):
     import grpc
     if batcher is None:
-        batcher = CompleteBatcher(engine, max_batch=max_workers)
+        # clamp to the largest decode batch bucket — complete_batch chunks
+        # oversized cohorts anyway, but one bucket-sized micro-batch keeps
+        # latency predictable
+        batcher = CompleteBatcher(
+            engine,
+            max_batch=min(max_workers, TasteEngine.BATCH_BUCKETS[-1]))
 
     def Tokenize(request: pb.TokenizeRequest, context) -> pb.TokenizeResponse:
         mel = np.asarray(request.audio_features, np.float32).reshape(

@@ -126,6 +126,28 @@ def test_single_device_equals_mesh_step(stage1):
     assert float(m_local["loss"]) == pytest.approx(float(m_mesh["loss"]), rel=1e-4)
 
 
+def test_zero_length_padded_rows_drop_from_loss(stage1):
+    """scripts/train._pad_batch pads ragged epoch tails by repeating the last
+    row with ZEROED length fields — such rows must not contribute to the
+    loss (same loss as the unpadded batch)."""
+    cfg, model, variables, batch = stage1
+    sub = {k: v[:6] for k, v in batch.items()}
+    padded = {k: jnp.concatenate([v, v[-1:], v[-1:]], axis=0)
+              for k, v in sub.items()}
+    for k in ("asr_token_lengths", "speech_token_lengths"):
+        padded[k] = padded[k].at[6:].set(0)
+
+    def loss(b):
+        out = model.apply(
+            variables, b["speaker_embeds"], b["asr_token_ids"],
+            b["asr_token_lengths"], b["asr_word_ids"], b["audio_features"],
+            b["speech_token_ids"], b["speech_token_lengths"],
+            method=TasteForCausalLM.forward_speech_autoencoder)
+        return float(out["loss"])
+
+    assert loss(padded) == pytest.approx(loss(sub), rel=1e-5)
+
+
 def test_checkpoint_roundtrip(tmp_path, stage1):
     cfg, model, variables, batch = stage1
     from taste_spokenlm_tpu.utils.checkpoint import CheckpointManager
