@@ -34,10 +34,23 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 PEAK_FLOPS = float(os.environ.get("TPU_PEAK_FLOPS", 197e12))
 
 
-def _timed(fn):
+def _force(out):
+    """Host readback of one scalar derived from the output.
+
+    The axon tunnel MEMOIZES repeated identical (executable, args) calls and
+    `block_until_ready` can return before real execution (CLAUDE.md) — a
+    per-call host readback forces completion.  Every timed loop below ALSO
+    varies its inputs per iteration so no two timed calls share args."""
     import jax
+    import jax.numpy as jnp
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    return float(jnp.sum(leaf.astype(jnp.float32)))
+
+
+def _timed(fn):
+    """Wall-clock one call incl. a forcing readback."""
     t0 = time.perf_counter()
-    jax.block_until_ready(fn())
+    _force(fn())
     return time.perf_counter() - t0
 
 
@@ -53,6 +66,49 @@ def _mfu(jitted, args, wall_s):
         return None
 
 
+def _fill_variables(shapes, param_dtype):
+    """Fill an eval_shape variables tree with random weights ON DEVICE:
+    per-unique-shape jitted normal fills (compile is trivial +
+    persistent-cached) — avoids generating GBs on the host and shipping
+    them through the remote-TPU tunnel.  int8 leaves get realistic
+    payloads; bool leaves named like VQ 'initted' flags become True so the
+    one-time kmeans-init branch is skipped in steady-state timing."""
+    import functools
+    import jax
+    import jax.numpy as jnp
+    fill_fns = {}
+
+    def fill_fn(shape, dtype, scale):
+        key = (shape, str(dtype), scale)
+        if key not in fill_fns:
+            fill_fns[key] = jax.jit(functools.partial(
+                lambda k, s, d, sc: (jax.random.normal(k, s, jnp.float32)
+                                     * sc).astype(d),
+                s=shape, d=dtype, sc=scale))
+        return fill_fns[key]
+
+    counter = iter(range(10 ** 9))
+    base_key = jax.random.PRNGKey(42)
+
+    def make(path, leaf):
+        if leaf.dtype == jnp.int8:
+            k = jax.random.fold_in(base_key, next(counter))
+            return jax.random.randint(k, leaf.shape, -127, 128, jnp.int32
+                                      ).astype(jnp.int8)
+        if leaf.dtype == jnp.bool_:
+            name = str(getattr(path[-1], "key", path[-1])) if path else ""
+            return jnp.full(leaf.shape, name == "initted", bool)
+        if not np.issubdtype(leaf.dtype, np.floating):
+            return jnp.zeros(leaf.shape, leaf.dtype)
+        scale = 0.02 if leaf.ndim >= 2 else 1e-3
+        k = jax.random.fold_in(base_key, next(counter))
+        return fill_fn(tuple(leaf.shape), param_dtype, scale)(k)
+
+    variables = jax.tree_util.tree_map_with_path(make, shapes)
+    jax.block_until_ready(variables)
+    return variables
+
+
 class _VocabScan:
     """Deterministic id->subword map standing in for the llama tokenizer
     when building sampler vocab tables offline (speed benchmark only; the
@@ -65,8 +121,286 @@ class _VocabScan:
                 ",'", " no.", "xyz")[r]
 
 
+def _memory_stats_gb():
+    import jax
+    try:
+        stats = jax.local_devices()[0].memory_stats()
+        return round(stats["peak_bytes_in_use"] / 2 ** 30, 2)
+    except Exception:
+        return None
+
+
+def train_main():
+    """Training benchmark on the real chip (VERDICT r2 #1): full-size
+    stage-1 speech-autoencoder step (frozen whisper encoder; trainable
+    decoder-segmenter + RVQ + speech decoder; per-layer remat; ~B x 30 s
+    buckets, reference conf/taste.yaml:23-24 dynamic 2000 frames/GPU and
+    configs/training/stage1-1_text_only.yml bf16+grad-ckpt) and a stage-2
+    LoRA step with in-graph frozen-base KL.  Emits ONE JSON line of
+    train_* metrics; run via `python bench.py --train-only` (the default
+    `python bench.py` runs it as a subprocess first so serving and
+    training don't share HBM)."""
+    import jax
+    import jax.numpy as jnp
+    from taste_spokenlm_tpu.config import TasteConfig
+    from taste_spokenlm_tpu.models.taste import TasteForCausalLM
+    from taste_spokenlm_tpu.train import optim, train_step
+
+    tiny = os.environ.get("BENCH_TINY", "") == "1"
+    if tiny:
+        jax.config.update("jax_platforms", "cpu")
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ["JAX_COMPILATION_CACHE_DIR"])
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+    dtype = jnp.bfloat16
+    cfg = TasteConfig.tiny() if tiny else TasteConfig.full()
+    # per-layer remat everywhere gradients flow (the reference trains with
+    # gradient checkpointing, stage1-1_text_only.yml:28-44)
+    cfg = cfg.replace(
+        audio_tower=cfg.audio_tower.replace(
+            whisper=cfg.audio_tower.whisper.replace(remat=True)),
+        speech_decoder=cfg.speech_decoder.replace(
+            text_encoder=cfg.speech_decoder.text_encoder.replace(remat=True),
+            audio_encoder=cfg.speech_decoder.audio_encoder.replace(remat=True),
+            llm=cfg.speech_decoder.llm.replace(remat=True)),
+        spoken_lm=cfg.spoken_lm.replace(
+            llama=cfg.spoken_lm.llama.replace(remat=True)))
+    model = TasteForCausalLM(cfg, dtype=dtype)
+    results = {}
+
+    # ---------------- shapes ----------------
+    if tiny:
+        mel_frames = cfg.audio_tower.whisper.max_source_positions * 2
+        t_tok, t_speech, audio_sec = 8, 12, 1.0
+        s1_ladder, s2_ladder = (2,), (2,)
+        t_llm = 8
+    else:
+        mel_frames = 3000                      # 30 s per row
+        t_tok = 96                             # ~3.2 asr tokens/s
+        t_speech = 1500                        # 50 Hz S3
+        audio_sec = 30.0
+        s1_ladder = tuple(int(x) for x in os.environ.get(
+            "BENCH_TRAIN_B1", "8,4,2,1").split(","))
+        t_llm = 512
+        s2_ladder = tuple(int(x) for x in os.environ.get(
+            "BENCH_TRAIN_B2", "8,4,2,1").split(","))
+
+    rng = np.random.RandomState(0)
+    asr_vocab = cfg.audio_tower.whisper.vocab_size
+    sp_vocab = cfg.speech_decoder.speech_token_size
+
+    def stage1_batch(b, seed=0):
+        r = np.random.RandomState(seed)
+        word_ids = np.minimum(np.arange(t_tok) // 2, t_tok - 1)
+        return {
+            "speaker_embeds": jnp.asarray(
+                r.randn(b, cfg.speech_decoder.spk_embed_dim), jnp.float32),
+            "asr_token_ids": jnp.asarray(
+                r.randint(100, 20000, (b, t_tok)) % asr_vocab, jnp.int32),
+            "asr_token_lengths": jnp.asarray([t_tok] * b),
+            "asr_word_ids": jnp.asarray(word_ids[None].repeat(b, 0)),
+            "audio_features": jnp.asarray(
+                r.randn(b, cfg.audio_tower.whisper.n_mels, mel_frames) * 0.3,
+                jnp.float32),
+            "speech_token_ids": jnp.asarray(
+                r.randint(0, sp_vocab, (b, t_speech)), jnp.int32),
+            "speech_token_lengths": jnp.asarray([t_speech] * b),
+        }
+
+    def time_steps(step, state, batches):
+        walls = []
+        for bt in batches:
+            t0 = time.perf_counter()
+            state, metrics = step(state, bt)
+            loss = float(metrics["loss"])      # forcing readback
+            walls.append(time.perf_counter() - t0)
+        assert np.isfinite(loss), f"train loss diverged: {loss}"
+        return min(walls), loss
+
+    # ---------------- stage 1 ----------------
+    for b1 in s1_ladder:
+        try:
+            batch = stage1_batch(b1)
+            print(f"stage1: B={b1} x {audio_sec:.0f}s init...",
+                  file=sys.stderr)
+            t0 = time.perf_counter()
+            shapes = jax.eval_shape(
+                functools.partial(
+                    model.init,
+                    method=TasteForCausalLM.forward_speech_autoencoder),
+                {"params": jax.random.PRNGKey(0)}, batch["speaker_embeds"],
+                batch["asr_token_ids"], batch["asr_token_lengths"],
+                batch["asr_word_ids"], batch["audio_features"],
+                batch["speech_token_ids"], batch["speech_token_lengths"])
+            variables = _fill_variables(shapes, jnp.bfloat16)
+            n_params = sum(x.size for x in
+                           jax.tree_util.tree_leaves(variables["params"]))
+            print(f"stage1 init {time.perf_counter()-t0:.1f}s "
+                  f"params={n_params/1e6:.0f}M", file=sys.stderr)
+            # rvq curriculum phase: decoder-segmenter + VQ + speech decoder
+            # trainable, whisper encoder frozen (scripts/train.py patterns)
+            mask = optim.trainable_mask(
+                variables["params"],
+                unfreeze_patterns=[r"audio_tower/decoder", r"audio_tower/vq",
+                                   r"speech_decoder"])
+            tx = optim.make_optimizer(1e-4, mask=mask, grad_clip=5.0)
+            state = train_step.init_state(
+                jax.random.PRNGKey(0), variables["params"],
+                variables.get("quantizer"), tx)
+            step = train_step.make_stage1_step(model, tx, mesh=None,
+                                               donate=False)
+            t0 = time.perf_counter()
+            state, metrics = step(state, batch)
+            _ = float(metrics["loss"])
+            print(f"stage1 compile+first step: "
+                  f"{time.perf_counter()-t0:.1f}s", file=sys.stderr)
+            batches = [stage1_batch(b1, seed=i + 1) for i in range(3)]
+            jax.block_until_ready(batches)
+            wall, loss = time_steps(step, state, batches)
+            flops = None
+            try:
+                cost = step.lower(state, batch).compile().cost_analysis()
+                if isinstance(cost, list):
+                    cost = cost[0]
+                flops = float(cost["flops"])
+            except Exception:
+                pass
+            results.update({
+                "train_stage1_batch": f"{b1}x{audio_sec:.0f}s",
+                "train_stage1_step_s": round(wall, 4),
+                "train_stage1_frames_per_sec": round(b1 * mel_frames / wall),
+                "train_stage1_audio_sec_per_sec": round(
+                    b1 * audio_sec / wall, 2),
+                "train_stage1_mfu": (round(flops / wall / PEAK_FLOPS, 4)
+                                     if flops else None),
+            })
+            print(f"stage1: B={b1} step={wall*1e3:.0f}ms "
+                  f"loss={loss:.3f} "
+                  f"mfu={results['train_stage1_mfu']}", file=sys.stderr)
+            break
+        except Exception as e:  # OOM at this batch size -> try smaller
+            msg = str(e)[:300]
+            print(f"stage1 B={b1} failed: {msg}", file=sys.stderr)
+            results["train_stage1_error"] = msg
+    hbm1 = _memory_stats_gb()
+    if hbm1 is not None:
+        results["train_stage1_peak_hbm_gb"] = hbm1
+    # release stage-1 HBM before stage 2 (rebinding drops the refs;
+    # locals().pop would not)
+    variables = state = step = batch = batches = metrics = None
+    # ---------------- stage 2 ----------------
+    L = cfg.audio_tower.quantizer.num_quantizers
+    K = cfg.audio_tower.quantizer.codebook_size
+    llm_vocab = cfg.spoken_lm.llama.vocab_size
+
+    def stage2_batch(b, seed=0):
+        r = np.random.RandomState(100 + seed)
+        word_ids = np.minimum(np.arange(t_llm) // 2, t_llm - 1)
+        idx = np.full((b, t_llm, L), -1, np.int32)
+        starts = np.flatnonzero(np.diff(word_ids, prepend=-1) != 0)
+        idx[:, starts] = r.randint(0, K, (b, len(starts), L))
+        return {
+            "llm_indices": jnp.asarray(idx),
+            "llm_token_ids": jnp.asarray(
+                r.randint(100, 120000, (b, t_llm)) % llm_vocab, jnp.int32),
+            "llm_token_lengths": jnp.asarray([t_llm] * b),
+            "llm_word_ids": jnp.asarray(word_ids[None].repeat(b, 0)),
+        }
+
+    for b2 in s2_ladder:
+        try:
+            batch = stage2_batch(b2)
+            print(f"stage2: B={b2} x {t_llm} tokens init...", file=sys.stderr)
+            t0 = time.perf_counter()
+            shapes = jax.eval_shape(
+                functools.partial(model.init,
+                                  method=TasteForCausalLM.forward_spoken_llm),
+                {"params": jax.random.PRNGKey(0)}, batch["llm_indices"],
+                batch["llm_token_ids"], batch["llm_token_lengths"],
+                batch["llm_word_ids"])
+            variables = _fill_variables(shapes, jnp.bfloat16)
+            print(f"stage2 init {time.perf_counter()-t0:.1f}s",
+                  file=sys.stderr)
+            mask = optim.lora_only_mask(variables["params"])
+            tx = optim.make_optimizer(1e-4, mask=mask, grad_clip=5.0)
+            state = train_step.init_state(
+                jax.random.PRNGKey(0), variables["params"],
+                variables.get("quantizer"), tx)
+            step = train_step.make_stage2_step(model, tx, mesh=None,
+                                               use_ref_kl=True, donate=False)
+            t0 = time.perf_counter()
+            state, metrics = step(state, batch)
+            _ = float(metrics["loss"])
+            print(f"stage2 compile+first step: "
+                  f"{time.perf_counter()-t0:.1f}s", file=sys.stderr)
+            batches = [stage2_batch(b2, seed=i + 1) for i in range(3)]
+            jax.block_until_ready(batches)
+            wall, loss = time_steps(step, state, batches)
+            flops = None
+            try:
+                cost = step.lower(state, batch).compile().cost_analysis()
+                if isinstance(cost, list):
+                    cost = cost[0]
+                flops = float(cost["flops"])
+            except Exception:
+                pass
+            results.update({
+                "train_stage2_batch": f"{b2}x{t_llm}tok",
+                "train_stage2_step_s": round(wall, 4),
+                "train_stage2_tokens_per_sec": round(b2 * t_llm / wall),
+                "train_stage2_mfu": (round(flops / wall / PEAK_FLOPS, 4)
+                                     if flops else None),
+            })
+            print(f"stage2: B={b2} step={wall*1e3:.0f}ms loss={loss:.3f} "
+                  f"mfu={results['train_stage2_mfu']}", file=sys.stderr)
+            break
+        except Exception as e:
+            msg = str(e)[:300]
+            print(f"stage2 B={b2} failed: {msg}", file=sys.stderr)
+            results["train_stage2_error"] = msg
+    hbm2 = _memory_stats_gb()
+    if hbm2 is not None:
+        results["train_stage2_peak_hbm_gb"] = hbm2
+    print(json.dumps(results))
+
+
+def _run_train_subprocess():
+    """Run train_main in a child process (clean HBM for each phase) and
+    parse its JSON line.  BENCH_TRAIN=0 skips."""
+    import subprocess
+    timeout = int(os.environ.get("BENCH_TRAIN_TIMEOUT", "3000"))
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--train-only"],
+            capture_output=True, text=True, timeout=timeout)
+        sys.stderr.write(proc.stderr[-6000:])
+        for line in reversed(proc.stdout.strip().splitlines()):
+            line = line.strip()
+            if line.startswith("{"):
+                try:
+                    return json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+        print(f"train bench produced no JSON (rc={proc.returncode})",
+              file=sys.stderr)
+    except subprocess.TimeoutExpired:
+        print(f"train bench timed out after {timeout}s", file=sys.stderr)
+    except Exception as e:
+        print(f"train bench failed: {e}", file=sys.stderr)
+    return {}
+
+
 def main():
     tiny = os.environ.get("BENCH_TINY", "") == "1"
+    train_metrics = {}
+    if os.environ.get("BENCH_TRAIN", "1") == "1":
+        print("=== training benchmark (subprocess) ===", file=sys.stderr)
+        train_metrics = _run_train_subprocess()
+        print("=== serving benchmark ===", file=sys.stderr)
     import jax
     if tiny:
         jax.config.update("jax_platforms", "cpu")
@@ -148,42 +482,12 @@ def main():
         jnp.zeros((b, 8), jnp.int32), jnp.full((b,), 8, jnp.int32),
         batch_lm["llm_token_ids"], batch_lm["llm_token_lengths"],
         batch_lm["llm_word_ids"])
-    # fill weights ON DEVICE: per-unique-shape jitted normal fills (compile
-    # is trivial + persistent-cached) — avoids generating GBs on the host
-    # and shipping them through the remote-TPU tunnel
-    fill_fns = {}
-
-    def fill_fn(shape, dtype, scale):
-        key = (shape, str(dtype), scale)
-        if key not in fill_fns:
-            fill_fns[key] = jax.jit(functools.partial(
-                lambda k, s, d, sc: (jax.random.normal(k, s, jnp.float32)
-                                     * sc).astype(d),
-                s=shape, d=dtype, sc=scale))
-        return fill_fns[key]
-
-    counter = iter(range(10 ** 9))
-    base_key = jax.random.PRNGKey(42)
     # serve weights in bf16 (the production serving layout — halves HBM
     # traffic on the memory-bound AR decode; flax modules upcast where the
     # compute dtype is f32).  Override with BENCH_PARAM_DTYPE=float32.
     param_dtype = jnp.dtype(os.environ.get("BENCH_PARAM_DTYPE", "bfloat16"))
     print(f"param dtype: {param_dtype}", file=sys.stderr)
-
-    def make(leaf):
-        if leaf.dtype == jnp.int8:
-            # quantized base kernels: realistic int8 payload
-            k = jax.random.fold_in(base_key, next(counter))
-            return jax.random.randint(k, leaf.shape, -127, 128, jnp.int32
-                                      ).astype(jnp.int8)
-        if not np.issubdtype(leaf.dtype, np.floating):
-            return jnp.zeros(leaf.shape, leaf.dtype)
-        scale = 0.02 if leaf.ndim >= 2 else 1e-3
-        k = jax.random.fold_in(base_key, next(counter))
-        return fill_fn(tuple(leaf.shape), param_dtype, scale)(k)
-
-    variables = jax.tree_util.tree_map(make, shapes)
-    jax.block_until_ready(variables)
+    variables = _fill_variables(shapes, param_dtype)
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(variables["params"]))
     print(f"init done in {time.perf_counter()-t0:.1f}s; params={n_params/1e6:.0f}M",
           file=sys.stderr)
@@ -229,11 +533,19 @@ def main():
     jax.block_until_ready(wav)
     print(f"compile+first full run: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
 
+    # measurement hygiene (CLAUDE.md): each timed call gets UNIQUE inputs
+    # (key + a perturbed data tensor) and ends in a forcing readback
+    n_rep = 3
+    batch_variants = [
+        dict(batch, audio_features=batch["audio_features"]
+             + jnp.float32(1e-4 * (i + 1)))
+        for i in range(n_rep)]
+    jax.block_until_ready(batch_variants)
     times = []
-    for i in range(3):
+    for i, bi in enumerate(batch_variants):
         t0 = time.perf_counter()
-        wav = run_all(jax.random.PRNGKey(3 + i), batch)
-        jax.block_until_ready(wav)
+        wav = run_all(jax.random.PRNGKey(3 + i), bi)
+        _force(wav)
         times.append(time.perf_counter() - t0)
     recon_wall = min(times)
 
@@ -244,25 +556,43 @@ def main():
         variables, r1, batch["speaker_embeds"], enc["audio_unit_embeds"],
         enc["audio_unit_lengths"], batch["asr_token_ids"],
         batch["asr_token_lengths"]))
+    # sanity: the AR decode must have consumed a real budget (min-length
+    # forbids EOS below ~2x the prefix; a masking bug shortening the loop
+    # would fake a speed win)
+    dec_len = int(np.min(np.asarray(gen["speech_token_lengths"])))
+    assert dec_len >= 64, f"degenerate S3 decode length {dec_len}"
+    print(f"recon decode length: {dec_len}/{max_speech}", file=sys.stderr)
     voc_tokens = jnp.maximum(gen["speech_token_ids"], 0)
+
+    def tower_args(j):
+        return (variables, batch_variants[j % n_rep])
+
+    def decoder_args(j):
+        return (variables, jax.random.fold_in(r1, j),
+                batch["speaker_embeds"] + jnp.float32(1e-4 * j),
+                enc["audio_unit_embeds"], enc["audio_unit_lengths"],
+                batch["asr_token_ids"], batch["asr_token_lengths"])
+
+    def vocoder_args(j):
+        return (variables, jax.random.fold_in(r2, j), voc_tokens,
+                gen["speech_token_lengths"],
+                batch["speaker_embeds"] + jnp.float32(1e-4 * j))
+
+    # args are prepared (and materialized) OUTSIDE the timed region
     stage_calls = {
-        "tower": (run_tower, (variables, batch)),
-        "decoder": (run_decoder,
-                    (variables, r1, batch["speaker_embeds"],
-                     enc["audio_unit_embeds"], enc["audio_unit_lengths"],
-                     batch["asr_token_ids"], batch["asr_token_lengths"])),
-        "vocoder": (run_vocoder,
-                    (variables, r2, voc_tokens, gen["speech_token_lengths"],
-                     batch["speaker_embeds"])),
+        "tower": (run_tower, [tower_args(j) for j in range(3)]),
+        "decoder": (run_decoder, [decoder_args(j) for j in range(3)]),
+        "vocoder": (run_vocoder, [vocoder_args(j) for j in range(3)]),
     }
+    jax.block_until_ready([a for _, al in stage_calls.values() for a in al])
     from taste_spokenlm_tpu.utils.profiling import StageTimer
     timer = StageTimer()
-    for name, (jitted, a) in stage_calls.items():
-        best = min(_timed(lambda: jitted(*a)) for _ in range(2))
+    for name, (jitted, arglist) in stage_calls.items():
+        best = min(_timed(lambda a=a: jitted(*a)) for a in arglist[:2])
         with timer.stage(name):  # annotated re-run for profiler traces
-            jax.block_until_ready(jitted(*a))
+            _force(jitted(*arglist[2]))
         timer.stages[name] = best  # keep the best-of wall time in the report
-        mfu = _mfu(jitted, a, best)
+        mfu = _mfu(jitted, arglist[0], best)
         mfu_s = f" mfu={mfu*100:.1f}%" if mfu is not None else ""
         print(f"stage {name}: {best*1e3:.0f} ms{mfu_s}", file=sys.stderr)
 
@@ -332,18 +662,28 @@ def main():
     print(f"compile+first synthesis: {time.perf_counter()-t0:.1f}s",
           file=sys.stderr)
 
-    dec_args = (variables, jax.random.PRNGKey(7), batch_lm["llm_indices"],
-                batch_lm["llm_token_ids"], batch_lm["llm_token_lengths"],
-                batch_lm["llm_word_ids"])
+    # hygiene: unique (key, ids) per timed decode, unique (key, spk) per
+    # timed synth, forcing readback inside each timed segment
+    n_iter = 5
+    dec_args_list, syn_args_list = [], []
+    for i in range(n_iter):
+        ids_i = (batch_lm["llm_token_ids"] + i) % llm_vocab
+        dec_args_list.append(
+            (variables, jax.random.PRNGKey(100 + i), batch_lm["llm_indices"],
+             ids_i, batch_lm["llm_token_lengths"], batch_lm["llm_word_ids"]))
+        syn_args_list.append(
+            (variables, jax.random.PRNGKey(200 + i),
+             batch["speaker_embeds"] + jnp.float32(1e-4 * i)) + syn_args[3:])
+    jax.block_until_ready((dec_args_list, syn_args_list))
     ttfa_samples, dec_walls, syn_walls = [], [], []
-    for i in range(5):
+    for i in range(n_iter):
         t0 = time.perf_counter()
-        out = run_joint_decode(*dec_args)
-        jax.block_until_ready(out)
+        out = run_joint_decode(*dec_args_list[i])
+        _force(out)
         t_dec = time.perf_counter() - t0
         t0 = time.perf_counter()
-        syn = run_synth(*syn_args)
-        jax.block_until_ready(syn)
+        syn = run_synth(*syn_args_list[i])
+        _force(syn)
         t_syn = time.perf_counter() - t0
         dec_walls.append(t_dec)
         syn_walls.append(t_syn)
@@ -351,6 +691,16 @@ def main():
         # decode + the synthesis tail complete
         ttfa_samples.append(t_dec + t_syn)
     n_tokens = int(np.sum(out["num_tokens"]))
+    # sanity: the joint decode must have produced a real token stream and
+    # the synthesis a non-degenerate waveform
+    assert n_tokens >= decode_steps // 2, \
+        f"degenerate joint decode: {n_tokens} tokens"
+    wav_rms = float(jnp.sqrt(jnp.mean(jnp.square(
+        syn["waveform"].astype(jnp.float32)))))
+    assert np.isfinite(wav_rms) and wav_rms > 1e-7, \
+        f"degenerate waveform rms={wav_rms}"
+    print(f"completion sanity: tokens={n_tokens} wav_rms={wav_rms:.3e}",
+          file=sys.stderr)
     dec_wall = min(dec_walls)
     syn_wall = min(syn_walls)
     toks_per_sec = n_tokens / dec_wall if dec_wall > 0 else 0.0
@@ -368,19 +718,24 @@ def main():
     jax.block_until_ready(out4)
     print(f"compile+first B=4 joint decode: {time.perf_counter()-t0:.1f}s",
           file=sys.stderr)
+    dec4_list = [
+        (variables, jax.random.PRNGKey(300 + i),
+         dec4_args[2], (dec4_args[3] + i) % llm_vocab) + dec4_args[4:]
+        for i in range(3)]
+    jax.block_until_ready(dec4_list)
     walls4 = []
-    for _ in range(3):
+    for a in dec4_list:
         t0 = time.perf_counter()
-        out4 = run_joint_decode(*dec4_args)
-        jax.block_until_ready(out4)
+        out4 = run_joint_decode(*a)
+        _force(out4)
         walls4.append(time.perf_counter() - t0)
     toks_per_sec_b4 = int(np.sum(out4["num_tokens"])) / min(walls4)
     print(f"B=4 decode: {min(walls4)*1e3:.0f} ms, "
           f"{toks_per_sec_b4:.1f} tok/s", file=sys.stderr)
     ttfa_p50 = float(np.median(ttfa_samples))
     completion_rtf = (dec_wall + syn_wall) / audio_sec
-    dec_mfu = _mfu(run_joint_decode, dec_args, dec_wall)
-    syn_mfu = _mfu(run_synth, syn_args, syn_wall)
+    dec_mfu = _mfu(run_joint_decode, dec_args_list[0], dec_wall)
+    syn_mfu = _mfu(run_synth, syn_args_list[0], syn_wall)
     for name, w, m in (("joint_decode", dec_wall, dec_mfu),
                        ("synthesis", syn_wall, syn_mfu)):
         timer.stages[name] = w
@@ -401,8 +756,12 @@ def main():
         "decode_tokens_per_sec": round(toks_per_sec, 1),
         "decode_tokens_per_sec_b4": round(toks_per_sec_b4, 1),
         "ttfa_p50_s": round(ttfa_p50, 4),
+        **train_metrics,
     }))
 
 
 if __name__ == "__main__":
-    main()
+    if "--train-only" in sys.argv:
+        train_main()
+    else:
+        main()

@@ -10,6 +10,14 @@ Covers the reference's warm-start paths (SURVEY.md §5 checkpoint/resume (c)):
 (the reference equivalent is convert_to_hf_compatible.py + the
 load_from_cosyvoice_ckpt importers, modeling_taste.py:97-106,346-353)
 
+Also the EXPORT direction (inverse; the reference ships this as
+STAGE1_TRAIN/.../convert_to_hf_compatible.py, README.md:101): a checkpoint
+trained in THIS framework becomes a reference-named torch state dict the
+taste_speech stack can `load_state_dict`:
+
+  python scripts/convert_checkpoint.py --export-torch ./my_ckpt_dir \
+      --output ./exported   # writes pytorch_model.bin + config.json
+
 Usage:
   python scripts/convert_checkpoint.py --whisper path/ --llama path/ \
       --taste path.bin --flow flow.pt --hift hift.pt --output ./converted
@@ -41,6 +49,10 @@ def main():
     p.add_argument("--flow", help="CosyVoice flow.pt")
     p.add_argument("--hift", help="CosyVoice hift.pt")
     p.add_argument("--output", required=True)
+    p.add_argument("--export-torch", metavar="CKPT_DIR",
+                   help="EXPORT direction: checkpoint dir (config.json + "
+                        "params/) from this framework -> reference-named "
+                        "torch state dict in --output")
     p.add_argument("--quantize-llama", action="store_true",
                    help="store the spoken-LM backbone's base kernels as "
                         "int8 + per-channel scales (weight-only serving "
@@ -53,6 +65,23 @@ def main():
 
     from taste_spokenlm_tpu.utils import convert
     from taste_spokenlm_tpu.utils.checkpoint import save_params
+
+    if args.export_torch:
+        import shutil
+        import torch
+        from taste_spokenlm_tpu.utils import export
+        from taste_spokenlm_tpu.utils.checkpoint import load_params
+        variables = load_params(os.path.join(args.export_torch, "params"))
+        state = export.to_torch(export.composite_taste_state(variables))
+        os.makedirs(args.output, exist_ok=True)
+        torch.save(state, os.path.join(args.output, "pytorch_model.bin"))
+        cfg_src = os.path.join(args.export_torch, "config.json")
+        if os.path.exists(cfg_src):
+            shutil.copy(cfg_src, os.path.join(args.output, "config.json"))
+        n = sum(v.numel() for v in state.values())
+        print(f"exported {len(state)} tensors ({n/1e6:.1f}M values) to "
+              f"{args.output}/pytorch_model.bin")
+        return
 
     tree = {"params": {}, "quantizer": {}}
 

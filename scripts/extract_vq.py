@@ -42,14 +42,11 @@ def main():
 
     import jax
     import jax.numpy as jnp
-    from taste_spokenlm_tpu.config import TasteConfig
     from taste_spokenlm_tpu.models.taste import TasteForCausalLM
-    from taste_spokenlm_tpu.utils.checkpoint import load_params
+    from taste_spokenlm_tpu.pretrained import from_pretrained
 
-    cfg = TasteConfig.from_dict(
-        json.load(open(os.path.join(args.seed_model, "config.json"))))
-    model = TasteForCausalLM(cfg)
-    variables = load_params(os.path.join(args.seed_model, "params"))
+    model, variables, _ = from_pretrained(args.seed_model)
+    cfg = model.config
 
     @jax.jit
     def extract(variables, batch):

@@ -64,16 +64,13 @@ def main():
 
     import jax
     import jax.numpy as jnp
-    from taste_spokenlm_tpu.config import TasteConfig
     from taste_spokenlm_tpu.models.sampler import SamplerConfig
     from taste_spokenlm_tpu.models.taste import TasteForCausalLM
-    from taste_spokenlm_tpu.utils.checkpoint import load_params
+    from taste_spokenlm_tpu.pretrained import from_pretrained
     from taste_spokenlm_tpu.utils.profiling import StageTimer
 
-    cfg = TasteConfig.from_dict(
-        json.load(open(os.path.join(args.seed_model, "config.json"))))
-    model = TasteForCausalLM(cfg)
-    variables = load_params(os.path.join(args.seed_model, "params"))
+    model, variables, _ = from_pretrained(args.seed_model)
+    cfg = model.config
 
     rng = np.random.RandomState(args.seed)
     b, t_tok = 1, 8

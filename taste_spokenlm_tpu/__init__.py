@@ -40,6 +40,7 @@ def __getattr__(name):
         "VoiceGenerator": ("taste_spokenlm_tpu.models.generator", "VoiceGenerator"),
         "CompletionPipeline": ("taste_spokenlm_tpu.frontend.api", "CompletionPipeline"),
         "TaslmForCausalLM": ("taste_spokenlm_tpu.models.taslm", "TaslmForCausalLM"),
+        "from_pretrained": ("taste_spokenlm_tpu.pretrained", "from_pretrained"),
     }
     if name in lazy:
         import importlib

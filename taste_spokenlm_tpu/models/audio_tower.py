@@ -40,6 +40,7 @@ class TasteAudioTower(nn.Module):
     def setup(self):
         cfg = self.config
         self.encoder = WhisperEncoder(cfg.whisper, dtype=self.dtype,
+                                      remat=cfg.whisper.remat,
                                       name="encoder")
         self.decoder = WhisperDecoder(
             cfg.whisper, dtype=self.dtype,

@@ -312,7 +312,8 @@ class MaskedDiffWithXvec(nn.Module):
         cfg = self.config
         self.input_embedding = nn.Embed(cfg.vocab_size, cfg.input_size)
         self.spk_embed_affine_layer = nn.Dense(cfg.output_size)
-        self.encoder = ConformerEncoder(cfg.encoder, name="encoder")
+        self.encoder = ConformerEncoder(cfg.encoder, name="encoder",
+                                        remat=cfg.encoder.remat)
         self.encoder_proj = nn.Dense(cfg.output_size)
         self.length_regulator = InterpolateRegulator(cfg.output_size,
                                                      name="length_regulator")

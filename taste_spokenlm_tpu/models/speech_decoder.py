@@ -44,13 +44,15 @@ class TasteSpeechDecoder(nn.Module):
         self.text_embedding = nn.Embed(cfg.text_token_size,
                                        cfg.text_encoder_input_size,
                                        dtype=self.dtype)
-        self.text_encoder = ConformerEncoder(cfg.text_encoder, dtype=self.dtype)
+        self.text_encoder = ConformerEncoder(cfg.text_encoder, dtype=self.dtype,
+                                             remat=cfg.text_encoder.remat)
         self.text_encoder_affine_layer = nn.Dense(cfg.llm_input_size,
                                                   dtype=self.dtype)
         self.audio_embed_affine_layer = nn.Dense(cfg.text_encoder_input_size,
                                                  dtype=self.dtype)
         self.audio_token_encoder = ConformerEncoder(cfg.audio_encoder,
-                                                    dtype=self.dtype)
+                                                    dtype=self.dtype,
+                                                    remat=cfg.audio_encoder.remat)
         self.audio_token_encoder_affine_layer = nn.Dense(cfg.llm_input_size,
                                                          dtype=self.dtype)
         # fusion weights (softmax over [audio, text]; init balanced)
@@ -65,7 +67,8 @@ class TasteSpeechDecoder(nn.Module):
                 lambda key: jax.random.uniform(key, (cfg.llm_input_size,)) * 1e-5)
         # llm_embedding row 0 = sos/eos, row 1 = task id
         self.llm_embedding = nn.Embed(2, cfg.llm_input_size, dtype=self.dtype)
-        self.llm = ConformerEncoder(cfg.llm, dtype=self.dtype)
+        self.llm = ConformerEncoder(cfg.llm, dtype=self.dtype,
+                                    remat=cfg.llm.remat)
         self.llm_decoder = nn.Dense(cfg.speech_token_size + 1, dtype=self.dtype)
         self.speech_embedding = nn.Embed(cfg.speech_token_size,
                                          cfg.llm_input_size, dtype=self.dtype)

@@ -74,7 +74,7 @@ class TasteSpokenLM(nn.Module):
         cfg = self.config
         self.language_model = LlamaModel(
             cfg.llama, lora=cfg.lora if cfg.use_lora else None,
-            dtype=self.dtype, name="language_model")
+            dtype=self.dtype, remat=cfg.llama.remat, name="language_model")
         self.fuse_for_bridge_in_llm = BRIDGE_FUSION_CLASSES[cfg.in_llm_module](
             llm_dim=cfg.llama.hidden_size, dtype=self.dtype)
         extract_cls = BRIDGE_EXTRACT_CLASSES[cfg.out_llm_module]

@@ -116,7 +116,7 @@ class TaslmForCausalLM(nn.Module):
         cfg = self.config
         self.language_model = LlamaModel(
             cfg.llama, lora=cfg.lora if cfg.use_lora else None,
-            dtype=self.dtype, name="language_model")
+            dtype=self.dtype, remat=cfg.llama.remat, name="language_model")
         self.fusion_layer = TaslmFusion(cfg.fusion_method,
                                         cfg.llama.hidden_size,
                                         cfg.fusion_normalize_speech)

@@ -36,6 +36,16 @@ class TasteEngine:
         self.token_buckets = tuple(sorted(token_buckets))
         self._jits: Dict[Any, Any] = {}
 
+    @classmethod
+    def from_pretrained(cls, checkpoint_dir: str, dtype=None,
+                        token_buckets=(16, 32, 64)) -> "TasteEngine":
+        """One-line serving engine from a converted/seed checkpoint dir
+        (taste_spokenlm_tpu.pretrained.from_pretrained)."""
+        from taste_spokenlm_tpu.pretrained import from_pretrained
+        model, variables, _ = from_pretrained(checkpoint_dir, dtype=dtype)
+        return cls(model, variables, model.config,
+                   token_buckets=token_buckets)
+
     def _bucket(self, n: int) -> int:
         for b in self.token_buckets:
             if n <= b:

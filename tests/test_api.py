@@ -93,3 +93,46 @@ def test_completion_text_only(pipeline):
         llm_indices=np.full((1, t, 4), -1, np.int32),
         conditional_mode="text", output_text_only=True, extra_words=2)
     assert set(out) == {"generated_text"}
+
+
+def test_from_pretrained_end_to_end(tmp_path_factory, pipeline):
+    """Save a seed checkpoint dir (config.json + orbax params), reload it
+    with the one-line loader, and run inference_reconstruction — the
+    reference from_pretrained quick-start ergonomics
+    (taste_speech/__init__.py:21-23, README.md:35-55)."""
+    import taste_spokenlm_tpu as tst
+    from taste_spokenlm_tpu.utils.checkpoint import save_params
+
+    ckpt = tmp_path_factory.mktemp("seed_ckpt")
+    cfg = pipeline.model.config
+    with open(ckpt / "config.json", "w") as f:
+        f.write(cfg.to_json())
+    save_params(str(ckpt / "params"), jax.device_get(pipeline.variables))
+
+    model, variables, processor = tst.from_pretrained(
+        str(ckpt), llm_tokenizer=ToyLlmTokenizer(),
+        asr_tokenizer=ToyAsrTokenizer())
+    assert model.config.to_json() == cfg.to_json()
+    # processor works for text without any external assets
+    feats = processor.process_text("hello there world")
+    assert feats["llm_token_ids"].shape[0] == 1
+
+    rng = np.random.RandomState(3)
+    t = 8
+    out = model.apply(
+        variables, jax.random.PRNGKey(0),
+        jnp.asarray(rng.randn(1, cfg.speech_decoder.spk_embed_dim),
+                    jnp.float32),
+        jnp.asarray(rng.randint(5, 100, (1, t))), jnp.asarray([t]),
+        jnp.asarray((np.arange(t) // 2)[None]),
+        jnp.asarray(rng.randn(1, cfg.audio_tower.whisper.n_mels,
+                              cfg.audio_tower.whisper.max_source_positions * 2),
+                    jnp.float32),
+        max_speech_steps=8, mel_len_max=16,
+        method=TasteForCausalLM.inference_reconstruction)
+    assert np.isfinite(np.asarray(out["waveform"])).all()
+
+    # serving engine one-liner over the same dir
+    from taste_spokenlm_tpu.serving.server import TasteEngine
+    engine = TasteEngine.from_pretrained(str(ckpt), token_buckets=(8, 16))
+    assert engine.config.to_json() == cfg.to_json()
