@@ -252,7 +252,11 @@ def train_main():
                 jax.random.PRNGKey(0), variables["params"],
                 variables.get("quantizer"), tx)
             step = train_step.make_stage1_step(model, tx, mesh=None,
-                                               donate=False)
+                                               donate=True,
+                                               trainable_mask=mask)
+            sds = lambda tree: jax.tree_util.tree_map(  # noqa: E731
+                lambda x: jax.ShapeDtypeStruct(jnp.shape(x), x.dtype), tree)
+            state_sds, batch_sds = sds(state), sds(batch)
             t0 = time.perf_counter()
             state, metrics = step(state, batch)
             _ = float(metrics["loss"])
@@ -263,7 +267,8 @@ def train_main():
             wall, loss = time_steps(step, state, batches)
             flops = None
             try:
-                cost = step.lower(state, batch).compile().cost_analysis()
+                cost = step.lower(state_sds, batch_sds).compile(
+                ).cost_analysis()
                 if isinstance(cost, list):
                     cost = cost[0]
                 flops = float(cost["flops"])
@@ -331,7 +336,11 @@ def train_main():
                 jax.random.PRNGKey(0), variables["params"],
                 variables.get("quantizer"), tx)
             step = train_step.make_stage2_step(model, tx, mesh=None,
-                                               use_ref_kl=True, donate=False)
+                                               use_ref_kl=True, donate=True,
+                                               trainable_mask=mask)
+            sds = lambda tree: jax.tree_util.tree_map(  # noqa: E731
+                lambda x: jax.ShapeDtypeStruct(jnp.shape(x), x.dtype), tree)
+            state_sds, batch_sds = sds(state), sds(batch)
             t0 = time.perf_counter()
             state, metrics = step(state, batch)
             _ = float(metrics["loss"])
@@ -342,7 +351,8 @@ def train_main():
             wall, loss = time_steps(step, state, batches)
             flops = None
             try:
-                cost = step.lower(state, batch).compile().cost_analysis()
+                cost = step.lower(state_sds, batch_sds).compile(
+                ).cost_analysis()
                 if isinstance(cost, list):
                     cost = cost[0]
                 flops = float(cost["flops"])
@@ -732,7 +742,43 @@ def main():
     toks_per_sec_b4 = int(np.sum(out4["num_tokens"])) / min(walls4)
     print(f"B=4 decode: {min(walls4)*1e3:.0f} ms, "
           f"{toks_per_sec_b4:.1f} tok/s", file=sys.stderr)
-    ttfa_p50 = float(np.median(ttfa_samples))
+    ttfa_nonstream_p50 = float(np.median(ttfa_samples))
+
+    # ---------------- streaming TTFA ----------------
+    # chunked S3 decode + windowed flow/HiFT (frontend/streaming.py): first
+    # audio leaves the device after prefill + 50 AR steps + one ~1.5 s
+    # flow/HiFT window instead of after the full decode + full synthesis
+    from taste_spokenlm_tpu.frontend.streaming import StreamingSynthesizer
+    streamer = StreamingSynthesizer(
+        model, variables, chunk_tokens=16 if tiny else 50,
+        left_ctx_tokens=8 if tiny else 25, max_speech_steps=max_speech)
+    syn_lens = jnp.asarray([gen_asr_len] * b)
+    taste_j = jnp.asarray(taste_dense)
+
+    def stream_first(key):
+        t0 = time.perf_counter()
+        it = streamer.stream(key, batch["speaker_embeds"], taste_j,
+                             syn_asr_ids, syn_lens, syn_asr_words)
+        first = next(it)          # np conversion inside = host readback
+        dt = time.perf_counter() - t0
+        n_first = first["wav"].shape[1]
+        for _ in it:              # drain the rest (untimed)
+            pass
+        return dt, n_first
+
+    t0 = time.perf_counter()
+    _, n_first = stream_first(jax.random.PRNGKey(50))
+    print(f"compile+first stream: {time.perf_counter()-t0:.1f}s "
+          f"(first chunk {n_first} samples)", file=sys.stderr)
+    stream_firsts = [stream_first(jax.random.PRNGKey(51 + i))[0]
+                     for i in range(3)]
+    stream_first_s = float(np.median(stream_firsts))
+    # full-pipeline TTFA: joint text+taste decode, then stream until the
+    # first audio chunk is on the host
+    ttfa_p50 = dec_wall + stream_first_s
+    print(f"streaming: first-chunk latency p50={stream_first_s*1e3:.0f}ms "
+          f"-> pipeline ttfa={ttfa_p50*1e3:.0f}ms "
+          f"(non-streaming {ttfa_nonstream_p50*1e3:.0f}ms)", file=sys.stderr)
     completion_rtf = (dec_wall + syn_wall) / audio_sec
     dec_mfu = _mfu(run_joint_decode, dec_args_list[0], dec_wall)
     syn_mfu = _mfu(run_synth, syn_args_list[0], syn_wall)
@@ -756,6 +802,7 @@ def main():
         "decode_tokens_per_sec": round(toks_per_sec, 1),
         "decode_tokens_per_sec_b4": round(toks_per_sec_b4, 1),
         "ttfa_p50_s": round(ttfa_p50, 4),
+        "ttfa_nonstream_p50_s": round(ttfa_nonstream_p50, 4),
         **train_metrics,
     }))
 

@@ -228,10 +228,12 @@ def main():
         step = train_step.make_stage1_step(
             model, tx, mesh=mesh,
             skip_vq=args.phase in ("text_only", "no_vq"),
-            skip_audio_in_decoder=args.phase == "text_only")
+            skip_audio_in_decoder=args.phase == "text_only",
+            trainable_mask=mask)
     else:
         step = train_step.make_stage2_step(model, tx, mesh=mesh,
-                                           use_ref_kl=args.ref_kl)
+                                           use_ref_kl=args.ref_kl,
+                                           trainable_mask=mask)
 
     n_data = mesh.shape["data"]
 

@@ -1,0 +1,182 @@
+"""Streaming synthesis: chunked S3 decode -> windowed flow+HiFT -> wav
+chunks with crossfaded seams.
+
+The reference pipeline is strictly non-streaming (inference_completion
+decodes every S3 token, flows the whole mel, then vocodes,
+modeling_taste.py:1742-1791 — its conformer carries chunk machinery,
+cosyvoice/encoder.py:183-271, but nothing drives it end to end).  Here the
+first ~1 s of audio leaves the device after:
+
+    prefill + chunk_tokens AR steps + one small flow/HiFT window
+
+instead of after the full decode + full synthesis — a ~2-4x TTFA cut.
+
+Design (TPU-first):
+* the AR decoder's stream state is a functional pytree
+  (models/speech_decoder.generate_stream_init/_chunk); the chunked
+  trajectory is BIT-IDENTICAL to the one-shot decode on the same key;
+* every jitted callable has a fixed shape: the decode chunk is
+  `chunk_tokens` steps, the vocoder window is `left_ctx + chunk` tokens
+  (first window smaller shapes are padded into the same bucket), so the
+  whole stream hits exactly three compiled programs after warmup;
+* the flow U-Net is non-causal, so chunk k is vocoded over a window with
+  `left_ctx` tokens of context; the seam between consecutive wav chunks is
+  blended with a short equal-power crossfade.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Dict, Iterator, Optional, Tuple
+
+import numpy as np
+
+MEL_FRAME_RATE = 22050.0 / 256.0   # flow mel geometry (flow.py:331-335)
+
+
+def mel_per_token(flow_cfg) -> float:
+    """Mel frames per S3 token: (22050/256) / input_frame_rate."""
+    return MEL_FRAME_RATE / flow_cfg.input_frame_rate
+
+
+@dataclass
+class StreamingSynthesizer:
+    model: Any
+    variables: Any
+    chunk_tokens: int = 50          # ~1 s of new audio per chunk
+    left_ctx_tokens: int = 25       # flow context re-vocoded, not emitted
+    crossfade_tokens: int = 2       # seam blend length (~18 ms) — audio from
+                                    # the context re-vocode blends into the
+                                    # new chunk's head
+    max_speech_steps: int = 512
+    _jits: Dict = field(default_factory=dict)
+
+    def _jit(self, name, fn):
+        if name not in self._jits:
+            import jax
+            self._jits[name] = jax.jit(fn)
+        return self._jits[name]
+
+    # ------------------------------------------------------------------
+
+    def stream(
+        self, rng, speaker_embeds, taste_indices_per_word, asr_token_ids,
+        asr_token_lengths, asr_word_ids,
+    ) -> Iterator[Dict[str, np.ndarray]]:
+        """Yields dicts: {"wav": [B, n] float32 chunk, "tokens": [B, c],
+        "is_last": bool}.  B=1 intended (per-request streaming)."""
+        import jax
+        import jax.numpy as jnp
+        from taste_spokenlm_tpu.models.taste import TasteForCausalLM
+
+        model, variables = self.model, self.variables
+        ct, lc = self.chunk_tokens, self.left_ctx_tokens
+        window = ct + lc
+        mpt = mel_per_token(model.config.flow)
+        mel_window_max = int(np.ceil(window * mpt)) + 4
+
+        init = self._jit("init", lambda v, r, spk, taste, ids, lens, words:
+                         model.apply(v, r, spk, taste, ids, lens, words,
+                                     max_speech_steps=self.max_speech_steps,
+                                     method=TasteForCausalLM.stream_synth_init))
+        step = self._jit("chunk", lambda v, st:
+                         model.apply(v, st, self.chunk_tokens,
+                                     method=TasteForCausalLM.stream_decode_chunk))
+        vocode = self._jit(
+            "vocode", lambda v, r, toks, lens, spk:
+            model.apply(v, r, toks, lens, spk, mel_window_max,
+                        method=TasteForCausalLM.stream_vocode_window))
+
+        rng = jax.random.PRNGKey(0) if rng is None else rng
+        # stream_synth_init splits rng exactly like synthesize_from_taste,
+        # so the chunked decode trajectory matches the one-shot path on the
+        # same key; window vocoding draws fresh CFM noise per chunk
+        rng_voc = jax.random.fold_in(rng, 7919)
+        state = init(variables, rng, speaker_embeds, taste_indices_per_word,
+                     asr_token_ids, asr_token_lengths, asr_word_ids)
+
+        b = np.asarray(speaker_embeds).shape[0]
+        cf = self.crossfade_tokens
+        all_tokens = np.zeros((b, 0), np.int32)
+        held: Optional[np.ndarray] = None   # audio of tokens [s-cf, s) from
+        #                                     the PREVIOUS window (not yet
+        #                                     emitted; blends with the next
+        #                                     window's rendition of the same
+        #                                     tokens — overlap-and-hold)
+        n_chunks = int(np.ceil(self.max_speech_steps / ct))
+        for k in range(n_chunks):
+            tokens, state = step(variables, state)
+            tokens = np.asarray(tokens)                      # [B, ct]
+            n_new = int((tokens >= 0).sum(axis=1).max())
+            done = bool(np.asarray(state["done"]).all())
+            last = done or k == n_chunks - 1
+            if n_new == 0:
+                if held is not None:     # flush the held seam audio
+                    yield {"wav": held, "tokens": tokens, "is_last": True}
+                    held = None
+                if last:
+                    break
+                continue
+            s = all_tokens.shape[1]
+            all_tokens = np.concatenate(
+                [all_tokens, np.maximum(tokens[:, :n_new], 0)], axis=1)
+            e = s + n_new
+            ws = max(0, s - lc)
+            win = all_tokens[:, ws:e]
+            win_len = win.shape[1]
+            win_padded = np.zeros((b, window), np.int32)
+            win_padded[:, :win_len] = win
+            wav, _ = vocode(
+                variables, jax.random.fold_in(rng_voc, k),
+                jnp.asarray(win_padded), jnp.asarray([win_len] * b),
+                speaker_embeds)
+            wav = np.asarray(wav, np.float32)
+            # samples per mel frame from the vocoder output itself (HiFT
+            # upsample factor is config-dependent)
+            spf = wav.shape[1] // mel_window_max
+
+            def off(tok):   # sample offset of absolute token `tok` in window
+                return int(np.floor((tok - ws) * mpt)) * spf
+
+            hold_from = e if last else max(e - cf, s)
+            if held is None:
+                out = wav[:, :off(hold_from)] if s == 0 else \
+                    wav[:, off(s):off(hold_from)]
+            else:
+                # emit from s-cf: head re-vocoded by THIS window, blended
+                # equal-power against the held audio from the previous one
+                start = off(max(s - cf, 0))
+                out = wav[:, start:off(hold_from)].copy()
+                n_x = min(held.shape[1], out.shape[1])
+                if n_x > 0:
+                    t = np.linspace(0.0, np.pi / 2, n_x, dtype=np.float32)
+                    out[:, :n_x] = (held[:, -n_x:] * np.cos(t) ** 2
+                                    + out[:, :n_x] * np.sin(t) ** 2)
+            held = (None if last
+                    else wav[:, off(hold_from):off(e)])
+            yield {"wav": out, "tokens": tokens, "is_last": last}
+            if last:
+                break
+
+    # ------------------------------------------------------------------
+
+    def synthesize(self, rng, speaker_embeds, taste_indices_per_word,
+                   asr_token_ids, asr_token_lengths, asr_word_ids
+                   ) -> Tuple[np.ndarray, float]:
+        """Run the full stream and return (wav [B, total], ttfa_seconds) —
+        ttfa is the wall time until the FIRST chunk's audio is on the
+        host."""
+        import time
+        t0 = time.perf_counter()
+        ttfa = None
+        parts = []
+        for out in self.stream(rng, speaker_embeds, taste_indices_per_word,
+                               asr_token_ids, asr_token_lengths,
+                               asr_word_ids):
+            if ttfa is None:
+                ttfa = time.perf_counter() - t0
+            parts.append(out["wav"])
+        if not parts:
+            return np.zeros((np.asarray(speaker_embeds).shape[0], 0),
+                            np.float32), 0.0
+        return np.concatenate(parts, axis=1), float(ttfa)

@@ -190,24 +190,23 @@ class TasteSpeechDecoder(nn.Module):
     # autoregressive generation (KV-cached)
     # ------------------------------------------------------------------
 
-    def generate(
+    def generate_stream_init(
         self,
         rng: jax.Array,
         speaker_embeds, audio_unit_embeds, audio_unit_lengths,
         asr_token_ids, asr_token_lengths,
         max_steps: int = 512,
-        sampling_k: int = 25,
         min_token_text_ratio: float = 2.0,
         max_token_text_ratio: float = 20.0,
         skip_audio: bool = False,
-    ) -> Dict[str, jnp.ndarray]:
-        """Batched AR decode.  Prefix is packed LEFT-padded so all samples
-        share a global position index; per-sample min/max lengths follow the
-        reference ratios (modeling_taste.py:1595-1600).
-
-        Returns speech_token_ids [B, max_steps] (EOS-and-after = -1) and
-        speech_token_lengths [B].
-        """
+    ) -> Dict[str, Any]:
+        """Pack + prefill the AR decode and return a functional stream
+        state; drive with `generate_stream_chunk`.  Chunked decoding
+        reproduces the one-shot `generate` trajectory EXACTLY (same rng
+        splits per step) — the streaming-synthesis building block
+        (reference counterpart: the chunk machinery in
+        cosyvoice/encoder.py:183-271 that the reference never uses
+        end-to-end)."""
         cfg = self.config
         b, t = asr_token_ids.shape
         sos, spk, fused, task, fused_lengths = self.prepare_conditional_embeds(
@@ -237,27 +236,55 @@ class TasteSpeechDecoder(nn.Module):
             key_valid=key_valid[:, None, None, :])
         last_hidden = lm_out[:, -1]
 
-        min_len = (prefix_len.astype(jnp.float32) * min_token_text_ratio).astype(jnp.int32)
+        min_len = (prefix_len.astype(jnp.float32)
+                   * min_token_text_ratio).astype(jnp.int32)
         max_len = jnp.minimum(
-            (prefix_len.astype(jnp.float32) * max_token_text_ratio).astype(jnp.int32),
-            max_steps)
+            (prefix_len.astype(jnp.float32)
+             * max_token_text_ratio).astype(jnp.int32), max_steps)
+        return {
+            "step": jnp.int32(0),
+            "rng": rng,
+            "caches": caches,
+            "hidden": last_hidden,
+            "done": jnp.zeros((b,), bool),
+            "key_valid": key_valid,
+            "min_len": min_len,
+            "max_len": max_len,
+            "prefix_max": jnp.int32(prefix_max),
+        }
 
-        class State(NamedTuple):
-            step: jnp.ndarray
+    def generate_stream_chunk(
+        self, state: Dict[str, Any], chunk_steps: int,
+        sampling_k: int = 25,
+    ) -> Tuple[jnp.ndarray, Dict[str, Any]]:
+        """Decode up to `chunk_steps` tokens from a stream state.
+
+        Returns (tokens [B, chunk_steps] with -1 after EOS, new state).
+        Exits early when every row is done."""
+        cfg = self.config
+        b = state["hidden"].shape[0]
+        key_valid = state["key_valid"]
+        prefix_max = state["prefix_max"]
+        min_len, max_len = state["min_len"], state["max_len"]
+
+        class Chunk(NamedTuple):
+            i: jnp.ndarray             # local step in this chunk
+            step: jnp.ndarray          # global decode step
             rng: jax.Array
             caches: Any
             hidden: jnp.ndarray        # [B, C] last LM hidden
-            tokens: jnp.ndarray        # [B, max_steps]
+            tokens: jnp.ndarray        # [B, chunk_steps]
             done: jnp.ndarray          # [B]
 
-        init = State(jnp.int32(0), rng, caches, last_hidden,
-                     jnp.full((b, max_steps), -1, jnp.int32),
-                     jnp.zeros((b,), bool))
+        init = Chunk(jnp.int32(0), state["step"], state["rng"],
+                     state["caches"], state["hidden"],
+                     jnp.full((b, chunk_steps), -1, jnp.int32),
+                     state["done"])
 
-        def cond(mdl, st: State):
-            return jnp.logical_and(st.step < max_steps, ~jnp.all(st.done))
+        def cond(mdl, st: Chunk):
+            return jnp.logical_and(st.i < chunk_steps, ~jnp.all(st.done))
 
-        def body(mdl, st: State):
+        def body(mdl, st: Chunk):
             rng, sub = jax.random.split(st.rng)
             logits = mdl.llm_decoder(st.hidden).astype(jnp.float32)  # [B, V+1]
             forbid = st.step < min_len
@@ -266,7 +293,7 @@ class TasteSpeechDecoder(nn.Module):
             is_eos = ids == cfg.speech_token_size
             over = st.step >= max_len
             emit = jnp.where(st.done | is_eos | over, -1, ids)
-            tokens = st.tokens.at[:, st.step].set(emit)
+            tokens = st.tokens.at[:, st.i].set(emit)
             newly_done = st.done | is_eos | over
 
             emb = mdl.speech_embedding(jnp.maximum(ids, 0) %
@@ -274,10 +301,41 @@ class TasteSpeechDecoder(nn.Module):
             lm_out, caches = mdl.llm.decode_step(
                 emb, st.caches, prefix_max + st.step,
                 key_valid=key_valid[:, None, None, :])
-            return State(st.step + 1, rng, caches, lm_out[:, 0], tokens,
-                         newly_done)
+            return Chunk(st.i + 1, st.step + 1, rng, caches, lm_out[:, 0],
+                         tokens, newly_done)
 
         final = nn.while_loop(cond, body, self, init)
-        lengths = jnp.sum(final.tokens >= 0, axis=1)
-        return {"speech_token_ids": final.tokens,
+        new_state = dict(state, step=final.step, rng=final.rng,
+                         caches=final.caches, hidden=final.hidden,
+                         done=final.done)
+        return final.tokens, new_state
+
+    def generate(
+        self,
+        rng: jax.Array,
+        speaker_embeds, audio_unit_embeds, audio_unit_lengths,
+        asr_token_ids, asr_token_lengths,
+        max_steps: int = 512,
+        sampling_k: int = 25,
+        min_token_text_ratio: float = 2.0,
+        max_token_text_ratio: float = 20.0,
+        skip_audio: bool = False,
+    ) -> Dict[str, jnp.ndarray]:
+        """Batched AR decode.  Prefix is packed LEFT-padded so all samples
+        share a global position index; per-sample min/max lengths follow the
+        reference ratios (modeling_taste.py:1595-1600).
+
+        One-shot wrapper over the stream API (init + one full-budget
+        chunk — identical trajectory by construction).  Returns
+        speech_token_ids [B, max_steps] (EOS-and-after = -1) and
+        speech_token_lengths [B]."""
+        state = self.generate_stream_init(
+            rng, speaker_embeds, audio_unit_embeds, audio_unit_lengths,
+            asr_token_ids, asr_token_lengths, max_steps=max_steps,
+            min_token_text_ratio=min_token_text_ratio,
+            max_token_text_ratio=max_token_text_ratio, skip_audio=skip_audio)
+        tokens, _ = self.generate_stream_chunk(state, max_steps,
+                                               sampling_k=sampling_k)
+        lengths = jnp.sum(tokens >= 0, axis=1)
+        return {"speech_token_ids": tokens,
                 "speech_token_lengths": lengths}

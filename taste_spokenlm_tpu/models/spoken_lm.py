@@ -31,7 +31,8 @@ from taste_spokenlm_tpu.models.quantizer import (Codebook, codebook_code_from_in
 from taste_spokenlm_tpu.models.sampler import (SamplerConfig, SamplerState,
                                                StepOutput, init_state,
                                                sampler_step)
-from taste_spokenlm_tpu.ops.losses import IGNORE_ID, kl_to_reference
+from taste_spokenlm_tpu.ops.losses import (IGNORE_ID, chunked_ce_kl,
+                                           kl_to_reference)
 from taste_spokenlm_tpu.ops.masking import length_mask
 from taste_spokenlm_tpu.ops.segment import ragged_concat, word_start_mask
 
@@ -296,13 +297,21 @@ class TasteSpokenLM(nn.Module):
         rng: Optional[jax.Array] = None,
         ref_logits: Optional[jnp.ndarray] = None,  # frozen-base logits for KL
         compute_ref_kl: bool = False,  # compute ref_logits in-graph
+        return_text_logits: bool = True,
+        ce_chunk_size: int = 64,
     ) -> Dict[str, jnp.ndarray]:
+        """`return_text_logits=False` is the memory-lean TRAINING path: the
+        full-vocab [B, T, V] text logits (and the frozen-base KL logits)
+        are never materialized — CE+KL run per time-chunk
+        (ops/losses.chunked_ce_kl); eval keeps the default and gets
+        logits for accuracy metrics."""
         cfg = self.config
         b, t = llm_token_ids.shape
         inputs_embeds, output_lengths, taste_labels, _ = \
             self.prepare_conditional_embeds(
                 cb, llm_indices, llm_token_ids, llm_token_lengths, llm_word_ids)
 
+        ref_hidden = None
         if compute_ref_kl and ref_logits is None:
             # frozen-base forward: the plain text stream [sos|tokens] through
             # the backbone with adapters disabled (the reference runs a frozen
@@ -316,13 +325,15 @@ class TasteSpokenLM(nn.Module):
             ref_out = self.language_model(
                 input_ids=ref_ids, attention_lengths=llm_token_lengths + 1,
                 disable_lora=True)
-            ref_logits = jax.lax.stop_gradient(
-                self.language_model.logits(ref_out["last_hidden"]))
+            if return_text_logits:
+                ref_logits = jax.lax.stop_gradient(
+                    self.language_model.logits(ref_out["last_hidden"]))
+            else:
+                ref_hidden = jax.lax.stop_gradient(ref_out["last_hidden"])
 
         out = self.language_model(
             inputs_embeds=inputs_embeds, attention_lengths=output_lengths,
             output_hidden_states=True)
-        text_logits = self.language_model.logits(out["last_hidden"])
         taste_logits, info = self.extract_for_bridge_out_llm(
             out["last_hidden"], out["hidden_states"], cb, train=train, rng=rng)
 
@@ -334,26 +345,46 @@ class TasteSpokenLM(nn.Module):
         text_labels = jnp.where(
             pos < llm_token_lengths[:, None], padded_ids, IGNORE_ID)
 
-        result = {"text_logits": text_logits, "text_labels": text_labels,
+        result = {"text_labels": text_labels,
                   "taste_logits": taste_logits, "taste_labels": taste_labels,
                   "output_lengths": output_lengths}
 
         # ---- losses ----
         w = [float(x) for x in cfg.loss_weights.split("-")]
         valid = text_labels != IGNORE_ID
-        logp = jax.nn.log_softmax(text_logits.astype(jnp.float32), -1)
-        nll = -jnp.take_along_axis(
-            logp, jnp.maximum(text_labels, 0)[..., None], axis=-1)[..., 0]
-        text_ce = jnp.sum(jnp.where(valid, nll, 0.0)) / jnp.maximum(
-            jnp.sum(valid), 1)
-        if ref_logits is not None:
-            kl = kl_to_reference(text_logits[:, :ref_logits.shape[1]],
-                                 ref_logits, valid[:, :ref_logits.shape[1]])
-            text_loss = (cfg.text_kl_weight * kl
-                         + (1.0 - cfg.text_kl_weight) * text_ce)
-            result["text_kl"] = kl
+        if not return_text_logits:
+            # chunked CE (+KL): every text label position sits inside the
+            # ref's [sos|tokens] span, so padding ref_hidden to `total`
+            # only touches masked positions
+            if ref_hidden is not None:
+                ref_hidden = jnp.pad(
+                    ref_hidden, ((0, 0), (0, total - ref_hidden.shape[1]),
+                                 (0, 0)))
+            text_ce, kl = chunked_ce_kl(
+                self.language_model.logits, out["last_hidden"], text_labels,
+                ref_hidden=ref_hidden, chunk_size=ce_chunk_size)
+            if kl is not None:
+                text_loss = (cfg.text_kl_weight * kl
+                             + (1.0 - cfg.text_kl_weight) * text_ce)
+                result["text_kl"] = kl
+            else:
+                text_loss = text_ce
         else:
-            text_loss = text_ce
+            text_logits = self.language_model.logits(out["last_hidden"])
+            result["text_logits"] = text_logits
+            logp = jax.nn.log_softmax(text_logits.astype(jnp.float32), -1)
+            nll = -jnp.take_along_axis(
+                logp, jnp.maximum(text_labels, 0)[..., None], axis=-1)[..., 0]
+            text_ce = jnp.sum(jnp.where(valid, nll, 0.0)) / jnp.maximum(
+                jnp.sum(valid), 1)
+            if ref_logits is not None:
+                kl = kl_to_reference(text_logits[:, :ref_logits.shape[1]],
+                                     ref_logits, valid[:, :ref_logits.shape[1]])
+                text_loss = (cfg.text_kl_weight * kl
+                             + (1.0 - cfg.text_kl_weight) * text_ce)
+                result["text_kl"] = kl
+            else:
+                text_loss = text_ce
 
         taste_valid = jnp.all(taste_labels != IGNORE_ID, axis=-1)
         if self.do_continue:

@@ -130,6 +130,7 @@ class TasteForCausalLM(nn.Module):
         asr_word_ids=None, speech_token_ids=None, speech_token_lengths=None,
         train: bool = False, rng=None, ref_logits=None,
         compute_ref_kl: bool = False,
+        return_text_logits: bool = True,
     ) -> Dict[str, jnp.ndarray]:
         """Stage-2 joint LM (modeling_taste.py:1497-1531); optionally runs the
         frozen speech decoder on predicted taste for eval metrics.
@@ -139,7 +140,8 @@ class TasteForCausalLM(nn.Module):
         out = self.spoken_lm(cb, llm_indices, llm_token_ids, llm_token_lengths,
                              llm_word_ids, train=train, rng=rng,
                              ref_logits=ref_logits,
-                             compute_ref_kl=compute_ref_kl)
+                             compute_ref_kl=compute_ref_kl,
+                             return_text_logits=return_text_logits)
         if speech_token_ids is not None and asr_token_ids is not None:
             audio_unit_embeds = self._taste_to_audio_embeds(
                 cb, out["taste_logits"], out["taste_labels"],
@@ -278,3 +280,39 @@ class TasteForCausalLM(nn.Module):
         return {"speech_token_ids": gen["speech_token_ids"],
                 "speech_token_lengths": gen["speech_token_lengths"],
                 "waveform": wav, "waveform_lengths": wav_lengths}
+
+    # ------------------------------------------------------------------
+    # streaming synthesis (chunked decode + windowed vocoding)
+    # ------------------------------------------------------------------
+
+    def stream_synth_init(
+        self, rng, speaker_embeds, taste_indices_per_word, asr_token_ids,
+        asr_token_lengths, asr_word_ids, max_speech_steps: int = 512,
+    ):
+        """Streaming counterpart of synthesize_from_taste: build the fused
+        audio-unit prefix and prefill the S3 decoder; returns the decode
+        stream state.  Drive with `stream_decode_chunk` +
+        `stream_vocode_window` (frontend.streaming.StreamingSynthesizer
+        orchestrates host-side)."""
+        cb = self._cb()
+        audio_unit_embeds = self.spoken_lm.get_audio_embeds_from_taste(
+            cb, asr_token_lengths, asr_word_ids, taste_indices_per_word)
+        # rng split mirrors synthesize_from_taste so the decode trajectory
+        # matches the non-streaming path bit-for-bit on the same key
+        rng_dec, rng_voc = jax.random.split(rng)
+        state = self.speech_decoder.generate_stream_init(
+            rng_dec, speaker_embeds, audio_unit_embeds, asr_token_lengths,
+            asr_token_ids, asr_token_lengths, max_steps=max_speech_steps)
+        return state
+
+    def stream_decode_chunk(self, state, chunk_steps: int):
+        """(tokens [B, chunk_steps] with -1 after EOS, new stream state)."""
+        return self.speech_decoder.generate_stream_chunk(state, chunk_steps)
+
+    def stream_vocode_window(self, rng, window_tokens, window_lengths,
+                             speaker_embeds, mel_len_max: int):
+        """Flow + HiFT over one token window (left context + new chunk).
+        Returns (wav [B, mel_len_max*256], wav_lengths [B])."""
+        return self.voice_generator(
+            rng, jnp.maximum(window_tokens, 0), window_lengths,
+            speaker_embeds, mel_len_max)

@@ -67,3 +67,65 @@ def kl_to_reference(
         kl = jnp.where(mask, kl, 0.0)
         return jnp.sum(kl) / jnp.maximum(jnp.sum(mask), 1)
     return jnp.mean(kl)
+
+
+def chunked_ce_kl(
+    logits_fn,                       # [B, Tc, H] -> [B, Tc, V]
+    hidden: jnp.ndarray,             # [B, T, H] student hidden
+    labels: jnp.ndarray,             # [B, T] int, IGNORE_ID = masked
+    ref_hidden: Optional[jnp.ndarray] = None,  # [B, T, H] frozen-base hidden
+    chunk_size: int = 64,
+):
+    """Cross-entropy (+ optional KL(teacher || student)) WITHOUT ever
+    materializing the full [B, T, V] logits.
+
+    The projection + softmax run per time-chunk inside a sequential
+    `lax.map` under `jax.checkpoint`, so peak memory is one
+    [B, chunk, V] block and the backward recomputes it — the TPU/XLA
+    equivalent of the fused/chunked CE kernels the reference gets from
+    liger (SURVEY §2.4).  At Llama-1B stage-2 shapes (B=8, T=513,
+    V=128256) this replaces ~8 GB of f32 logits temporaries with ~260 MB.
+
+    Returns (text_ce, kl) — kl is None when ref_hidden is None.  Both are
+    masked means over labels != IGNORE_ID, bit-matching the unchunked
+    formulation up to f32 summation order.
+    """
+    b, t, h = hidden.shape
+    pad = (-t) % chunk_size
+    hidden = jnp.pad(hidden, ((0, 0), (0, pad), (0, 0)))
+    labels = jnp.pad(labels, ((0, 0), (0, pad)), constant_values=IGNORE_ID)
+    nch = (t + pad) // chunk_size
+    hid_c = hidden.reshape(b, nch, chunk_size, h).transpose(1, 0, 2, 3)
+    lab_c = labels.reshape(b, nch, chunk_size).transpose(1, 0, 2)
+    if ref_hidden is not None:
+        ref_hidden = jax.lax.stop_gradient(
+            jnp.pad(ref_hidden, ((0, 0), (0, pad), (0, 0))))
+        ref_c = ref_hidden.reshape(b, nch, chunk_size, h).transpose(1, 0, 2, 3)
+    else:
+        ref_c = jnp.zeros((nch, b, chunk_size, 0), hidden.dtype)
+
+    @jax.checkpoint
+    def one(args):
+        h_c, l_c, r_c = args
+        valid = l_c != IGNORE_ID
+        logits = logits_fn(h_c).astype(jnp.float32)
+        logp = jax.nn.log_softmax(logits, -1)
+        nll = -jnp.take_along_axis(
+            logp, jnp.maximum(l_c, 0)[..., None], axis=-1)[..., 0]
+        nll_sum = jnp.sum(jnp.where(valid, nll, 0.0))
+        n_valid = jnp.sum(valid)
+        if r_c.shape[-1] > 0:
+            tprob = jax.nn.softmax(logits_fn(r_c).astype(jnp.float32), -1)
+            logt = jnp.log(jnp.maximum(tprob, 1e-20))
+            kl = jnp.sum(tprob * (logt - logp), axis=-1)
+            kl_sum = jnp.sum(jnp.where(valid, kl, 0.0))
+        else:
+            kl_sum = jnp.zeros(())
+        return nll_sum, n_valid, kl_sum
+
+    nll_sums, n_valids, kl_sums = jax.lax.map(one, (hid_c, lab_c, ref_c))
+    denom = jnp.maximum(jnp.sum(n_valids), 1)
+    text_ce = jnp.sum(nll_sums) / denom
+    if ref_hidden is None:
+        return text_ce, None
+    return text_ce, jnp.sum(kl_sums) / denom

@@ -52,16 +52,33 @@ def state_shardings(mesh: Mesh, state: TrainState) -> TrainState:
     )
 
 
+def _with_frozen_stopped(params, trainable_mask):
+    """stop_gradient on frozen leaves so XLA dead-code-eliminates their
+    backward (e.g. the whole frozen whisper-encoder backward in stage 1 and
+    the base-weight dW matmuls under LoRA in stage 2 — the reference gets
+    this from requires_grad=False).  Gradient STILL flows through frozen
+    layers' activations where trainable params sit downstream."""
+    if trainable_mask is None:
+        return params
+    return jax.tree_util.tree_map(
+        lambda p, m: p if m else jax.lax.stop_gradient(p),
+        params, trainable_mask)
+
+
 def make_stage1_step(model: TasteForCausalLM, tx,
                      mesh: Optional[Mesh] = None,
                      skip_vq: bool = False,
                      skip_audio_in_decoder: bool = False,
-                     donate: bool = True) -> Callable:
+                     donate: bool = True,
+                     trainable_mask: Optional[Any] = None) -> Callable:
     """Stage-1 speech-autoencoder step (decoder CE + commit loss; VQ EMA
     updates applied; curriculum: text_only phase sets skip_audio_in_decoder,
-    no-vq phase sets skip_vq — run_train_taste.sh phases)."""
+    no-vq phase sets skip_vq — run_train_taste.sh phases).  Pass the
+    optimizer's `trainable_mask` so frozen subtrees (the whisper encoder)
+    are excluded from the backward pass entirely."""
 
     def loss_fn(params, quantizer, batch, rng):
+        params = _with_frozen_stopped(params, trainable_mask)
         variables = {"params": params, "quantizer": quantizer}
         out, mutated = model.apply(
             variables, batch["speaker_embeds"], batch["asr_token_ids"],
@@ -95,7 +112,8 @@ def make_stage1_step(model: TasteForCausalLM, tx,
 def make_stage2_step(model: TasteForCausalLM, tx,
                      mesh: Optional[Mesh] = None,
                      use_ref_kl: bool = False,
-                     donate: bool = True) -> Callable:
+                     donate: bool = True,
+                     trainable_mask: Optional[Any] = None) -> Callable:
     """Stage-2 joint LM step (text CE (+KL to frozen base) + taste loss;
     LoRA/bridge params trainable via the optimizer mask).  With `use_ref_kl`
     the frozen-base logits are computed IN-GRAPH by an adapter-disabled
@@ -104,6 +122,7 @@ def make_stage2_step(model: TasteForCausalLM, tx,
     honored if present."""
 
     def loss_fn(params, quantizer, batch, rng):
+        params = _with_frozen_stopped(params, trainable_mask)
         variables = {"params": params, "quantizer": quantizer}
         out = model.apply(
             variables, batch["llm_indices"], batch["llm_token_ids"],
@@ -111,6 +130,9 @@ def make_stage2_step(model: TasteForCausalLM, tx,
             train=True, rng=rng,
             ref_logits=batch.get("ref_logits") if use_ref_kl else None,
             compute_ref_kl=use_ref_kl,
+            # memory-lean training: CE+KL are chunked over time so the
+            # [B, T, 128k] logits never materialize (ops/losses.chunked_ce_kl)
+            return_text_logits=False,
             method=TasteForCausalLM.forward_spoken_llm)
         metrics = {"loss": out["loss"], "text_loss": out["text_loss"],
                    "taste_loss": out["taste_loss"]}

@@ -436,3 +436,15 @@ def test_generate_batched_row0_matches_single_sampled(setup):
     for k in ("llm_token_ids", "taste_indices", "num_tokens"):
         np.testing.assert_array_equal(np.asarray(out_b[k])[0],
                                       np.asarray(out_1[k])[0], err_msg=k)
+
+
+def test_chunked_ce_kl_matches_unchunked(setup):
+    """return_text_logits=False (memory-lean training path: chunked CE+KL,
+    no [B,T,V] logits) must reproduce the default losses."""
+    cfg, model, variables, args = setup
+    full = model.apply(variables, *args, compute_ref_kl=True)
+    lean = model.apply(variables, *args, compute_ref_kl=True,
+                       return_text_logits=False, ce_chunk_size=3)
+    assert "text_logits" not in lean
+    for k in ("loss", "text_loss", "taste_loss", "text_kl"):
+        assert float(lean[k]) == pytest.approx(float(full[k]), rel=1e-5), k

@@ -219,3 +219,38 @@ def test_stage2_step_with_in_graph_ref_kl(stage1):
         base_q)
     assert np.abs(np.asarray(
         p["layers_0"]["self_attn"]["q_proj"]["lora_b"])).max() > 0
+
+
+def test_frozen_dce_step_matches_plain_step(stage1):
+    """make_stage1_step(trainable_mask=...) stops gradients through frozen
+    subtrees (whisper encoder) — the trainable updates and loss must be
+    IDENTICAL to the plain step; frozen params must not move."""
+    cfg, model, variables, batch = stage1
+    mask = optim.trainable_mask(
+        variables["params"],
+        unfreeze_patterns=[r"audio_tower/decoder", r"audio_tower/vq",
+                           r"speech_decoder"])
+    tx = optim.make_optimizer(1e-3, mask=mask)
+
+    def run(tm):
+        s0 = train_step.init_state(jax.random.PRNGKey(0),
+                                   variables["params"],
+                                   variables["quantizer"], tx)
+        step = train_step.make_stage1_step(model, tx, mesh=None,
+                                           donate=False, trainable_mask=tm)
+        return step(s0, batch)
+
+    (s_plain, m_plain), (s_dce, m_dce) = run(None), run(mask)
+    assert float(m_plain["loss"]) == pytest.approx(float(m_dce["loss"]),
+                                                   rel=1e-6)
+    flat_p = jax.tree_util.tree_leaves(s_plain.params)
+    flat_d = jax.tree_util.tree_leaves(s_dce.params)
+    for a, b in zip(flat_p, flat_d):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-6)
+    # frozen encoder unchanged
+    enc0 = jax.tree_util.tree_leaves(
+        variables["params"]["audio_tower"]["encoder"])[0]
+    enc1 = jax.tree_util.tree_leaves(
+        s_dce.params["audio_tower"]["encoder"])[0]
+    np.testing.assert_array_equal(np.asarray(enc0), np.asarray(enc1))
