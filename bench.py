@@ -744,6 +744,31 @@ def main():
           f"{toks_per_sec_b4:.1f} tok/s", file=sys.stderr)
     ttfa_nonstream_p50 = float(np.median(ttfa_samples))
 
+    # ---------------- serving under load ----------------
+    # N concurrent Complete requests through the gRPC engine's micro-batcher
+    # (threads; per-request seeds) — p50/p99 latency + aggregate tok/s
+    from taste_spokenlm_tpu.serving.server import TasteEngine, run_load_test
+    engine = TasteEngine(model, variables, cfg, token_buckets=(t_tok,))
+    engine._tables = tables
+    load_kw = dict(extra_words=8, text_top_p=0.3, taste_top_p=0.0,
+                   text_temperature=0.5, repetition_penalty=1.1)
+    rng_load = np.random.RandomState(3)
+    load_reqs = []
+    for i in range(16):
+        load_reqs.append(dict(
+            llm_ids=(rng_load.randint(100, 120000, t_tok) % llm_vocab
+                     ).tolist(),
+            llm_word_ids=word_ids_np.tolist(),
+            llm_indices=np.asarray(llm_indices)[0],
+            seed=17 * i + 1))
+    load_steps = 16 if tiny else 32
+    t0 = time.perf_counter()
+    run_load_test(engine, load_reqs[:8], load_kw, max_steps=load_steps)
+    print(f"serving-load warmup (compile): {time.perf_counter()-t0:.1f}s",
+          file=sys.stderr)
+    load = run_load_test(engine, load_reqs, load_kw, max_steps=load_steps)
+    print(f"serving load: {load}", file=sys.stderr)
+
     # ---------------- streaming TTFA ----------------
     # chunked S3 decode + windowed flow/HiFT (frontend/streaming.py): first
     # audio leaves the device after prefill + 50 AR steps + one ~1.5 s
@@ -803,6 +828,9 @@ def main():
         "decode_tokens_per_sec_b4": round(toks_per_sec_b4, 1),
         "ttfa_p50_s": round(ttfa_p50, 4),
         "ttfa_nonstream_p50_s": round(ttfa_nonstream_p50, 4),
+        "serving_p50_ms": load["p50_ms"],
+        "serving_p99_ms": load["p99_ms"],
+        "serving_tokens_per_sec": load["tokens_per_sec"],
         **train_metrics,
     }))
 

@@ -79,18 +79,21 @@ def main():
                                method=TasteForCausalLM.generate_completion)
         return fn
 
-    scfg0 = SamplerConfig(**base_scfg, text_top_p=0.3, taste_top_p=0.0,
-                          text_temperature=0.5)
-
-    def init_fn(k1, k2, idx_, ids_, lens_, words_):
-        return model.init({"params": k1}, k2, scfg0, tables, idx_, ids_,
-                          lens_, words_, "audio", steps,
-                          method=TasteForCausalLM.generate_completion)
-
+    # init via init_all (touches EVERY param — params created inside the
+    # decode while_loop body are not materialized by a generate-only init)
+    n_mel_frames = 3000
+    asr_vocab = cfg.audio_tower.whisper.vocab_size
     shapes = jax.eval_shape(
-        init_fn, jax.random.PRNGKey(0), jax.random.PRNGKey(1),
-        jnp.asarray(idx), jnp.asarray(ids),
-        jnp.asarray([t_tok], np.int32), jnp.asarray(word_ids[None]))
+        functools.partial(model.init, method=TasteForCausalLM.init_all),
+        {"params": jax.random.PRNGKey(0)}, jax.random.PRNGKey(1),
+        jnp.zeros((b, cfg.speech_decoder.spk_embed_dim), jnp.float32),
+        jnp.asarray(ids % asr_vocab), jnp.asarray([t_tok], np.int32),
+        jnp.asarray(word_ids[None]),
+        jnp.zeros((b, cfg.audio_tower.whisper.n_mels, n_mel_frames),
+                  jnp.float32),
+        jnp.zeros((b, 8), jnp.int32), jnp.full((b,), 8, jnp.int32),
+        jnp.asarray(ids), jnp.asarray([t_tok], np.int32),
+        jnp.asarray(word_ids[None]))
     variables = _fill_variables(shapes, jnp.bfloat16)
     dev_args = (jnp.asarray(idx), jnp.asarray(ids),
                 jnp.asarray([t_tok], np.int32), jnp.asarray(word_ids[None]))

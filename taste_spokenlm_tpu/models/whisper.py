@@ -81,8 +81,10 @@ class WhisperAttention(nn.Module):
         # (the whisper encoder's 1500-position hot path)
         from taste_spokenlm_tpu.ops.pallas.flash_attention import (
             can_use_flash, flash_attention)
+        import os
         if (mask is None and cache is None
                 and can_use_flash(tq, k.shape[1])
+                and os.environ.get("TASTE_DISABLE_FLASH") != "1"
                 and jax.default_backend() in ("tpu", "axon")):
             out = flash_attention(q, k, v)
         else:

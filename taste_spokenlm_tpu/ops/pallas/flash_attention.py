@@ -38,7 +38,10 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, causal: bool,
     # q_ref: [block_q, d]; k_ref/v_ref: [seq_len, d]; o_ref: [block_q, d]
     block_q, d = q_ref.shape
     qi = pl.program_id(1)
-    q = q_ref[:].astype(jnp.float32) * scale
+    # keep MXU operands in the INPUT dtype (bf16 on the serving path —
+    # fp32xfp32 dots run at a fraction of the bf16 MXU rate); all
+    # accumulation stays f32 via preferred_element_type
+    q = q_ref[:]
 
     m0 = jnp.full((block_q, 1), NEG_INF, jnp.float32)
     l0 = jnp.zeros((block_q, 1), jnp.float32)
@@ -48,9 +51,9 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, causal: bool,
 
     def body(ki, carry):
         m_prev, l_prev, acc = carry
-        k = k_ref[pl.ds(ki * block_k, block_k), :].astype(jnp.float32)
-        v = v_ref[pl.ds(ki * block_k, block_k), :].astype(jnp.float32)
-        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)  # [bq, bk]
+        k = k_ref[pl.ds(ki * block_k, block_k), :]
+        v = v_ref[pl.ds(ki * block_k, block_k), :]
+        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
         if valid_len < seq_len:
             k_pos = ki * block_k + jax.lax.broadcasted_iota(
                 jnp.int32, (block_q, block_k), 1)
@@ -66,7 +69,8 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, causal: bool,
         p = jnp.exp(s - m_new)
         alpha = jnp.exp(m_prev - m_new)
         l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        acc = acc * alpha + jnp.dot(p, v, preferred_element_type=jnp.float32)
+        acc = acc * alpha + jnp.dot(p.astype(v.dtype), v,
+                                    preferred_element_type=jnp.float32)
         return m_new, l_new, acc
 
     if causal:

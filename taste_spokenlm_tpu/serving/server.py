@@ -194,8 +194,16 @@ class CompleteBatcher:
         self.window = window_ms / 1e3
         self._cv = threading.Condition()
         self._queue: list = []   # (group_key, request_dict, future)
+        self._stopped = False
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
+
+    def close(self, timeout: float = 5.0):
+        """Stop the micro-batch loop thread (clean test/CI shutdown)."""
+        with self._cv:
+            self._stopped = True
+            self._cv.notify_all()
+        self._thread.join(timeout)
 
     def submit(self, llm_ids, llm_word_ids, llm_indices, sampler_kwargs,
                seed, max_steps: int = 128) -> "concurrent.futures.Future":
@@ -211,8 +219,10 @@ class CompleteBatcher:
     def _loop(self):
         while True:
             with self._cv:
-                while not self._queue:
+                while not self._queue and not self._stopped:
                     self._cv.wait()
+                if self._stopped and not self._queue:
+                    return
                 deadline = time.perf_counter() + self.window
                 while len(self._queue) < self.max_batch:
                     remaining = deadline - time.perf_counter()
@@ -231,6 +241,51 @@ class CompleteBatcher:
             except Exception as e:
                 for _, _, fut in batch:
                     fut.set_exception(e)
+
+
+def run_load_test(engine: TasteEngine, requests, sampler_kwargs,
+                  max_steps: int = 8, max_batch: int = 8,
+                  window_ms: float = 5.0) -> Dict[str, Any]:
+    """Drive the micro-batcher with ALL `requests` submitted concurrently
+    (one thread each) and report latency percentiles + aggregate decode
+    throughput.  The reference's CosyVoice grpc runtime serves one request
+    at a time and has no load story (runtime/python/grpc/) — this is the
+    measured TPU serving counterpart.
+
+    Returns {"n", "p50_ms", "p99_ms", "max_ms", "wall_s",
+    "tokens_per_sec", "total_tokens"}.  Run once untimed first to warm the
+    jit cache."""
+    n = len(requests)
+    batcher = CompleteBatcher(
+        engine, max_batch=min(max_batch, TasteEngine.BATCH_BUCKETS[-1]),
+        window_ms=window_ms)
+    lat = [0.0] * n
+    results: list = [None] * n
+
+    def fire(i):
+        r = requests[i]
+        t0 = time.perf_counter()
+        results[i] = batcher.submit(
+            r["llm_ids"], r["llm_word_ids"], r["llm_indices"],
+            sampler_kwargs, r.get("seed", 0), max_steps).result()
+        lat[i] = time.perf_counter() - t0
+
+    t_all = time.perf_counter()
+    with concurrent.futures.ThreadPoolExecutor(n) as ex:
+        list(ex.map(fire, range(n)))
+    wall = time.perf_counter() - t_all
+    batcher.close()
+    total_tokens = sum(int(r["num_tokens"]) for r in results)
+    lat_ms = sorted(x * 1e3 for x in lat)
+    return {
+        "n": n,
+        "p50_ms": round(lat_ms[n // 2], 1),
+        "p99_ms": round(lat_ms[min(n - 1, int(np.ceil(0.99 * n)) - 1)], 1),
+        "max_ms": round(lat_ms[-1], 1),
+        "wall_s": round(wall, 3),
+        "total_tokens": total_tokens,
+        "tokens_per_sec": round(total_tokens / max(wall, 1e-9), 1),
+    }
 
 
 # ---------------------------------------------------------------------------

@@ -198,3 +198,21 @@ def test_complete_batch_chunks_oversized_cohorts(engine):
     # row must at least decode something valid
     for r in res:
         assert 0 < int(r["num_tokens"]) <= 4
+
+
+def test_serving_under_load(engine):
+    """16 concurrent Complete requests through the micro-batcher: every
+    request succeeds, latency percentiles + aggregate tok/s are reported,
+    and the batcher shuts down cleanly (VERDICT r2 #8)."""
+    from taste_spokenlm_tpu.serving.server import run_load_test
+
+    kw = dict(extra_words=2, text_top_p=0.0, taste_top_p=0.0,
+              text_temperature=1.0, repetition_penalty=1.0)
+    reqs = _mk_requests(engine, 16)
+    # warm the jit cache (one cohort per bucket shape)
+    run_load_test(engine, reqs[:4], kw, max_steps=6)
+    stats = run_load_test(engine, reqs, kw, max_steps=6)
+    assert stats["n"] == 16
+    assert stats["total_tokens"] > 0
+    assert 0 < stats["p50_ms"] <= stats["p99_ms"] <= stats["max_ms"]
+    assert stats["tokens_per_sec"] > 0
