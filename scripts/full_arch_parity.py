@@ -184,7 +184,12 @@ def run_tower(tmpdir):
             speech_token_lengths=torch.from_numpy(speech_len))
     print(f"reference forward: {time.perf_counter()-t0:.0f}s", file=sys.stderr)
     ref_logits = out_ref.speech_logits.float().numpy()
-    ref_indices = out_ref.quantized_indices.numpy()
+    # RVQ indices at asr level via the reference tower itself
+    with torch.no_grad():
+        ref_enc = ref.audio_tower(
+            torch.from_numpy(asr), torch.from_numpy(asr_len),
+            torch.from_numpy(mel), torch.from_numpy(feat_len),
+            asr_word_ids=torch.from_numpy(word_ids_ref.astype(np.int64)))
 
     def run_ours(dtype):
         import jax.numpy as jnp
@@ -207,10 +212,7 @@ def run_tower(tmpdir):
     idx_f32, logits_f32, labels = run_ours("float32")
     print(f"ours f32 forward: {time.perf_counter()-t0:.0f}s", file=sys.stderr)
 
-    # reference returns indices over t+1 ref tokens; ours over t — compare
-    # the shared prefix
-    tt = min(ref_indices.shape[1], idx_f32.shape[1])
-    idx_agree = float((ref_indices[:, :tt] == idx_f32[:, :tt]).mean())
+    ref_indices = ref_enc["quantized_indices"].numpy()
     valid = labels != -1
     am_ref = ref_logits.argmax(-1)
     am_ours = logits_f32.argmax(-1)
@@ -218,24 +220,40 @@ def run_tower(tmpdir):
     vmask = valid[:, :sl]
     argmax_agree = float(
         (am_ref[:, :sl] == am_ours[:, :sl])[vmask].mean())
-    # logits tolerance on the valid S3 region
-    diff = np.abs(ref_logits[:, :sl] - logits_f32[:, :sl])[vmask]
-    _report("tower_f32", dict(
-        rvq_index_agreement=idx_agree,
-        speech_argmax_agreement=argmax_agree,
+    diff_full = np.abs(ref_logits[:, :sl] - logits_f32[:, :sl])
+    diff = diff_full[vmask]
+    # margin-aware agreement (random weights flatten the logits; see slm)
+    srt = np.sort(ref_logits[:, :sl], axis=-1)
+    margin = srt[..., -1] - srt[..., -2]
+    decided = (margin > 2 * diff_full.max(-1)) & vmask
+    agree_decided = float((am_ref[:, :sl] == am_ours[:, :sl])[decided].mean())         if decided.any() else None
+    rep = dict(
+        speech_argmax_agreement_raw=argmax_agree,
+        speech_argmax_agreement_decided=agree_decided,
+        decided_fraction=float(decided.sum() / max(vmask.sum(), 1)),
         logits_max_abs_diff=float(diff.max()),
         logits_mean_abs_diff=float(diff.mean()),
         T_mel=mel_T, T_enc=w.max_source_positions,
-        rvq=f"{q.num_quantizers}x{q.codebook_size}x{q.codebook_dim}"))
+        rvq=f"{q.num_quantizers}x{q.codebook_size}x{q.codebook_dim}")
+    if ref_indices is not None:
+        tt = min(ref_indices.shape[1], idx_f32.shape[1])
+        rep["rvq_index_agreement"] = float(
+            (ref_indices[:, :tt] == idx_f32[:, :tt]).mean())
+    _report("tower_f32", rep)
 
     t0 = time.perf_counter()
     idx_bf16, logits_bf16, _ = run_ours("bfloat16")
     print(f"ours bf16 forward: {time.perf_counter()-t0:.0f}s", file=sys.stderr)
-    _report("tower_bf16_vs_ref", dict(
-        rvq_index_agreement=float(
-            (ref_indices[:, :tt] == idx_bf16[:, :tt]).mean()),
-        speech_argmax_agreement=float(
-            (am_ref[:, :sl] == logits_bf16.argmax(-1)[:, :sl])[vmask].mean())))
+    rep16 = dict(
+        speech_argmax_agreement_vs_ref=float(
+            (am_ref[:, :sl] == logits_bf16.argmax(-1)[:, :sl])[vmask].mean()),
+        rvq_index_agreement_vs_f32=float((idx_bf16 == idx_f32).mean()),
+        speech_argmax_agreement_vs_f32=float(
+            (logits_bf16.argmax(-1)[:, :sl] == am_ours[:, :sl])[vmask].mean()))
+    if ref_indices is not None:
+        rep16["rvq_index_agreement_vs_ref"] = float(
+            (ref_indices[:, :tt] == idx_bf16[:, :tt]).mean())
+    _report("tower_bf16", rep16)
 
 
 def run_slm(tmpdir):
