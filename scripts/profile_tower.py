@@ -24,6 +24,8 @@ from taste_spokenlm_tpu.config import WhisperConfig
 from taste_spokenlm_tpu.models.whisper import WhisperEncoder
 
 cfg = WhisperConfig()   # large-v3 32L/1280d
+n_layers = int(os.environ.get("PT_LAYERS", "32"))
+cfg = cfg.replace(encoder_layers=n_layers)
 mel = jnp.asarray(np.random.RandomState(0).randn(1, cfg.n_mels, 3000) * 0.3,
                   jnp.float32)
 model = WhisperEncoder(cfg, dtype=jnp.bfloat16)
@@ -46,5 +48,5 @@ for m in mels:
     walls.append(time.perf_counter() - t0)
 w = min(walls)
 flops = 2 * 635e6 * 1500 * 2  # ~fwd flops est (2*params*T)
-mode = "XLA-attn" if os.environ.get("TASTE_DISABLE_FLASH") == "1" else "flash"
+mode = ("XLA-attn" if os.environ.get("TASTE_DISABLE_FLASH") == "1" else "flash") + f"/{n_layers}L"
 print(f"encoder [{mode}]: {w*1e3:.1f} ms  (~{flops/w/197e12*100:.0f}% MFU est)")

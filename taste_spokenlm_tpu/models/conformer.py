@@ -109,6 +109,9 @@ class RelPositionAttention(nn.Module):
         v = self.linear_v(x).reshape(b, t, h, dk)
         return q, k, v
 
+    def project_pos(self, pos_emb: jnp.ndarray) -> jnp.ndarray:
+        return self.linear_pos(pos_emb)
+
     def __call__(
         self,
         x: jnp.ndarray,                  # [B, T, C]
@@ -116,6 +119,7 @@ class RelPositionAttention(nn.Module):
         mask: Optional[jnp.ndarray] = None,   # bool [B, 1, Tq, Tk]
         cache: Optional[Dict[str, jnp.ndarray]] = None,
         cache_index: Optional[jnp.ndarray] = None,
+        pos_proj: Optional[jnp.ndarray] = None,  # [P, C] pre-projected
     ):
         b, t, _ = x.shape
         h, dk = self.num_heads, self.d_model // self.num_heads
@@ -126,7 +130,12 @@ class RelPositionAttention(nn.Module):
             v = jax.lax.dynamic_update_slice_in_dim(cache["v"], v, cache_index, 1)
             cache = {"k": k, "v": v}
 
-        p = self.linear_pos(pos_emb).reshape(-1, h, dk)      # [P, H, dk]
+        # pos_proj: linear_pos applied ONCE per decode session
+        # (ConformerEncoder.precompute_pos_projs) — recomputing it per AR
+        # step over the whole window dominates decode cost otherwise
+        if pos_proj is None:
+            pos_proj = self.linear_pos(pos_emb)
+        p = pos_proj.reshape(-1, h, dk)                      # [P, H, dk]
 
         q_u = q + self.pos_bias_u[None, None]
         q_v = q + self.pos_bias_v[None, None]
@@ -271,11 +280,12 @@ class EncoderLayer(nn.Module):
                                            name="norm_final")
 
     def __call__(self, x, pos_emb, mask=None, cache=None, cache_index=None,
-                 pad_mask=None, train: bool = False):
+                 pad_mask=None, train: bool = False, pos_proj=None):
         if self.macaron_style:
             x = x + self.ff_scale * self.ffn_macaron(self.macaron_norm(x))
         h, new_cache = self.attn(self.attn_norm(x), pos_emb, mask=mask,
-                                 cache=cache, cache_index=cache_index)
+                                 cache=cache, cache_index=cache_index,
+                                 pos_proj=pos_proj)
         x = x + h
         if self.use_cnn_module:
             x = x + self.conv_module(self.conv_norm(x), pad_mask, train=train)
@@ -438,8 +448,23 @@ class ConformerEncoder(nn.Module):
              "v": jnp.zeros((batch, max_len, h, dk), self.dtype)}
             for _ in range(cfg.num_blocks))
 
+    def precompute_pos_projs(self, total: int):
+        """Project the rel-pos window for a decode session with cache
+        length `total` ONCE per layer.  Per-step decode otherwise re-runs
+        each layer's `linear_pos` over the whole window — ~10 GFLOP/step at
+        the S3 decoder's shapes vs ~0.1 GFLOP of actual decode compute.
+
+        Returns a tuple (one [2*total-1, C] array per layer); pass to
+        `decode_step(pos_projs=...)`."""
+        assert not self.remat, "precompute_pos_projs: serving path only"
+        pe = jax.lax.dynamic_slice_in_dim(
+            self.pe_table, self.max_len - total, 2 * total - 1, axis=0)
+        return tuple(layer.attn.project_pos(pe.astype(self.dtype))
+                     for layer in self.encoders)
+
     def decode_step(self, x: jnp.ndarray, caches, index: jnp.ndarray,
-                    key_valid: Optional[jnp.ndarray] = None):
+                    key_valid: Optional[jnp.ndarray] = None,
+                    pos_projs=None):
         """One-token (or prefill-chunk) step.  x: [B, S, input_size]; `index`
         is the absolute position of x[:, 0].  Attends to cache positions
         <= own position; `key_valid` [B, 1, 1, Tk] additionally masks
@@ -465,7 +490,15 @@ class ConformerEncoder(nn.Module):
         if key_valid is not None:
             mask = jnp.logical_and(mask, key_valid)
         new_caches = []
-        for layer, cache in zip(self.encoders, caches):
-            x, c = layer(x, pe, mask=mask, cache=cache, cache_index=index)
+        for li, (layer, cache) in enumerate(zip(self.encoders, caches)):
+            pp = None
+            if pos_projs is not None:
+                # pos_projs[li] covers table rows [max_len-total, ...);
+                # this step's slice starts at max_len-1-index-(s-1)
+                pp = jax.lax.dynamic_slice_in_dim(
+                    pos_projs[li], tk - 1 - index - (s - 1), tk + s - 1,
+                    axis=0)
+            x, c = layer(x, pe, mask=mask, cache=cache, cache_index=index,
+                         pos_proj=pp)
             new_caches.append(c)
         return self.after_norm(x), tuple(new_caches)

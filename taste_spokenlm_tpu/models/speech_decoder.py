@@ -229,11 +229,13 @@ class TasteSpeechDecoder(nn.Module):
         caches = self.llm.init_cache(b, total)
         key_valid = jnp.concatenate(
             [prefix_valid, jnp.ones((b, max_steps), bool)], axis=1)
+        # rel-pos projections computed ONCE for the whole decode session
+        pos_projs = self.llm.precompute_pos_projs(total)
 
         # prefill
         lm_out, caches = self.llm.decode_step(
             prefix, caches, jnp.int32(0),
-            key_valid=key_valid[:, None, None, :])
+            key_valid=key_valid[:, None, None, :], pos_projs=pos_projs)
         last_hidden = lm_out[:, -1]
 
         min_len = (prefix_len.astype(jnp.float32)
@@ -251,6 +253,7 @@ class TasteSpeechDecoder(nn.Module):
             "min_len": min_len,
             "max_len": max_len,
             "prefix_max": jnp.int32(prefix_max),
+            "pos_projs": pos_projs,
         }
 
     def generate_stream_chunk(
@@ -300,7 +303,8 @@ class TasteSpeechDecoder(nn.Module):
                                        cfg.speech_token_size)[:, None, :]
             lm_out, caches = mdl.llm.decode_step(
                 emb, st.caches, prefix_max + st.step,
-                key_valid=key_valid[:, None, None, :])
+                key_valid=key_valid[:, None, None, :],
+                pos_projs=state["pos_projs"])
             return Chunk(st.i + 1, st.step + 1, rng, caches, lm_out[:, 0],
                          tokens, newly_done)
 

@@ -83,6 +83,38 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, causal: bool,
     o_ref[:] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
 
 
+def _block_attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float,
+                       causal: bool, block_q: int, seq_len: int,
+                       valid_len: int):
+    """Non-streaming blocked attention: the full K/V for one (batch*head)
+    lives in VMEM (fine up to a few thousand keys), so the softmax runs in
+    one shot — no running-max/normalizer recurrence, bigger MXU dots,
+    far less VPU work than the streaming kernel.  Used whenever the key
+    length fits (the whisper encoder's T=1500 hot path)."""
+    qi = pl.program_id(1)
+    q = q_ref[:]                                   # [block_q, d]
+    k = k_ref[:]                                   # [seq_len, d]
+    s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
+    if valid_len < seq_len:
+        k_pos = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(k_pos < valid_len, s, NEG_INF)
+    if causal:
+        q_pos = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+        k_pos = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(k_pos <= q_pos, s, NEG_INF)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    o = jnp.dot(p.astype(v_ref.dtype), v_ref[:],
+                preferred_element_type=jnp.float32)
+    o_ref[:] = (o / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+
+# key length up to which the one-shot kernel is used (s block [block_q, tk]
+# f32 + K/V in VMEM; 4096 keys ≈ 2 MB per 512-row q block)
+_ONESHOT_MAX_TK = 4096
+
+
 def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                     causal: bool = False,
                     scale: Optional[float] = None,
@@ -113,6 +145,35 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         return x.transpose(0, 2, 1, 3).reshape(b * h, x.shape[1], d_pad)
 
     qb, kb, vb = to_bh(q), to_bh(k), to_bh(v)
+
+    if tk <= _ONESHOT_MAX_TK:
+        # one-shot softmax (full K/V resident in VMEM): bigger q blocks,
+        # no streaming recurrence
+        bq1 = min(512, tq)
+        while tq % bq1:
+            bq1 //= 2
+        kernel = functools.partial(
+            _block_attn_kernel, scale=scale, causal=causal, block_q=bq1,
+            seq_len=tk, valid_len=tk_in)
+        out = pl.pallas_call(
+            kernel,
+            grid=(b * h, tq // bq1),
+            in_specs=[
+                pl.BlockSpec((None, bq1, d_pad), lambda i, j: (i, j, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((None, tk, d_pad), lambda i, j: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((None, tk, d_pad), lambda i, j: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((None, bq1, d_pad),
+                                   lambda i, j: (i, j, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((b * h, tq, d_pad), q.dtype),
+            interpret=interpret,
+        )(qb, kb, vb)
+        out = out.reshape(b, h, tq, d_pad).transpose(0, 2, 1, 3)
+        return out[:, :tq_in, :, :d]
 
     kernel = functools.partial(_flash_kernel, scale=scale, causal=causal,
                                block_k=block_k, seq_len=tk, valid_len=tk_in)
