@@ -525,17 +525,21 @@ def main():
             variables, rng, tokens, lengths, spk, mel_len_max,
             method=lambda m, *a: m.voice_generator(*a))
 
+    # ONE jitted program for the whole pipeline: the tunnel costs ~30 ms
+    # per dispatch (CLAUDE.md), so the production reconstruction entry point
+    # is the single-dispatch inference_reconstruction; the stage-split jits
+    # below are only for the per-stage breakdown
+    @jax.jit
+    def run_all_fused(variables, rng, batch):
+        return model.apply(
+            variables, rng, batch["speaker_embeds"], batch["asr_token_ids"],
+            batch["asr_token_lengths"], batch["asr_word_ids"],
+            batch["audio_features"], max_speech_steps=max_speech,
+            mel_len_max=mel_len_max,
+            method=TasteForCausalLM.inference_reconstruction)
+
     def run_all(rng, batch):
-        r1, r2 = jax.random.split(rng)
-        enc = run_tower(variables, batch)
-        gen = run_decoder(variables, r1, batch["speaker_embeds"],
-                          enc["audio_unit_embeds"], enc["audio_unit_lengths"],
-                          batch["asr_token_ids"], batch["asr_token_lengths"])
-        wav, wav_len = run_vocoder(variables, r2,
-                                   jnp.maximum(gen["speech_token_ids"], 0),
-                                   gen["speech_token_lengths"],
-                                   batch["speaker_embeds"])
-        return wav
+        return run_all_fused(variables, rng, batch)["waveform"]
 
     print("compiling + warmup (reconstruction)...", file=sys.stderr)
     t0 = time.perf_counter()
