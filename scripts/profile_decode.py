@@ -167,6 +167,42 @@ def main():
     print(f"{'bare backbone+logits+embed loop':35s} {w*1e3:7.1f} ms  "
           f"{w/steps*1e3:6.2f} ms/step")
 
+    # --- backbone WITHOUT the [V, D] logits head: isolates the lm_head
+    # HBM traffic (the head re-reads the full embedding table per step) ---
+    @jax.jit
+    def backbone_nohead_loop(v, key):
+        cache = lm.apply(v, b, t_tok + steps, method=LlamaModel.init_cache)
+        x0 = jax.random.normal(key, (b, 1, cfg.spoken_lm.llama.hidden_size),
+                               jnp.bfloat16)
+
+        def body(carry, i):
+            x, cache = carry
+            out = lm.apply(v, inputs_embeds=x, caches=cache,
+                           cache_index=i, position_offset=i)
+            h = out["last_hidden"]
+            nxt = (jnp.argmax(h[..., :256], axis=-1)
+                   + i.astype(jnp.int32)) % 1000
+            emb = lm.apply(v, nxt, method=lambda m, a: m.embed_tokens(a))
+            return (emb.astype(jnp.bfloat16), out["caches"]), h[0, 0, 0]
+
+        (_, _), ls = jax.lax.scan(body, (x0, cache),
+                                  jnp.arange(steps, dtype=jnp.int32))
+        return ls
+
+    t0 = time.perf_counter()
+    out = backbone_nohead_loop(lm_params, jax.random.PRNGKey(1))
+    float(jnp.sum(out))
+    print(f"no-head compile {time.perf_counter()-t0:.1f}s")
+    walls = []
+    for i in range(4):
+        t0 = time.perf_counter()
+        out = backbone_nohead_loop(lm_params, jax.random.PRNGKey(2 + i))
+        float(jnp.sum(out))
+        walls.append(time.perf_counter() - t0)
+    w = min(walls)
+    print(f"{'backbone+embed (no logits head)':35s} {w*1e3:7.1f} ms  "
+          f"{w/steps*1e3:6.2f} ms/step")
+
 
 if __name__ == "__main__":
     main()

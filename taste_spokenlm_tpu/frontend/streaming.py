@@ -66,7 +66,6 @@ class StreamingSynthesizer:
         """Yields dicts: {"wav": [B, n] float32 chunk, "tokens": [B, c],
         "is_last": bool}.  B=1 intended (per-request streaming)."""
         import jax
-        import jax.numpy as jnp
         from taste_spokenlm_tpu.models.taste import TasteForCausalLM
 
         model, variables = self.model, self.variables
@@ -75,40 +74,49 @@ class StreamingSynthesizer:
         mpt = mel_per_token(model.config.flow)
         mel_window_max = int(np.ceil(window * mpt)) + 4
 
-        init = self._jit("init", lambda v, r, spk, taste, ids, lens, words:
-                         model.apply(v, r, spk, taste, ids, lens, words,
-                                     max_speech_steps=self.max_speech_steps,
-                                     method=TasteForCausalLM.stream_synth_init))
-        step = self._jit("chunk", lambda v, st:
-                         model.apply(v, st, self.chunk_tokens,
-                                     method=TasteForCausalLM.stream_decode_chunk))
-        vocode = self._jit(
-            "vocode", lambda v, r, toks, lens, spk:
-            model.apply(v, r, toks, lens, spk, mel_window_max,
-                        method=TasteForCausalLM.stream_vocode_window))
+        # two compiled programs, ONE dispatch per chunk: the first fuses
+        # init + decode chunk + window vocode (TTFA = a single launch), the
+        # steady-state one fuses decode chunk + window vocode with the token
+        # history carried on-device
+        start = self._jit(
+            "start", lambda v, r, rv, spk, taste, ids, lens, words:
+            model.apply(v, r, rv, spk, taste, ids, lens, words,
+                        self.max_speech_steps, ct, window, mel_window_max,
+                        method=TasteForCausalLM.stream_start_step))
+        step = self._jit(
+            "step", lambda v, st, rv, spk, hist, hl:
+            model.apply(v, st, rv, spk, hist, hl, ct, window, mel_window_max,
+                        method=TasteForCausalLM.stream_step))
 
         rng = jax.random.PRNGKey(0) if rng is None else rng
         # stream_synth_init splits rng exactly like synthesize_from_taste,
         # so the chunked decode trajectory matches the one-shot path on the
         # same key; window vocoding draws fresh CFM noise per chunk
         rng_voc = jax.random.fold_in(rng, 7919)
-        state = init(variables, rng, speaker_embeds, taste_indices_per_word,
-                     asr_token_ids, asr_token_lengths, asr_word_ids)
 
         b = np.asarray(speaker_embeds).shape[0]
         cf = self.crossfade_tokens
-        all_tokens = np.zeros((b, 0), np.int32)
         held: Optional[np.ndarray] = None   # audio of tokens [s-cf, s) from
         #                                     the PREVIOUS window (not yet
         #                                     emitted; blends with the next
         #                                     window's rendition of the same
         #                                     tokens — overlap-and-hold)
+        s = 0                               # tokens emitted so far
         n_chunks = int(np.ceil(self.max_speech_steps / ct))
+        out_k = state = None
         for k in range(n_chunks):
-            tokens, state = step(variables, state)
-            tokens = np.asarray(tokens)                      # [B, ct]
-            n_new = int((tokens >= 0).sum(axis=1).max())
-            done = bool(np.asarray(state["done"]).all())
+            if k == 0:
+                out_k = start(variables, rng, jax.random.fold_in(rng_voc, 0),
+                              speaker_embeds, taste_indices_per_word,
+                              asr_token_ids, asr_token_lengths, asr_word_ids)
+            else:
+                out_k = step(variables, state,
+                             jax.random.fold_in(rng_voc, k), speaker_embeds,
+                             out_k["token_hist"], out_k["hist_len"])
+            state = out_k["state"]
+            tokens = np.asarray(out_k["tokens"])             # [B, ct]
+            n_new = int(out_k["n_new"])
+            done = bool(np.asarray(out_k["done"]).all())
             last = done or k == n_chunks - 1
             if n_new == 0:
                 if held is not None:     # flush the held seam audio
@@ -117,20 +125,9 @@ class StreamingSynthesizer:
                 if last:
                     break
                 continue
-            s = all_tokens.shape[1]
-            all_tokens = np.concatenate(
-                [all_tokens, np.maximum(tokens[:, :n_new], 0)], axis=1)
             e = s + n_new
             ws = max(0, s - lc)
-            win = all_tokens[:, ws:e]
-            win_len = win.shape[1]
-            win_padded = np.zeros((b, window), np.int32)
-            win_padded[:, :win_len] = win
-            wav, _ = vocode(
-                variables, jax.random.fold_in(rng_voc, k),
-                jnp.asarray(win_padded), jnp.asarray([win_len] * b),
-                speaker_embeds)
-            wav = np.asarray(wav, np.float32)
+            wav = np.asarray(out_k["wav"], np.float32)
             # samples per mel frame from the vocoder output itself (HiFT
             # upsample factor is config-dependent)
             spf = wav.shape[1] // mel_window_max
@@ -145,8 +142,8 @@ class StreamingSynthesizer:
             else:
                 # emit from s-cf: head re-vocoded by THIS window, blended
                 # equal-power against the held audio from the previous one
-                start = off(max(s - cf, 0))
-                out = wav[:, start:off(hold_from)].copy()
+                emit_from = off(max(s - cf, 0))
+                out = wav[:, emit_from:off(hold_from)].copy()
                 n_x = min(held.shape[1], out.shape[1])
                 if n_x > 0:
                     t = np.linspace(0.0, np.pi / 2, n_x, dtype=np.float32)
@@ -155,6 +152,7 @@ class StreamingSynthesizer:
             held = (None if last
                     else wav[:, off(hold_from):off(e)])
             yield {"wav": out, "tokens": tokens, "is_last": last}
+            s = e
             if last:
                 break
 

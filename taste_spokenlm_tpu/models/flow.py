@@ -166,7 +166,10 @@ class ConditionalDecoder(nn.Module):
         n_mels = cfg.output_size
         in_ch = n_mels * (2 + (spks is not None) + (cond is not None))
 
-        t_emb = sinusoidal_time_emb(t, in_ch)
+        # sinusoids in f32 (bf16 angles alias), then the MLP joins the
+        # network compute dtype so it can't re-promote downstream blocks
+        t_emb = sinusoidal_time_emb(t.astype(jnp.float32), in_ch)
+        t_emb = t_emb.astype(x.dtype)
         time_dim = channels[0] * 4
         t_emb = nn.Dense(time_dim, name="time_mlp_1")(t_emb)
         t_emb = nn.Dense(time_dim, name="time_mlp_2")(nn.silu(t_emb))
@@ -239,9 +242,14 @@ class ConditionalDecoder(nn.Module):
 
 
 class ConditionalCFM(nn.Module):
-    """Optimal-transport conditional flow matching (flow_matching.py:18-138)."""
+    """Optimal-transport conditional flow matching (flow_matching.py:18-138).
+
+    `dtype` is the estimator compute dtype (serving runs bf16 on the MXU);
+    the ODE state x and the Euler update stay float32 regardless.
+    """
 
     config: FlowConfig
+    dtype: Any = jnp.float32
 
     def setup(self):
         self.estimator = ConditionalDecoder(self.config, name="estimator")
@@ -261,21 +269,31 @@ class ConditionalCFM(nn.Module):
         cfg_rate = cfg.inference_cfg_rate
         b = mu.shape[0]
 
+        cdt = self.dtype
+        mu_c = mu.astype(cdt)
+        spks_c = spks.astype(cdt)
+        cond_c = cond.astype(cdt)
+
         def step(mdl, x, i):
             t = t_span[i]
             dt = t_span[i + 1] - t_span[i]
             if cfg_rate > 0:
                 # one batched 2B estimator call: [cond | uncond]
-                x2 = jnp.concatenate([x, x], axis=0)
-                mu2 = jnp.concatenate([mu, jnp.zeros_like(mu)], axis=0)
-                spks2 = jnp.concatenate([spks, jnp.zeros_like(spks)], axis=0)
-                cond2 = jnp.concatenate([cond, jnp.zeros_like(cond)], axis=0)
+                xc = x.astype(cdt)
+                x2 = jnp.concatenate([xc, xc], axis=0)
+                mu2 = jnp.concatenate([mu_c, jnp.zeros_like(mu_c)], axis=0)
+                spks2 = jnp.concatenate([spks_c, jnp.zeros_like(spks_c)],
+                                        axis=0)
+                cond2 = jnp.concatenate([cond_c, jnp.zeros_like(cond_c)],
+                                        axis=0)
                 mask2 = jnp.concatenate([mask, mask], axis=0)
                 v2 = mdl.estimator(x2, mask2, mu2, jnp.full((2 * b,), t),
-                                   spks2, cond2)
+                                   spks2, cond2).astype(jnp.float32)
                 v = (1.0 + cfg_rate) * v2[:b] - cfg_rate * v2[b:]
             else:
-                v = mdl.estimator(x, mask, mu, jnp.full((b,), t), spks, cond)
+                v = mdl.estimator(x.astype(cdt), mask, mu_c,
+                                  jnp.full((b,), t), spks_c,
+                                  cond_c).astype(jnp.float32)
             return x + dt * v, None
 
         x, _ = nn.scan(step, variable_broadcast="params",
@@ -304,20 +322,26 @@ class ConditionalCFM(nn.Module):
 
 
 class MaskedDiffWithXvec(nn.Module):
-    """Token->mel flow model (flow.py:24-136)."""
+    """Token->mel flow model (flow.py:24-136).
+
+    `dtype` is the serving compute dtype for the token encoder and the CFM
+    estimator (training keeps the default float32).
+    """
 
     config: FlowConfig
+    dtype: Any = jnp.float32
 
     def setup(self):
         cfg = self.config
         self.input_embedding = nn.Embed(cfg.vocab_size, cfg.input_size)
         self.spk_embed_affine_layer = nn.Dense(cfg.output_size)
         self.encoder = ConformerEncoder(cfg.encoder, name="encoder",
+                                        dtype=self.dtype,
                                         remat=cfg.encoder.remat)
         self.encoder_proj = nn.Dense(cfg.output_size)
         self.length_regulator = InterpolateRegulator(cfg.output_size,
                                                      name="length_regulator")
-        self.decoder = ConditionalCFM(cfg, name="decoder")
+        self.decoder = ConditionalCFM(cfg, dtype=self.dtype, name="decoder")
 
     def _encode(self, token, token_len, mel_len_max, mel_lengths):
         cfg = self.config

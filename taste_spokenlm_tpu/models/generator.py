@@ -20,10 +20,13 @@ from taste_spokenlm_tpu.models.hift import HiFTGenerator
 class VoiceGenerator(nn.Module):
     flow_config: FlowConfig
     hift_config: HiFTConfig
+    dtype: Any = jnp.float32   # serving compute dtype (flow + HiFT convs)
 
     def setup(self):
-        self.flow = MaskedDiffWithXvec(self.flow_config, name="flow")
-        self.hift = HiFTGenerator(self.hift_config, name="hift")
+        self.flow = MaskedDiffWithXvec(self.flow_config, dtype=self.dtype,
+                                       name="flow")
+        self.hift = HiFTGenerator(self.hift_config, dtype=self.dtype,
+                                  name="hift")
 
     @property
     def output_sampling_rate(self) -> int:

@@ -191,9 +191,14 @@ def istft_16(mag: jnp.ndarray, phase: jnp.ndarray, n_fft: int, hop: int) -> jnp.
 
 
 class HiFTGenerator(nn.Module):
-    """mel [B, T, 80] -> waveform [B, T*256] (generator.py:214-391)."""
+    """mel [B, T, 80] -> waveform [B, T*256] (generator.py:214-391).
+
+    `dtype` is the conv compute dtype (serving runs bf16 on the MXU); the
+    sine source, magnitude/phase head, and iSTFT stay float32.
+    """
 
     config: HiFTConfig
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, mel: jnp.ndarray, rng: jax.Array,
@@ -201,11 +206,13 @@ class HiFTGenerator(nn.Module):
         cfg = self.config
         nfft, hop = cfg.istft_n_fft, cfg.istft_hop_len
         up_total = int(np.prod(cfg.upsample_rates)) * hop
+        mel = mel.astype(self.dtype)
 
         # --- F0 -> harmonic source ---
         f0 = ConvRNNF0Predictor(cfg.f0_predictor_in_channels,
                                 cfg.f0_predictor_cond_channels,
                                 name="f0_predictor")(mel)   # [B, T]
+        f0 = f0.astype(jnp.float32)
         f0_up = jnp.repeat(f0, up_total, axis=1)            # nearest upsample
         rng_src, rng = jax.random.split(rng)
         sines = sine_source(rng_src, f0_up, cfg.sampling_rate, cfg.nb_harmonics,
@@ -216,6 +223,7 @@ class HiFTGenerator(nn.Module):
             sines.transpose(0, 2, 1)))[..., 0]              # [B, Ts]
         s_real, s_imag = stft_16(merged, nfft, hop)
         s_stft = jnp.concatenate([s_real, s_imag], axis=1).transpose(0, 2, 1)
+        s_stft = s_stft.astype(self.dtype)
         # [B, TT, nfft+2]
 
         # --- filter path ---
@@ -253,6 +261,7 @@ class HiFTGenerator(nn.Module):
 
         x = nn.leaky_relu(x, 0.01)
         x = WNConv(nfft + 2, 7, padding=3, name="conv_post")(x)
+        x = x.astype(jnp.float32)   # exp/sin + iSTFT stay f32
         mag = jnp.exp(x[..., : nfft // 2 + 1]).transpose(0, 2, 1)
         mag = jnp.minimum(mag, 1e2)
         phase = jnp.sin(x[..., nfft // 2 + 1:]).transpose(0, 2, 1)

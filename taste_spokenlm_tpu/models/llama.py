@@ -313,15 +313,25 @@ class LlamaModel(nn.Module):
 
     def logits(self, hidden: jnp.ndarray) -> jnp.ndarray:
         """lm_head: tied to embed_tokens (Llama-3.2-1B) or a separate
-        projection when config.tie_word_embeddings is False."""
+        projection when config.tie_word_embeddings is False.
+
+        f32 weights keep exact f32 math (parity tests); bf16 serving
+        weights are read as bf16 with f32 MXU accumulation — upcasting a
+        [V, D] table to f32 would double its HBM traffic per decode step."""
+
+        def head(w_in_out):   # [D, V]
+            if w_in_out.dtype == jnp.float32:
+                return hidden.astype(jnp.float32) @ w_in_out
+            return jax.lax.dot_general(
+                hidden.astype(w_in_out.dtype), w_in_out,
+                (((hidden.ndim - 1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
         if not self.config.tie_word_embeddings:
-            return (hidden.astype(jnp.float32)
-                    @ self.lm_head_kernel.astype(jnp.float32))
+            return head(self.lm_head_kernel)
         if self.config.quantized_embed_serving:
             return self.embed_tokens.logits(hidden)
-        emb = self.embed_tokens.embedding
-        return (hidden.astype(jnp.float32)
-                @ emb.astype(jnp.float32).T)
+        return head(self.embed_tokens.embedding.T)
 
     def init_cache(self, batch: int, max_len: int):
         cfg = self.config

@@ -52,7 +52,8 @@ class TasteForCausalLM(nn.Module):
             taste_d=cfg.audio_tower.quantizer.codebook_dim,
             taste_l=cfg.audio_tower.quantizer.num_quantizers,
             dtype=self.dtype)
-        self.voice_generator = VoiceGenerator(cfg.flow, cfg.hift)
+        self.voice_generator = VoiceGenerator(cfg.flow, cfg.hift,
+                                              dtype=self.dtype)
 
     def _cb(self) -> Codebook:
         return self.audio_tower.vq.codebook()
@@ -316,3 +317,49 @@ class TasteForCausalLM(nn.Module):
         return self.voice_generator(
             rng, jnp.maximum(window_tokens, 0), window_lengths,
             speaker_embeds, mel_len_max)
+
+    def stream_step(self, state, rng, speaker_embeds, token_hist, hist_len,
+                    chunk_steps: int, window: int, mel_window_max: int):
+        """Fused streaming step: decode one S3 chunk AND vocode its window
+        in a single dispatch.  The token history lives on-device
+        ([B, max_steps+chunk] int32, zero-padded), so the host loop costs
+        one dispatch per chunk instead of three (the remote-compile tunnel
+        charges ~30 ms per dispatch).
+
+        Produces exactly the window the host-orchestrated
+        stream_decode_chunk + stream_vocode_window pair would: tokens
+        [hist_len, e) appended (post-EOS rows zero-padded), window
+        [max(0, e-window), e) vocoded with length e-ws."""
+        tokens, state = self.speech_decoder.generate_stream_chunk(
+            state, chunk_steps)
+        n_new = jnp.max(jnp.sum((tokens >= 0).astype(jnp.int32), axis=1))
+        token_hist = jax.lax.dynamic_update_slice(
+            token_hist, jnp.maximum(tokens, 0), (0, hist_len))
+        e = hist_len + n_new
+        # window anchor matches the host math: left_ctx tokens BEFORE this
+        # chunk's start (hist_len), regardless of how full the chunk is
+        ws = jnp.maximum(hist_len - (window - chunk_steps), 0)
+        win = jax.lax.dynamic_slice(
+            token_hist, (0, ws), (token_hist.shape[0], window))
+        win_len = jnp.full((token_hist.shape[0],), e - ws, jnp.int32)
+        wav, _ = self.voice_generator(rng, win, win_len, speaker_embeds,
+                                      mel_window_max)
+        return {"tokens": tokens, "state": state, "token_hist": token_hist,
+                "hist_len": e, "n_new": n_new, "wav": wav,
+                "done": state["done"]}
+
+    def stream_start_step(self, rng, rng_voc, speaker_embeds,
+                          taste_indices_per_word, asr_token_ids,
+                          asr_token_lengths, asr_word_ids,
+                          max_speech_steps: int, chunk_steps: int,
+                          window: int, mel_window_max: int):
+        """stream_synth_init + the first fused stream_step in ONE dispatch:
+        first audio leaves the device after a single program launch."""
+        state = self.stream_synth_init(
+            rng, speaker_embeds, taste_indices_per_word, asr_token_ids,
+            asr_token_lengths, asr_word_ids, max_speech_steps)
+        b = speaker_embeds.shape[0]
+        hist = jnp.zeros((b, max_speech_steps + chunk_steps), jnp.int32)
+        return self.stream_step(state, rng_voc, speaker_embeds, hist,
+                                jnp.int32(0), chunk_steps, window,
+                                mel_window_max)

@@ -105,3 +105,26 @@ def test_flow_training_loss(tiny_voicegen):
     g = jax.grad(loss_fn)(fvars["params"])
     leaves = jax.tree_util.tree_leaves(g)
     assert any(float(jnp.abs(l).max()) > 0 for l in leaves)
+
+
+def test_voice_generator_bf16_serving_dtype(tiny_voicegen):
+    """bf16 compute dtype (serving layout) stays close to the f32 vocoder.
+
+    The ODE state and iSTFT head are f32 by design; only the estimator /
+    conv compute drops to bf16, so the waveform should track the f32 one
+    within bf16 tolerance on the same (f32-valued) weights.
+    """
+    model, variables, (tokens, lens, spk) = tiny_voicegen
+    wav32, _ = model.apply(variables, jax.random.PRNGKey(2), tokens,
+                           lens, spk, 32)
+    model16 = VoiceGenerator(FlowConfig.tiny(), HiFTConfig.tiny(),
+                             dtype=jnp.bfloat16)
+    wav16, lens16 = model16.apply(variables, jax.random.PRNGKey(2), tokens,
+                                  lens, spk, 32)
+    assert bool(jnp.isfinite(wav16).all())
+    a = np.asarray(wav32, np.float64).ravel()
+    b = np.asarray(wav16, np.float64).ravel()
+    rel = np.linalg.norm(a - b) / max(np.linalg.norm(a), 1e-9)
+    corr = float(np.dot(a, b) / max(np.linalg.norm(a) * np.linalg.norm(b),
+                                    1e-9))
+    assert rel < 0.35 and corr > 0.93, (rel, corr)
