@@ -440,6 +440,10 @@ def main():
                 llm=cfg.speech_decoder.llm.replace(quantized_serving=True)))
     print(f"llama serving quantization: {'int8' if quant else 'off'}",
           file=sys.stderr)
+    # MXU tap-loop kernel for the HiFT ResBlock convs (BENCH_PALLAS_CONV=0
+    # opts out)
+    if os.environ.get("BENCH_PALLAS_CONV", "1") == "1" and not tiny:
+        cfg = cfg.replace(hift=cfg.hift.replace(pallas_conv=True))
     model = TasteForCausalLM(cfg, dtype=dtype)
 
     # ~14 s of source audio -> ~40 asr tokens; decode up to 512 S3 tokens

@@ -460,6 +460,11 @@ class HiFTConfig(_Base):
     audio_limit: float = 0.99
     f0_predictor_in_channels: int = 80
     f0_predictor_cond_channels: int = 512
+    # serving: route eligible ResBlock convs (stride 1, same padding,
+    # channels % 128 == 0) through the Pallas tap-loop conv kernel
+    # (ops/pallas/conv1d.py) — XLA's conv lowering leaves the MXU idle at
+    # these narrow-channel shapes
+    pallas_conv: bool = False
 
     @classmethod
     def tiny(cls) -> "HiFTConfig":

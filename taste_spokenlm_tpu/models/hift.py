@@ -59,13 +59,18 @@ def conv_transpose1d(x, w, b=None, stride=1, padding=0):
 
 
 class WNConv(nn.Module):
-    """Plain conv storing collapsed weight-norm weights, torch padding."""
+    """Plain conv storing collapsed weight-norm weights, torch padding.
+
+    `use_pallas` routes eligible shapes (stride 1, same padding, channels
+    a multiple of 128) through the MXU tap-loop kernel in
+    ops/pallas/conv1d.py; everything else keeps the lax conv."""
 
     features: int
     kernel: int
     stride: int = 1
     padding: int = 0
     dilation: int = 1
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -73,6 +78,12 @@ class WNConv(nn.Module):
         w = self.param("kernel", nn.initializers.lecun_normal(),
                        (self.kernel, cin, self.features))
         b = self.param("bias", nn.initializers.zeros, (self.features,))
+        if (self.use_pallas and self.stride == 1
+                and self.padding == (self.kernel - 1) * self.dilation // 2
+                and cin % 128 == 0 and self.features % 128 == 0):
+            from taste_spokenlm_tpu.ops.pallas.conv1d import conv1d_same
+            return conv1d_same(x, w.astype(x.dtype), b,
+                               dilation=self.dilation)
         return conv1d(x, w, b, self.stride, self.padding, self.dilation)
 
 
@@ -102,6 +113,7 @@ class ResBlock(nn.Module):
     channels: int
     kernel: int = 3
     dilations: Tuple[int, ...] = (1, 3, 5)
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -112,10 +124,10 @@ class ResBlock(nn.Module):
             pad2 = (self.kernel - 1) // 2
             h = snake(x, a1)
             h = WNConv(self.channels, self.kernel, padding=pad1, dilation=d,
-                       name=f"conv1_{i}")(h)
+                       use_pallas=self.use_pallas, name=f"conv1_{i}")(h)
             h = snake(h, a2)
             h = WNConv(self.channels, self.kernel, padding=pad2,
-                       name=f"conv2_{i}")(h)
+                       use_pallas=self.use_pallas, name=f"conv2_{i}")(h)
             x = x + h
         return x
 
@@ -248,13 +260,14 @@ class HiFTGenerator(nn.Module):
                             name=f"source_downs_{i}")(s_stft)
             si = ResBlock(ch, cfg.source_resblock_kernel_sizes[i],
                           cfg.source_resblock_dilation_sizes[i],
+                          use_pallas=cfg.pallas_conv,
                           name=f"source_resblocks_{i}")(si)
             x = x + si[:, : x.shape[1]]
 
             acc = None
             for j, (k_r, d_r) in enumerate(zip(cfg.resblock_kernel_sizes,
                                                cfg.resblock_dilation_sizes)):
-                r = ResBlock(ch, k_r, d_r,
+                r = ResBlock(ch, k_r, d_r, use_pallas=cfg.pallas_conv,
                              name=f"resblocks_{i}_{j}")(x)
                 acc = r if acc is None else acc + r
             x = acc / len(cfg.resblock_kernel_sizes)
