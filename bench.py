@@ -95,6 +95,10 @@ def _fill_variables(shapes, param_dtype):
             k = jax.random.fold_in(base_key, next(counter))
             return jax.random.randint(k, leaf.shape, -127, 128, jnp.int32
                                       ).astype(jnp.int8)
+        if leaf.dtype == jnp.uint8:    # packed int4 kernels: random nibbles
+            k = jax.random.fold_in(base_key, next(counter))
+            return jax.random.randint(k, leaf.shape, 0, 256, jnp.int32
+                                      ).astype(jnp.uint8)
         if leaf.dtype == jnp.bool_:
             name = str(getattr(path[-1], "key", path[-1])) if path else ""
             return jnp.full(leaf.shape, name == "initted", bool)
@@ -430,15 +434,17 @@ def main():
     cfg = TasteConfig.tiny() if tiny else TasteConfig.full()
     # int8 weight-only serving layout for the joint-decode backbone
     # (utils/quant; ~1.66x decode tokens/sec) — BENCH_QUANT=0 opts out
-    quant = os.environ.get("BENCH_QUANT", "1") == "1" and not tiny
+    quant_env = os.environ.get("BENCH_QUANT", "1")
+    quant = quant_env != "0" and not tiny
+    qs = "int4" if quant_env == "4" else "int8"
     if quant:
         cfg = cfg.replace(
             spoken_lm=cfg.spoken_lm.replace(
                 llama=cfg.spoken_lm.llama.replace(
-                    quantized_serving=True, quantized_embed_serving=True)),
+                    quantized_serving=qs, quantized_embed_serving=True)),
             speech_decoder=cfg.speech_decoder.replace(
-                llm=cfg.speech_decoder.llm.replace(quantized_serving=True)))
-    print(f"llama serving quantization: {'int8' if quant else 'off'}",
+                llm=cfg.speech_decoder.llm.replace(quantized_serving=qs)))
+    print(f"llama serving quantization: {qs if quant else 'off'}",
           file=sys.stderr)
     # MXU tap-loop kernel for the HiFT ResBlock convs (BENCH_PALLAS_CONV=0
     # opts out)

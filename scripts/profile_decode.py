@@ -24,6 +24,7 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--steps", type=int, default=64)
     p.add_argument("--platform", default=None)
+    p.add_argument("--int4", action="store_true")
     args = p.parse_args()
     from taste_spokenlm_tpu.utils.platform import force_platform
     force_platform(args.platform)
@@ -45,10 +46,11 @@ def main():
     from taste_spokenlm_tpu.models.taste import TasteForCausalLM
 
     cfg = TasteConfig.full()
+    qs = "int4" if args.int4 else "int8"
     cfg = cfg.replace(
         spoken_lm=cfg.spoken_lm.replace(
             llama=cfg.spoken_lm.llama.replace(
-                quantized_serving=True, quantized_embed_serving=True)))
+                quantized_serving=qs, quantized_embed_serving=True)))
     model = TasteForCausalLM(cfg, dtype=jnp.bfloat16)
 
     b, t_tok = 1, 40

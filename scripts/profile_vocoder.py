@@ -141,6 +141,16 @@ def main():
             .astype(jnp.float32)[:, ::997]),
         mel0)
 
+    gen_pl = VoiceGenerator(cfg.flow, cfg.hift.replace(pallas_conv=True),
+                            dtype=dtype)
+    timed_scan(
+        "HiFT vocoder [pallas resblocks]",
+        lambda v, key, i, me: jnp.sum(
+            gen_pl.apply(v, me + i.astype(jnp.float32) * 1e-3, key,
+                         method=lambda m, m2, r: m.hift(m2, r))
+            .astype(jnp.float32)[:, ::997]),
+        mel0)
+
 
 if __name__ == "__main__":
     main()

@@ -247,7 +247,7 @@ class EncoderStackConfig(_Base):
     input_size: int = 512
     # int8 weight-only serving layout for the layer Dense kernels
     # (ops/quantized.QDense; utils/quant.quantize_encoder_params converts)
-    quantized_serving: bool = False
+    quantized_serving: Any = False   # False | True ('int8') | 'int8' | 'int4'
     # per-layer gradient checkpointing (training memory)
     remat: bool = False
 
@@ -330,7 +330,7 @@ class LlamaConfig(_Base):
     # serve base Dense kernels as int8 + per-channel scale (weight-only
     # quantization; ~1.66x AR-decode tokens/sec on v5e) — use
     # utils/quant.quantize_llama_params to convert a trained tree
-    quantized_serving: bool = False
+    quantized_serving: Any = False   # False | True ('int8') | 'int8' | 'int4'
     # also serve the embedding table (and thus the tied lm_head) as int8
     # with per-row scales (QEmbed)
     quantized_embed_serving: bool = False

@@ -82,7 +82,7 @@ class RelPositionAttention(nn.Module):
     d_model: int
     num_heads: int
     dtype: Any = jnp.float32
-    quantized: bool = False
+    quantized: Any = False  # False | 'int8' | 'int4'
 
     def setup(self):
         d = self.d_model
@@ -171,7 +171,7 @@ class PositionwiseFeedForward(nn.Module):
     hidden: int
     activation: str = "relu"
     dtype: Any = jnp.float32
-    quantized: bool = False
+    quantized: Any = False  # False | 'int8' | 'int4'
 
     @nn.compact
     def __call__(self, x):
@@ -248,7 +248,7 @@ class EncoderLayer(nn.Module):
     cnn_module_norm: str = "batch_norm"
     cnn_causal: bool = False
     dtype: Any = jnp.float32
-    quantized: bool = False
+    quantized: Any = False  # False | 'int8' | 'int4'
 
     def setup(self):
         mha_norm = "norm_mha" if self.conformer_names else "norm1"

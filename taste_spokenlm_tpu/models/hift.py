@@ -80,7 +80,10 @@ class WNConv(nn.Module):
         b = self.param("bias", nn.initializers.zeros, (self.features,))
         if (self.use_pallas and self.stride == 1
                 and self.padding == (self.kernel - 1) * self.dilation // 2
-                and cin % 128 == 0 and self.features % 128 == 0):
+                and cin % 128 == 0 and self.features % 128 == 0
+                and x.shape[1] >= 4096):
+            # small T (streaming windows) loses to XLA: the fixed VMEM
+            # tile pads short sequences by up to ~50%
             from taste_spokenlm_tpu.ops.pallas.conv1d import conv1d_same
             return conv1d_same(x, w.astype(x.dtype), b,
                                dilation=self.dilation)

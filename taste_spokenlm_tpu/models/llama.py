@@ -51,23 +51,42 @@ class LoraDense(nn.Module):
     lora: Optional[LoraConfig] = None
     use_bias: bool = False
     dtype: Any = jnp.float32
-    quantized: bool = False
+    quantized: Any = False  # False | 'int8' | 'int4'
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True,
                  disable_lora: bool = False):
-        if self.quantized:
-            # the int8 serving layout stores only (base_q, base_scale); a
-            # bias would be silently dropped — fail loudly instead
+        from taste_spokenlm_tpu.ops.quantized import qmode
+        mode = qmode(self.quantized)
+        if mode is not None:
+            # the quantized serving layouts store only (base_q*, base_scale);
+            # a bias would be silently dropped — fail loudly instead
             assert not self.use_bias, \
-                "LoraDense(quantized=True) does not support use_bias"
+                "LoraDense(quantized) does not support use_bias"
             in_dim = x.shape[-1]
-            q = self.param("base_q", nn.initializers.zeros,
-                           (in_dim, self.features), jnp.int8)
-            scale = self.param("base_scale", nn.initializers.ones,
-                               (self.features,), jnp.float32)
-            y = (x.astype(self.dtype) @ q.astype(self.dtype)) \
-                * scale.astype(self.dtype)
+            if mode == "int4":
+                from taste_spokenlm_tpu.ops.pallas.int4_matmul import (
+                    _group, dequantize_int4, matmul_int4)
+                n_scales = in_dim // _group(in_dim)
+                scale = self.param("base_scale", nn.initializers.ones,
+                                   (n_scales, self.features), jnp.float32)
+                wp = self.param("base_q4", nn.initializers.zeros,
+                                (in_dim // 2, self.features), jnp.uint8)
+                rows = 1
+                for s in x.shape[:-1]:
+                    rows *= s
+                if rows <= 256:     # decode: VMEM-unpacking Pallas kernel
+                    y = matmul_int4(x, wp, scale).astype(self.dtype)
+                else:               # prefill: one-shot in-graph unpack
+                    w = dequantize_int4(wp, scale).astype(self.dtype)
+                    y = x.astype(self.dtype) @ w
+            else:
+                scale = self.param("base_scale", nn.initializers.ones,
+                                   (self.features,), jnp.float32)
+                q = self.param("base_q", nn.initializers.zeros,
+                               (in_dim, self.features), jnp.int8)
+                y = (x.astype(self.dtype) @ q.astype(self.dtype)) \
+                    * scale.astype(self.dtype)
         else:
             y = nn.Dense(self.features, use_bias=self.use_bias,
                          dtype=self.dtype, name="base")(x)

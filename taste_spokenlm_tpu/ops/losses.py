@@ -13,6 +13,7 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 IGNORE_ID = -1
 
@@ -34,11 +35,21 @@ def label_smoothing_ce(
     low = smoothing / (v - 1) if v > 1 else 0.0
     # KL(true || pred) = sum_c p_c (log p_c - log q_c), including the (finite)
     # entropy term, matching torch kl_div semantics used by the reference.
-    onehot = jax.nn.one_hot(tgt, v, dtype=jnp.float32)
-    true_dist = low * (1.0 - onehot) + confidence * onehot
-    plogp = jnp.where(true_dist > 0, true_dist * jnp.log(true_dist), 0.0)
-    kl = jnp.sum(plogp - true_dist * logp, axis=-1)
-    kl = jnp.where(valid, kl, 0.0)
+    # Closed form over the smoothed one-hot (p = low except confidence at
+    # the target) — no [B, T, V] one_hot/true_dist temporaries, which at
+    # stage-1 training shapes cost ~0.6 GB of HBM traffic per step:
+    #   sum_c p_c log p_c   = (v-1) low log(low) + conf log(conf)   (const)
+    #   sum_c p_c log q_c   = low sum_c log q_c + (conf - low) log q_tgt
+    entropy = 0.0
+    if low > 0.0:
+        entropy += (v - 1) * low * float(np.log(low))
+    if confidence > 0.0:
+        entropy += confidence * float(np.log(confidence))
+    logp_tgt = jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0]
+    cross = (confidence - low) * logp_tgt
+    if low > 0.0:
+        cross = cross + low * jnp.sum(logp, axis=-1)
+    kl = jnp.where(valid, entropy - cross, 0.0)
     denom = jnp.maximum(jnp.sum(valid), 1) if normalize_length else logits.shape[0]
     return jnp.sum(kl) / denom
 

@@ -62,10 +62,12 @@ def _conv1d_same(x, w, b, *, dilation, tile, interpret):
     D = dilation
     pad = (K - 1) * D
     assert pad % 2 == 0, "asymmetric same-padding not supported"
-    halo = pad
+    # DMA slice length (tile + halo) must be sublane-aligned (16 for bf16)
+    halo = -(-pad // 16) * 16
     n_tiles = -(-T // tile)
     T_pad = n_tiles * tile
-    xp = jnp.pad(x, ((0, 0), (pad // 2, halo // 2 + (T_pad - T)), (0, 0)))
+    xp = jnp.pad(x, ((0, 0),
+                     (pad // 2, (halo - pad // 2) + (T_pad - T)), (0, 0)))
 
     run = pl.pallas_call(
         functools.partial(_kernel, tile=tile, K=K, D=D, out_dtype=x.dtype),

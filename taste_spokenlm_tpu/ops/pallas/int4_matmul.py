@@ -1,0 +1,154 @@
+"""Pallas int4 weight-only matmul (EXPERIMENTAL serving mode).
+
+Motivation: the serving decode loops are weight-read bound, so halving
+weight bytes should halve the step floor.  XLA-native S4 arrays cannot
+cross this machine's PJRT transfer layer, and an in-graph nibble unpack
+materializes the unpacked matrix in HBM — so the unpack has to happen in
+VMEM, which is what this kernel does.
+
+MEASURED (v5e, Llama-1B decode, B=1): int4 is SLOWER than the XLA int8
+path (2.61 vs 2.35 ms/step full backbone loop) — at M=1 the per-call
+kernel overhead plus the VPU nibble unpack across ~112 calls/step
+exceeds the bandwidth saved.  Kept as an opt-in
+(`quantized_serving="int4"`) for HBM-capacity-constrained deployments
+(weights at half the int8 footprint) and as the substrate for future
+fused-layer kernels; the serving default remains int8.
+
+Packing: the contraction dim D is split in halves; byte [d, n] of the
+packed [D//2, N] uint8 buffer holds w[d, n] in the LOW nibble and
+w[d + D//2, n] in the HIGH nibble (both int4, two's complement).  The
+kernel streams N tiles, sign-extends the two nibble planes with int8
+arithmetic shifts (no sublane/lane interleave needed), and runs one
+[M, Dg] @ [Dg, Nc] MXU dot per scale group with f32 accumulation.
+
+Scales are GROUP-WISE along D (`group` rows per scale, AWQ/GPTQ-style):
+scale[g, n] covers rows [g*group, (g+1)*group) of the logical weight —
+far better int4 fidelity than per-channel at zero extra HBM traffic
+(the scale tensor is [D/group, N] f32, negligible).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+DEFAULT_GROUP = 128
+
+
+def _group(D: int, group: Optional[int] = None) -> int:
+    g = group or DEFAULT_GROUP
+    half = D // 2
+    g = min(g, half)
+    while half % g:
+        g -= 1
+    return g
+
+
+def pack_int4(w: jnp.ndarray) -> jnp.ndarray:
+    """[D, N] int (values in [-8, 7]) -> packed [D//2, N] uint8."""
+    D = w.shape[0]
+    assert D % 2 == 0
+    lo = w[: D // 2].astype(jnp.int32) & 0xF
+    hi = w[D // 2:].astype(jnp.int32) & 0xF
+    return (lo | (hi << 4)).astype(jnp.uint8)
+
+
+def unpack_int4_ref(wp: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of pack_int4 (reference/test helper): [D//2, N] -> [D, N] i8."""
+    b = wp.astype(jnp.int8)
+    lo = jnp.left_shift(b, 4) >> 4          # arithmetic: sign-extends
+    hi = b >> 4
+    return jnp.concatenate([lo, hi], axis=0)
+
+
+def _kernel(x_ref, wp_ref, s_ref, out_ref, *, group: int):
+    # nibble split via i32 mask/subtract — Mosaic cannot legalize shifts
+    # on i8 vectors ('arith.shli' fails), so sign-extend arithmetically:
+    # v in [0,15] -> v - 2*(v & 8) in [-8,7]
+    b = wp_ref[...].astype(jnp.int32)
+    lo = b & 15
+    lo = lo - 2 * (lo & 8)
+    hi = jnp.right_shift(b, 4)
+    hi = hi - 2 * (hi & 8)
+    w_lo = lo.astype(jnp.bfloat16)
+    w_hi = hi.astype(jnp.bfloat16)
+    x = x_ref[...]
+    half = x.shape[-1] // 2
+    n_g = half // group
+    acc = None
+    for plane, w_pl in ((0, w_lo), (1, w_hi)):
+        for g in range(n_g):
+            r0 = g * group
+            part = jax.lax.dot_general(
+                x[:, plane * half + r0: plane * half + r0 + group],
+                w_pl[r0: r0 + group, :],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            part = part * s_ref[plane * n_g + g, :].astype(jnp.float32)
+            acc = part if acc is None else acc + part
+    out_ref[...] = acc
+
+
+def matmul_int4(x: jnp.ndarray, w_packed: jnp.ndarray, scale: jnp.ndarray,
+                *, block_n: int = 512,
+                interpret: Optional[bool] = None) -> jnp.ndarray:
+    """x [..., D] bf16/f32, w_packed [D//2, N] uint8,
+    scale [D//group, N] f32 -> [..., N] f32."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    lead = x.shape[:-1]
+    D = x.shape[-1]
+    Dh, N = w_packed.shape
+    assert Dh * 2 == D, (D, w_packed.shape)
+    n_scales = scale.shape[0]
+    assert Dh % (n_scales // 2) == 0 and n_scales % 2 == 0, scale.shape
+    group = Dh // (n_scales // 2)
+    M = 1
+    for s in lead:
+        M *= s
+    xm = x.reshape(M, D).astype(jnp.bfloat16)
+    bn = min(block_n, N)
+    while N % bn:
+        bn //= 2
+    out = pl.pallas_call(
+        functools.partial(_kernel, group=group),
+        grid=(N // bn,),
+        in_specs=[
+            pl.BlockSpec((M, D), lambda i: (0, 0)),
+            pl.BlockSpec((Dh, bn), lambda i: (0, i)),
+            pl.BlockSpec((n_scales, bn), lambda i: (0, i)),
+        ],
+        out_specs=pl.BlockSpec((M, bn), lambda i: (0, i)),
+        out_shape=jax.ShapeDtypeStruct((M, N), jnp.float32),
+        interpret=interpret,
+    )(xm, w_packed, scale)
+    return out.reshape(*lead, N)
+
+
+def quantize_int4(w: jnp.ndarray, group: Optional[int] = None):
+    """f32 [D, N] -> (packed [D//2, N] uint8, scale [D//g, N] f32),
+    symmetric group-wise scales aligned to the lo/hi nibble planes."""
+    D, N = w.shape
+    g = _group(D, group)
+    n_g = D // g
+    wg = w.reshape(n_g, g, N)
+    amax = jnp.max(jnp.abs(wg), axis=1)                  # [n_g, N]
+    scale = jnp.maximum(amax, 1e-8) / 7.0
+    q = jnp.clip(jnp.round(wg / scale[:, None, :]), -8, 7)
+    q = q.reshape(D, N).astype(jnp.int8)
+    # scale rows must follow the packed plane order: lo-half groups first
+    return pack_int4(q), scale.astype(jnp.float32)
+
+
+def dequantize_int4(w_packed: jnp.ndarray, scale: jnp.ndarray) -> jnp.ndarray:
+    """(packed, group scales) -> [D, N] f32."""
+    q = unpack_int4_ref(w_packed).astype(jnp.float32)
+    D, N = q.shape
+    n_g = scale.shape[0]
+    g = D // n_g
+    return (q.reshape(n_g, g, N) * scale[:, None, :]).reshape(D, N)

@@ -37,10 +37,60 @@ class QDense(nn.Module):
         return y
 
 
-def dense(features: int, quantized: bool, use_bias: bool = True,
+def qmode(flag) -> "str | None":
+    """Normalize a quantized_serving flag: False/None -> None, True ->
+    'int8', 'int8'/'int4' pass through."""
+    if not flag:
+        return None
+    if flag is True:
+        return "int8"
+    assert flag in ("int8", "int4"), flag
+    return flag
+
+
+class QDense4(nn.Module):
+    """Int4 weight-only Dense: kernel packed two-nibbles-per-byte along the
+    contraction dim (ops/pallas/int4_matmul layout) + per-output-channel
+    f32 scale.  Decode-sized calls (<=256 rows) run the Pallas kernel that
+    unpacks in VMEM — the AR loop streams HALF the bytes of int8; larger
+    (prefill) calls unpack once in-graph and take the XLA matmul."""
+
+    features: int
+    use_bias: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        from taste_spokenlm_tpu.ops.pallas.int4_matmul import (
+            _group, dequantize_int4, matmul_int4)
+        in_dim = x.shape[-1]
+        n_scales = in_dim // _group(in_dim)
+        wp = self.param("kernel_q4", nn.initializers.zeros,
+                        (in_dim // 2, self.features), jnp.uint8)
+        scale = self.param("scale", nn.initializers.ones,
+                           (n_scales, self.features), jnp.float32)
+        rows = 1
+        for s in x.shape[:-1]:
+            rows *= s
+        if rows <= 256:
+            y = matmul_int4(x, wp, scale).astype(self.dtype)
+        else:
+            w = dequantize_int4(wp, scale).astype(self.dtype)
+            y = x.astype(self.dtype) @ w
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros, (self.features,))
+            y = y + b.astype(y.dtype)
+        return y
+
+
+def dense(features: int, quantized=False, use_bias: bool = True,
           dtype: Any = jnp.float32, name=None):
-    """nn.Dense or QDense depending on the serving flag."""
-    if quantized:
+    """nn.Dense / QDense / QDense4 depending on the serving flag
+    (False | True=='int8' | 'int8' | 'int4')."""
+    mode = qmode(quantized)
+    if mode == "int4":
+        return QDense4(features, use_bias=use_bias, dtype=dtype, name=name)
+    if mode == "int8":
         return QDense(features, use_bias=use_bias, dtype=dtype, name=name)
     return nn.Dense(features, use_bias=use_bias, dtype=dtype, name=name)
 

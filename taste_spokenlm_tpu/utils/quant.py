@@ -30,10 +30,17 @@ _PROJ_NAMES = ("q_proj", "k_proj", "v_proj", "o_proj",
                "gate_proj", "up_proj", "down_proj")
 
 
-def quantize_kernel(w) -> Dict:
-    """[in, out] float kernel -> {"base_q" int8 [in, out],
-    "base_scale" f32 [out]} with symmetric per-output-channel scales."""
+def quantize_kernel(w, mode: str = "int8") -> Dict:
+    """[in, out] float kernel -> the weight-only serving layout:
+    int8: {"base_q" int8 [in, out], "base_scale" f32 [out]};
+    int4: {"base_q4" uint8 [in//2, out] (nibble-packed, see
+    ops/pallas/int4_matmul), "base_scale" f32 [out]}.  Symmetric
+    per-output-channel scales."""
     w = jnp.asarray(w, jnp.float32)
+    if mode == "int4":
+        from taste_spokenlm_tpu.ops.pallas.int4_matmul import quantize_int4
+        packed, scale = quantize_int4(w)   # group-wise scales [D/g, out]
+        return {"base_q4": packed, "base_scale": scale}
     amax = jnp.max(jnp.abs(w), axis=0)
     scale = jnp.maximum(amax, 1e-8) / 127.0
     q = jnp.clip(jnp.round(w / scale[None, :]), -127, 127).astype(jnp.int8)
@@ -41,6 +48,10 @@ def quantize_kernel(w) -> Dict:
 
 
 def dequantize_kernel(qdict) -> jnp.ndarray:
+    if "base_q4" in qdict:
+        from taste_spokenlm_tpu.ops.pallas.int4_matmul import dequantize_int4
+        return dequantize_int4(jnp.asarray(qdict["base_q4"]),
+                               jnp.asarray(qdict["base_scale"]))
     return (jnp.asarray(qdict["base_q"], jnp.float32)
             * jnp.asarray(qdict["base_scale"], jnp.float32)[None, :])
 
@@ -55,7 +66,8 @@ def quantize_embed(table) -> Dict:
     return {"embedding_q": q, "embedding_scale": scale}
 
 
-def quantize_llama_params(tree: Dict, include_embed: bool = False) -> Dict:
+def quantize_llama_params(tree: Dict, include_embed: bool = False,
+                          mode: str = "int8") -> Dict:
     """LlamaModel param tree (bf16/f32 "base" kernels) -> the
     quantized_serving layout ("base_q"/"base_scale" per projection).
     LoRA adapters, norms, and the untied lm_head stay untouched;
@@ -75,7 +87,8 @@ def quantize_llama_params(tree: Dict, include_embed: bool = False) -> Dict:
                         if proj in _PROJ_NAMES and "base" in pt:
                             newp = {k: v for k, v in pt.items()
                                     if k != "base"}
-                            newp.update(quantize_kernel(pt["base"]["kernel"]))
+                            newp.update(quantize_kernel(
+                                pt["base"]["kernel"], mode))
                             mod_out[proj] = newp
                         else:
                             mod_out[proj] = pt
@@ -88,12 +101,14 @@ def quantize_llama_params(tree: Dict, include_embed: bool = False) -> Dict:
     return out
 
 
-def _quantize_dense_leaf(pt: Dict) -> Dict:
-    """{"kernel", "bias"?} Dense params -> {"kernel_q", "scale", "bias"?}
-    (ops/quantized.QDense layout)."""
+def _quantize_dense_leaf(pt: Dict, mode: str = "int8") -> Dict:
+    """{"kernel", "bias"?} Dense params -> the QDense/QDense4 layout."""
     out = {k: v for k, v in pt.items() if k != "kernel"}
-    qd = quantize_kernel(pt["kernel"])
-    out["kernel_q"] = qd["base_q"]
+    qd = quantize_kernel(pt["kernel"], mode)
+    if mode == "int4":
+        out["kernel_q4"] = qd["base_q4"]
+    else:
+        out["kernel_q"] = qd["base_q"]
     out["scale"] = qd["base_scale"]
     return out
 
@@ -102,7 +117,7 @@ _ENCODER_DENSE = ("linear_q", "linear_k", "linear_v", "linear_out",
                   "linear_pos", "w_1", "w_2")
 
 
-def quantize_encoder_params(tree: Dict) -> Dict:
+def quantize_encoder_params(tree: Dict, mode: str = "int8") -> Dict:
     """ConformerEncoder param tree -> the quantized_serving layout: the
     per-layer attention/ffn Dense kernels become int8 + scale (input layers,
     norms, pos biases, conv modules untouched)."""
@@ -115,12 +130,12 @@ def quantize_encoder_params(tree: Dict) -> Dict:
         for sub, subtree in val.items():
             if sub == "self_attn":
                 layer_out[sub] = {
-                    name: (_quantize_dense_leaf(pt)
+                    name: (_quantize_dense_leaf(pt, mode)
                            if name in _ENCODER_DENSE else pt)
                     for name, pt in subtree.items()}
             elif sub.startswith("feed_forward"):
                 layer_out[sub] = {
-                    name: (_quantize_dense_leaf(pt)
+                    name: (_quantize_dense_leaf(pt, mode)
                            if name in _ENCODER_DENSE else pt)
                     for name, pt in subtree.items()}
             else:
