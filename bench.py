@@ -437,14 +437,20 @@ def main():
     quant_env = os.environ.get("BENCH_QUANT", "1")
     quant = quant_env != "0" and not tiny
     qs = "int4" if quant_env == "4" else "int8"
+    # serve the tied lm_head from the nibble-packed int4 copy (one Pallas
+    # call/step; the head is the largest single weight read of the joint
+    # decode) — BENCH_INT4_HEAD=0 opts out
+    embed_qs = ("int4head"
+                if os.environ.get("BENCH_INT4_HEAD", "1") == "1" else True)
     if quant:
         cfg = cfg.replace(
             spoken_lm=cfg.spoken_lm.replace(
                 llama=cfg.spoken_lm.llama.replace(
-                    quantized_serving=qs, quantized_embed_serving=True)),
+                    quantized_serving=qs, quantized_embed_serving=embed_qs)),
             speech_decoder=cfg.speech_decoder.replace(
                 llm=cfg.speech_decoder.llm.replace(quantized_serving=qs)))
-    print(f"llama serving quantization: {qs if quant else 'off'}",
+    print(f"llama serving quantization: "
+          f"{(qs + '+' + str(embed_qs)) if quant else 'off'}",
           file=sys.stderr)
     # MXU tap-loop kernel for the HiFT ResBlock convs (BENCH_PALLAS_CONV=0
     # opts out)

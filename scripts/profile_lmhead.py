@@ -39,12 +39,19 @@ def main():
     except Exception:
         pass
     from taste_spokenlm_tpu.ops.pallas.int8_matmul import logits_int8
+    from taste_spokenlm_tpu.ops.pallas.int4_matmul import (matmul_int4,
+                                                           quantize_int4)
 
     V, D, M, S = args.v, args.d, args.m, args.steps
     r = np.random.RandomState(0)
     table = jnp.asarray(r.randint(-127, 128, (V, D)), jnp.int8)
     scale = jnp.asarray(np.abs(r.randn(V)) * 0.01 + 0.005, jnp.float32)
     h0 = jnp.asarray(r.randn(M, D) * 0.1, jnp.bfloat16)
+    # int4 head layout: quantize the BF16-dequantized table transposed
+    # ([D, V], contraction-major) with group-wise scales
+    table_f = (table.astype(jnp.float32) * scale[:, None]).T  # [D, V]
+    q4, s4 = quantize_int4(table_f)
+    q4, s4 = jax.block_until_ready((q4, s4))
 
     def xla_head(h):
         logits = jax.lax.dot_general(
@@ -54,6 +61,9 @@ def main():
 
     def pallas_head(h):
         return logits_int8(h, table, scale)
+
+    def int4_head(h):
+        return matmul_int4(h, q4, s4)
 
     def loop(head_fn, h):
         def body(carry, i):
@@ -65,7 +75,8 @@ def main():
         return jax.lax.scan(body, h, jnp.arange(S))
 
     for name, fn in (("xla fused-convert", xla_head),
-                     ("pallas int8", pallas_head)):
+                     ("pallas int8", pallas_head),
+                     ("pallas int4 head", int4_head)):
         run = jax.jit(lambda h, fn=fn: loop(fn, h))
         t0 = time.perf_counter()
         out = run(h0)
@@ -85,11 +96,15 @@ def main():
               f"{bw:6.0f} GB/s  (compile {comp:.0f}s)", flush=True)
         # correctness cross-check on first step
     a = xla_head(h0)
-    b = pallas_head(h0) if jax.default_backend() in ("tpu", "axon") else \
-        logits_int8(h0, table, scale, interpret=True)
+    interp = jax.default_backend() not in ("tpu", "axon")
+    b = logits_int8(h0, table, scale, interpret=interp)
+    c = matmul_int4(h0, q4, s4, interpret=interp)
     err = float(jnp.max(jnp.abs(a - b)) / (jnp.max(jnp.abs(a)) + 1e-9))
     agree = float(jnp.mean((jnp.argmax(a, -1) == jnp.argmax(b, -1))))
-    print(f"parity: rel err {err:.2e}, argmax agree {agree:.3f}")
+    err4 = float(jnp.max(jnp.abs(a - c)) / (jnp.max(jnp.abs(a)) + 1e-9))
+    agree4 = float(jnp.mean((jnp.argmax(a, -1) == jnp.argmax(c, -1))))
+    print(f"parity int8: rel err {err:.2e}, argmax agree {agree:.3f}")
+    print(f"parity int4: rel err {err4:.2e}, argmax agree {agree4:.3f}")
 
 
 if __name__ == "__main__":

@@ -332,8 +332,10 @@ class LlamaConfig(_Base):
     # utils/quant.quantize_llama_params to convert a trained tree
     quantized_serving: Any = False   # False | True ('int8') | 'int8' | 'int4'
     # also serve the embedding table (and thus the tied lm_head) as int8
-    # with per-row scales (QEmbed)
-    quantized_embed_serving: bool = False
+    # with per-row scales (QEmbed); "int4head" keeps int8 lookups but
+    # serves the tied lm_head from a nibble-packed transposed copy through
+    # the Pallas int4 kernel (halves the largest weight read of the step)
+    quantized_embed_serving: Any = False  # False | True ('int8') | 'int4head'
     # llama3 rope scaling
     rope_scaling_factor: float = 32.0
     rope_low_freq_factor: float = 1.0

@@ -249,8 +249,12 @@ class LlamaModel(nn.Module):
         cfg = self.config
         if cfg.quantized_embed_serving:
             from taste_spokenlm_tpu.ops.quantized import QEmbed
+            head_mode = ("int4"
+                         if cfg.quantized_embed_serving == "int4head"
+                         else "int8")
             self.embed_tokens = QEmbed(cfg.vocab_size, cfg.hidden_size,
-                                       dtype=self.dtype)
+                                       dtype=self.dtype,
+                                       head_mode=head_mode)
         else:
             self.embed_tokens = nn.Embed(cfg.vocab_size, cfg.hidden_size,
                                          dtype=self.dtype)

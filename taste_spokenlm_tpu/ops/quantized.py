@@ -99,11 +99,20 @@ class QEmbed(nn.Module):
     """Int8 embedding table with per-row scales.  Lookups gather int8 rows
     and dequantize; a tied lm_head reads the int8 table through the logits
     matmul (logits = (h @ q^T) * scale), halving the 0.5 GB/step the
-    Llama-1B tied head re-reads per decoded token."""
+    Llama-1B tied head re-reads per decoded token.
+
+    head_mode="int4" additionally stores the TRANSPOSED table nibble-packed
+    with group-wise scales ([D//2, V] uint8 + [D//g*2, V] f32,
+    ops/pallas/int4_matmul layout) and serves `logits` through the Pallas
+    int4 kernel — the tied head is the single biggest weight read of the
+    decode step (V*D bytes), and one kernel call avoids the per-call
+    overhead that sinks full-backbone int4.  Lookups still gather int8."""
 
     num_embeddings: int
     features: int
     dtype: Any = jnp.float32
+    head_mode: str = "int8"          # "int8" | "int4"
+    int4_group: int = 128
 
     def setup(self):
         self.embedding_q = self.param(
@@ -112,6 +121,15 @@ class QEmbed(nn.Module):
         self.embedding_scale = self.param(
             "embedding_scale", nn.initializers.ones,
             (self.num_embeddings,), jnp.float32)
+        if self.head_mode == "int4":
+            from taste_spokenlm_tpu.ops.pallas.int4_matmul import _group
+            g = _group(self.features, self.int4_group)
+            self.head_q4 = self.param(
+                "head_q4", nn.initializers.zeros,
+                (self.features // 2, self.num_embeddings), jnp.uint8)
+            self.head_scale4 = self.param(
+                "head_scale4", nn.initializers.ones,
+                (self.features // g, self.num_embeddings), jnp.float32)
 
     def __call__(self, ids):
         rows = jnp.take(self.embedding_q, ids, axis=0).astype(self.dtype)
@@ -125,6 +143,9 @@ class QEmbed(nn.Module):
         [V, D] table costs 4x the HBM traffic of the int8 read when XLA
         materializes it; bf16 keeps the convert fusable into the dot and
         the accumulator stays f32 via preferred_element_type."""
+        if self.head_mode == "int4":
+            from taste_spokenlm_tpu.ops.pallas.int4_matmul import matmul_int4
+            return matmul_int4(hidden, self.head_q4, self.head_scale4)
         h = hidden.astype(jnp.bfloat16)
         logits = jax.lax.dot_general(
             h, self.embedding_q.astype(jnp.bfloat16),

@@ -56,18 +56,29 @@ def dequantize_kernel(qdict) -> jnp.ndarray:
             * jnp.asarray(qdict["base_scale"], jnp.float32)[None, :])
 
 
-def quantize_embed(table) -> Dict:
+def quantize_embed(table, head_mode: str = "int8") -> Dict:
     """[V, H] embedding table -> {"embedding_q" int8, "embedding_scale"
-    f32 [V]} with symmetric per-row scales (ops/quantized.QEmbed layout)."""
+    f32 [V]} with symmetric per-row scales (ops/quantized.QEmbed layout).
+
+    head_mode="int4" additionally emits the transposed nibble-packed head
+    copy {"head_q4" uint8 [H//2, V], "head_scale4" f32} used by
+    QEmbed(head_mode="int4").logits."""
     w = jnp.asarray(table, jnp.float32)
     amax = jnp.max(jnp.abs(w), axis=1)
     scale = jnp.maximum(amax, 1e-8) / 127.0
     q = jnp.clip(jnp.round(w / scale[:, None]), -127, 127).astype(jnp.int8)
-    return {"embedding_q": q, "embedding_scale": scale}
+    out = {"embedding_q": q, "embedding_scale": scale}
+    if head_mode == "int4":
+        from taste_spokenlm_tpu.ops.pallas.int4_matmul import quantize_int4
+        q4, s4 = quantize_int4(w.T)
+        out["head_q4"] = q4
+        out["head_scale4"] = s4
+    return out
 
 
 def quantize_llama_params(tree: Dict, include_embed: bool = False,
-                          mode: str = "int8") -> Dict:
+                          mode: str = "int8",
+                          embed_head_mode: str = "int8") -> Dict:
     """LlamaModel param tree (bf16/f32 "base" kernels) -> the
     quantized_serving layout ("base_q"/"base_scale" per projection).
     LoRA adapters, norms, and the untied lm_head stay untouched;
@@ -76,7 +87,7 @@ def quantize_llama_params(tree: Dict, include_embed: bool = False,
     out: Dict = {}
     for key, val in tree.items():
         if key == "embed_tokens" and include_embed:
-            out[key] = quantize_embed(val["embedding"])
+            out[key] = quantize_embed(val["embedding"], embed_head_mode)
             continue
         if key.startswith("layers_"):
             layer_out: Dict = {}

@@ -243,3 +243,46 @@ def test_quantized_int4_decode_matches_prefill():
     a = np.asarray(full["last_hidden"][:, :3])
     b = np.stack(step_h, axis=1)
     np.testing.assert_allclose(a, b, atol=2e-2, rtol=2e-2)
+
+
+def test_quantized_int4_head():
+    """quantized_embed_serving='int4head': int8 gathers unchanged, the tied
+    lm_head served through the Pallas int4 kernel from the packed
+    transposed copy — logits must track the float head within int4
+    quantization noise and agree on argmax for well-separated rows."""
+    from taste_spokenlm_tpu.utils.quant import quantize_llama_params
+
+    cfg = _cfg()   # tiny: hidden divisible by 2, group clamps internally
+    lm = LlamaModel(cfg)
+    rng = jax.random.PRNGKey(11)
+    ids = jax.random.randint(rng, (2, 5), 0, cfg.vocab_size)
+    v = lm.init(rng, input_ids=ids)
+    out_fp = lm.apply(v, input_ids=ids)
+    logits_fp = np.asarray(lm.apply(v, out_fp["last_hidden"],
+                                    method=lm.logits))
+
+    qtree = quantize_llama_params(v["params"], include_embed=True,
+                                  embed_head_mode="int4")
+    emb = qtree["embed_tokens"]
+    assert emb["head_q4"].dtype == jnp.uint8
+    assert emb["head_q4"].shape == (cfg.hidden_size // 2, cfg.vocab_size)
+    lm_q = LlamaModel(cfg.replace(quantized_serving=True,
+                                  quantized_embed_serving="int4head"))
+    out_q = lm_q.apply({"params": qtree}, input_ids=ids)
+    # embedding lookups are the same int8 path as 'int8' mode
+    np.testing.assert_allclose(
+        np.asarray(out_q["last_hidden"]), np.asarray(
+            LlamaModel(cfg.replace(quantized_serving=True,
+                                   quantized_embed_serving=True)).apply(
+                {"params": {k: ({kk: vv for kk, vv in vv_.items()
+                                 if not kk.startswith("head_")}
+                                if k == "embed_tokens" else vv_)
+                            for k, vv_ in qtree.items()}},
+                input_ids=ids)["last_hidden"]),
+        rtol=1e-5, atol=1e-5)
+    logits_q = np.asarray(lm_q.apply({"params": qtree}, out_q["last_hidden"],
+                                     method=lm_q.logits))
+    assert logits_q.shape == logits_fp.shape
+    rel = (np.abs(logits_fp - logits_q).max()
+           / max(np.abs(logits_fp).max(), 1e-6))
+    assert rel < 0.15, rel   # tiny-dim int4 noise; production D gives ~2%
