@@ -61,16 +61,20 @@ def main():
                           jnp.int32)
     asr_lens = jnp.asarray([t_tok] * b)
 
-    for n_blocks in (7, 3):
+    for n_blocks, sampling_k in ((7, 25), (3, 25), (7, 0)):
         model = build(n_blocks)
+        # init via the training forward (creates every param incl. the
+        # llm_decoder head; generate's lifted while_loop cannot init)
+        sp_ids = jnp.zeros((b, 8), jnp.int32)
         shapes = jax.eval_shape(
-            model.init, jax.random.PRNGKey(0), jax.random.PRNGKey(1), spk,
-            units, unit_lens, asr_ids, asr_lens, max_steps=8,
-            method=TasteSpeechDecoder.generate)
+            model.init, jax.random.PRNGKey(0), spk,
+            units, unit_lens, asr_ids, asr_lens, sp_ids,
+            jnp.full((b,), 8, jnp.int32))
         variables = _fill_variables(shapes, jnp.bfloat16)
-        run = jax.jit(lambda v, key, u: model.apply(
+        run = jax.jit(lambda v, key, u, model=model, sk=sampling_k:
+                      model.apply(
             v, key, spk, u, unit_lens, asr_ids, asr_lens, max_steps=steps,
-            method=TasteSpeechDecoder.generate))
+            sampling_k=sk, method=TasteSpeechDecoder.generate))
         argl = [(variables, jax.random.fold_in(jax.random.PRNGKey(5), i),
                  units + jnp.float32(1e-4 * i)) for i in range(4)]
         jax.block_until_ready(argl)
@@ -85,7 +89,7 @@ def main():
             walls.append(time.perf_counter() - t0)
         w = min(walls)
         n = int(np.min(np.asarray(out["speech_token_lengths"])))
-        print(f"{n_blocks}L generate: {w*1e3:7.1f} ms  "
+        print(f"{n_blocks}L k={sampling_k} generate: {w*1e3:7.1f} ms  "
               f"{w/steps*1e3:6.3f} ms/step  (decoded>={n}, compile {comp:.0f}s)",
               flush=True)
 

@@ -50,6 +50,7 @@ def _mel(cfg):
 def test_grpc_tokenize_and_reconstruct(engine):
     server, port = create_grpc_server(engine, port=0)
     server.start()
+    channel = None
     try:
         cfg = engine.config
         mel = _mel(cfg)
@@ -80,7 +81,11 @@ def test_grpc_tokenize_and_reconstruct(engine):
         assert len(r2.pcm16) % 2 == 0 and len(r2.pcm16) > 0
         assert r2.rtf > 0
     finally:
-        server.stop(None)
+        if channel is not None:
+            channel.close()
+        # stop(0) returns an event; wait so grpc's non-daemon worker
+        # threads are joined before the interpreter tries to exit
+        server.stop(0).wait(timeout=10)
 
 
 def test_http_health_and_tokenize(engine):
