@@ -143,9 +143,12 @@ def main():
         if "llm" not in sd:
             sys.exit("--quantize-s3-decoder needs a converted speech "
                      "decoder (--taste checkpoint)")
-        from taste_spokenlm_tpu.utils.quant import quantize_encoder_params
+        from taste_spokenlm_tpu.utils.quant import (_quantize_dense_leaf,
+                                                    quantize_encoder_params)
         sd["llm"] = quantize_encoder_params(sd["llm"])
-        print("quantized S3 decoder llm stack to int8")
+        if "llm_decoder" in sd:   # logits head rides the same serving flag
+            sd["llm_decoder"] = _quantize_dense_leaf(sd["llm_decoder"])
+        print("quantized S3 decoder llm stack + logits head to int8")
 
     os.makedirs(args.output, exist_ok=True)
     save_params(os.path.join(args.output, "params"), tree)

@@ -69,7 +69,12 @@ class TasteSpeechDecoder(nn.Module):
         self.llm_embedding = nn.Embed(2, cfg.llm_input_size, dtype=self.dtype)
         self.llm = ConformerEncoder(cfg.llm, dtype=self.dtype,
                                     remat=cfg.llm.remat)
-        self.llm_decoder = nn.Dense(cfg.speech_token_size + 1, dtype=self.dtype)
+        # logits head rides the llm stack's serving quantization: it is
+        # read once per AR step (fixed cost), so int8 halves its bytes
+        from taste_spokenlm_tpu.ops.quantized import dense as _q_dense
+        self.llm_decoder = _q_dense(cfg.speech_token_size + 1,
+                                    cfg.llm.quantized_serving,
+                                    dtype=self.dtype, name="llm_decoder")
         self.speech_embedding = nn.Embed(cfg.speech_token_size,
                                          cfg.llm_input_size, dtype=self.dtype)
         self.spk_embed_affine_layer = nn.Dense(cfg.llm_input_size,

@@ -36,9 +36,36 @@ def apply_repetition_penalty(logits: jnp.ndarray, token_counts: jnp.ndarray,
 
 
 def mask_top_k(logits: jnp.ndarray, k: int) -> jnp.ndarray:
-    """Keep the top-k logits, set the rest to -inf.  Static k."""
-    kth = jax.lax.top_k(logits, k)[0][..., -1:]
-    return jnp.where(logits >= kth, logits, NEG_INF)
+    """Keep the top-k logits, set the rest to -inf.  Static k.
+
+    TPU-first: `lax.top_k` lowers to a sort and measures ~43 us/step inside
+    the S3 AR decode at V=4097 (scripts/profile_s3dec.py) — ~15% of the
+    whole decode step.  Instead bisect the threshold tau such that
+    count{l >= tau} >= k is maximal (the kth-largest value to within one
+    f32 ulp): the kept set equals the sort-based one whenever the kth and
+    (k+1)th logits differ by more than an ulp (always, for real logits;
+    exact ties keep both, which draws from the same distribution).  Cost:
+    `iters` compare+count reductions over V — pure VPU work, no sort."""
+    f = logits.astype(jnp.float32)
+    hi = jnp.max(f, axis=-1, keepdims=True)      # count{>= hi} >= 1
+    # bisect over the FINITE logit range: entries already masked to
+    # NEG_INF (banned / forbid_eos run before top-k in `sample`) would
+    # blow the bracket to ~1e38 and 30 halvings could not resolve the
+    # real logit window
+    lo = jnp.min(jnp.where(f > NEG_INF * 0.5, f, hi), axis=-1,
+                 keepdims=True)                  # count{>= lo} >= k (or all)
+
+    def body(_, lohi):
+        lo, hi = lohi
+        mid = 0.5 * (lo + hi)
+        n = jnp.sum((f >= mid).astype(jnp.int32), axis=-1, keepdims=True)
+        ok = n >= k                               # mid still keeps >= k
+        return jnp.where(ok, mid, lo), jnp.where(ok, hi, mid)
+
+    lo, hi = jax.lax.fori_loop(0, 30, body, (lo, hi))
+    # invariant: count{l >= lo} >= k at every step, and lo converges to the
+    # kth-largest value from below
+    return jnp.where(f >= lo, logits, NEG_INF)
 
 
 def mask_top_p(logits: jnp.ndarray, p: float | jnp.ndarray,
@@ -58,7 +85,13 @@ def mask_top_p(logits: jnp.ndarray, p: float | jnp.ndarray,
     logits_f = logits.astype(jnp.float32)
     probs = jax.nn.softmax(logits_f, axis=-1)
     mx = jnp.max(logits_f, axis=-1, keepdims=True)
-    lo = jnp.min(logits_f, axis=-1, keepdims=True)
+    # bracket over the FINITE logit range only: when callers (e.g. the
+    # joint sampler's `banned` table) have already masked entries to
+    # NEG_INF, a min() bracket of ~-1.7e38 cannot be bisected down to the
+    # real logit window in `iters` halvings — the filter silently
+    # degenerated to greedy (kept only the top-1 token)
+    lo = jnp.min(jnp.where(logits_f > NEG_INF * 0.5, logits_f, mx),
+                 axis=-1, keepdims=True)
     hi = mx  # mass{l >= mx} = p(top1); if > p the loop never lowers hi
     #          and only the top-1 survives (reference keeps it explicitly)
 

@@ -101,8 +101,12 @@ def test_quantized_speech_decoder_generate_runs():
     sp = jax.random.randint(rng, (b, 6), 0, cfg.speech_token_size)
     slens = jnp.asarray([6])
     v = m.init(rng, spk, audio, lens, asr, lens, sp, slens)
-    v = {"params": dict(v["params"],
-                        llm=quantize_encoder_params(v["params"]["llm"]))}
+    from taste_spokenlm_tpu.utils.quant import _quantize_dense_leaf
+    v = {"params": dict(
+        v["params"],
+        llm=quantize_encoder_params(v["params"]["llm"]),
+        # the logits head rides the llm stack's serving flag
+        llm_decoder=_quantize_dense_leaf(v["params"]["llm_decoder"]))}
     mq = TasteSpeechDecoder(cfg.replace(
         llm=cfg.llm.replace(quantized_serving=True)))
     out = mq.apply(v, rng, spk, audio, lens, asr, lens, max_steps=8,

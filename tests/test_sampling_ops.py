@@ -37,3 +37,38 @@ def test_repetition_penalty_directions():
     assert out[0] == 1.0      # positive seen: divided
     assert out[1] == -4.0     # negative seen: multiplied
     assert out[2] == 1.0      # unseen: untouched
+
+
+def test_mask_top_p_with_banned_entries():
+    """Regression: pre-masked NEG_INF entries (the joint sampler's banned
+    table) must not blow the bisection bracket — p=0.9 over the finite
+    probs must keep the same set as without any banned entries."""
+    from taste_spokenlm_tpu.ops.sampling import NEG_INF
+    probs = np.array([0.5, 0.3, 0.15, 0.05])
+    logits = np.full(8, float(NEG_INF), np.float32)
+    logits[:4] = np.log(probs)
+    out = np.asarray(mask_top_p(jnp.asarray(logits), 0.9))
+    assert (out[:2] > -1e20).all() and (out[2:] < -1e20).all(), out
+
+
+def test_mask_top_k_matches_sort_based():
+    """Bisected top-k must keep exactly the lax.top_k set, including with
+    NEG_INF-masked entries and batch dims."""
+    rng = np.random.RandomState(0)
+    from taste_spokenlm_tpu.ops.sampling import NEG_INF
+    for trial in range(5):
+        logits = rng.randn(3, 257).astype(np.float32) * 5
+        if trial % 2:
+            logits[:, rng.randint(0, 257, 40)] = float(NEG_INF)
+        for k in (1, 7, 25):
+            out = np.asarray(mask_top_k(jnp.asarray(logits), k))
+            kth = jax.lax.top_k(jnp.asarray(logits), k)[0][..., -1:]
+            ref = np.asarray(jnp.where(jnp.asarray(logits) >= kth,
+                                       jnp.asarray(logits), NEG_INF))
+            np.testing.assert_array_equal(out > -1e20, ref > -1e20)
+
+
+def test_mask_top_k_more_than_vocab():
+    logits = jnp.asarray([1.0, 5.0, 3.0])
+    out = np.asarray(mask_top_k(logits, 10))
+    assert (out > -1e20).all()
