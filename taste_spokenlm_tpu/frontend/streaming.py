@@ -64,7 +64,8 @@ class StreamingSynthesizer:
         asr_token_lengths, asr_word_ids,
     ) -> Iterator[Dict[str, np.ndarray]]:
         """Yields dicts: {"wav": [B, n] float32 chunk, "tokens": [B, c],
-        "is_last": bool}.  B=1 intended (per-request streaming)."""
+        "n_new": int new S3 tokens this chunk, "is_last": bool}.  B=1
+        intended (per-request streaming)."""
         import jax
         from taste_spokenlm_tpu.models.taste import TasteForCausalLM
 
@@ -120,7 +121,8 @@ class StreamingSynthesizer:
             last = done or k == n_chunks - 1
             if n_new == 0:
                 if held is not None:     # flush the held seam audio
-                    yield {"wav": held, "tokens": tokens, "is_last": True}
+                    yield {"wav": held, "tokens": tokens, "n_new": 0,
+                           "is_last": True}
                     held = None
                 if last:
                     break
@@ -151,7 +153,8 @@ class StreamingSynthesizer:
                                     + out[:, :n_x] * np.sin(t) ** 2)
             held = (None if last
                     else wav[:, off(hold_from):off(e)])
-            yield {"wav": out, "tokens": tokens, "is_last": last}
+            yield {"wav": out, "tokens": tokens, "n_new": n_new,
+                   "is_last": last}
             s = e
             if last:
                 break

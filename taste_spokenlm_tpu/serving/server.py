@@ -106,6 +106,40 @@ class TasteEngine:
         rtf = wall / max(n / sr, 1e-6)
         return wav[:n], sr, int(out["speech_token_lengths"][0]), rtf
 
+    def synthesize_stream(self, taste_indices, asr_ids, asr_word_ids, spk,
+                          max_steps: int = 128, chunk_tokens: int = 50,
+                          seed: int = 0):
+        """Streaming synthesis: yields (wav_chunk [n] f32, is_last, n_new)
+        as each ~chunk_tokens of S3 audio is vocoded (chunked decode +
+        windowed flow/HiFT, frontend.streaming).  Shapes are bucketed like
+        the other flows so repeated requests hit the jit cache; one
+        StreamingSynthesizer (3 compiled programs) is cached per bucket."""
+        import jax
+        import jax.numpy as jnp
+        from taste_spokenlm_tpu.frontend.streaming import StreamingSynthesizer
+        bucket = self._bucket(len(asr_ids))
+        taste = np.asarray(taste_indices, np.int32).reshape(
+            -1, self.config.audio_tower.quantizer.num_quantizers)
+        # one taste row per word; words <= asr tokens, so the token bucket
+        # also bounds the padded word count
+        n_words = taste.shape[0]
+        taste_pad = np.zeros((1, bucket, taste.shape[1]), np.int32)
+        taste_pad[0, :min(n_words, bucket)] = np.maximum(
+            taste[:bucket], 0)
+        key = ("synthesize_stream", bucket, max_steps, chunk_tokens)
+        if key not in self._jits:
+            self._jits[key] = StreamingSynthesizer(
+                self.model, self.variables, chunk_tokens=chunk_tokens,
+                left_ctx_tokens=max(chunk_tokens // 2, 1),
+                max_speech_steps=max_steps)
+        streamer = self._jits[key]
+        ids, lens, words = self._pad_tokens(asr_ids, asr_word_ids, bucket)
+        it = streamer.stream(jax.random.PRNGKey(seed),
+                             jnp.asarray(np.asarray(spk, np.float32)[None]),
+                             jnp.asarray(taste_pad), ids, lens, words)
+        for out in it:
+            yield out["wav"][0], bool(out["is_last"]), int(out["n_new"])
+
     def complete(self, llm_ids, llm_word_ids, llm_indices, sampler_kwargs,
                  seed, max_steps: int = 128):
         return self.complete_batch(
@@ -345,7 +379,26 @@ def create_grpc_server(engine: TasteEngine, port: int = 50051,
             taste_indices=out["taste_indices"][:nt].reshape(-1).tolist(),
             num_taste_words=nt)
 
+    def Synthesize(request: pb.SynthesizeRequest, context):
+        """Server-streaming: PCM chunks as the chunked decode + windowed
+        vocoder produce them (the reference runtime returns only whole
+        utterances, cosyvoice.proto Inference)."""
+        sr = engine.config.hift.sampling_rate
+        for wav, is_last, n_new in engine.synthesize_stream(
+                list(request.taste_indices), list(request.asr_token_ids),
+                list(request.asr_word_ids),
+                np.asarray(request.speaker_embedding, np.float32),
+                max_steps=request.max_speech_steps or 128,
+                chunk_tokens=request.chunk_tokens or 50,
+                seed=request.seed):
+            pcm = (np.clip(wav, -1, 1) * 32767).astype("<i2").tobytes()
+            yield pb.SynthesizeChunk(pcm16=pcm, sample_rate=sr,
+                                     is_last=is_last, num_tokens=n_new)
+
     handlers = {
+        "Synthesize": grpc.unary_stream_rpc_method_handler(
+            Synthesize, request_deserializer=pb.SynthesizeRequest.FromString,
+            response_serializer=pb.SynthesizeChunk.SerializeToString),
         "Tokenize": grpc.unary_unary_rpc_method_handler(
             Tokenize, request_deserializer=pb.TokenizeRequest.FromString,
             response_serializer=pb.TokenizeResponse.SerializeToString),

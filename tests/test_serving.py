@@ -88,6 +88,53 @@ def test_grpc_tokenize_and_reconstruct(engine):
         server.stop(0).wait(timeout=10)
 
 
+def test_grpc_synthesize_streams_chunks(engine):
+    """Server-streaming Synthesize: PCM chunks arrive incrementally, the
+    final one is flagged, and the assembled audio matches a direct
+    engine.synthesize_stream drive (the reference runtime has no streaming
+    response at all, cosyvoice.proto)."""
+    server, port = create_grpc_server(engine, port=0)
+    server.start()
+    channel = None
+    try:
+        cfg = engine.config
+        nq = cfg.audio_tower.quantizer.num_quantizers
+        rng = np.random.RandomState(3)
+        n_words, t = 4, 8
+        taste = rng.randint(0, cfg.audio_tower.quantizer.codebook_size,
+                            (n_words, nq)).astype(np.int32)
+        asr_ids = rng.randint(5, 100, t).tolist()
+        asr_words = np.minimum(np.arange(t) // 2, n_words - 1).tolist()
+        spk = (0.1 * np.ones(cfg.speech_decoder.spk_embed_dim)).tolist()
+        channel = grpc.insecure_channel(f"localhost:{port}")
+        synthesize = channel.unary_stream(
+            "/taste_serving.Taste/Synthesize",
+            request_serializer=pb.SynthesizeRequest.SerializeToString,
+            response_deserializer=pb.SynthesizeChunk.FromString)
+        req = pb.SynthesizeRequest(
+            taste_indices=taste.reshape(-1).tolist(), n_words=n_words,
+            asr_token_ids=asr_ids, asr_word_ids=asr_words,
+            speaker_embedding=spk, max_speech_steps=16, chunk_tokens=5,
+            seed=11)
+        chunks = list(synthesize(req, timeout=600))
+        assert chunks and chunks[-1].is_last
+        assert all(c.sample_rate == cfg.hift.sampling_rate for c in chunks)
+        pcm = b"".join(c.pcm16 for c in chunks)
+        assert len(pcm) > 0 and len(pcm) % 2 == 0
+        assert sum(c.num_tokens for c in chunks) > 0
+        # same request through the engine directly -> identical audio
+        direct = np.concatenate([
+            w for w, _, _ in engine.synthesize_stream(
+                taste, asr_ids, asr_words, np.asarray(spk, np.float32),
+                max_steps=16, chunk_tokens=5, seed=11)])
+        got = np.frombuffer(pcm, "<i2").astype(np.float32) / 32767.0
+        np.testing.assert_allclose(got, np.clip(direct, -1, 1), atol=1e-4)
+    finally:
+        if channel is not None:
+            channel.close()
+        server.stop(0).wait(timeout=10)
+
+
 def test_http_health_and_tokenize(engine):
     server = create_http_server(engine, port=0)
     port = server.server_address[1]
