@@ -796,7 +796,11 @@ def main():
     from taste_spokenlm_tpu.frontend.streaming import StreamingSynthesizer
     streamer = StreamingSynthesizer(
         model, variables, chunk_tokens=16 if tiny else 50,
-        left_ctx_tokens=8 if tiny else 25, max_speech_steps=max_speech)
+        left_ctx_tokens=8 if tiny else 25,
+        # small first chunk (~0.32 s of audio): fewer AR steps + a smaller
+        # first flow/HiFT window ahead of the first byte
+        first_chunk_tokens=4 if tiny else 16,
+        max_speech_steps=max_speech)
     syn_lens = jnp.asarray([gen_asr_len] * b)
     taste_j = jnp.asarray(taste_dense)
 

@@ -48,6 +48,9 @@ class StreamingSynthesizer:
     crossfade_tokens: int = 2       # seam blend length (~18 ms) — audio from
                                     # the context re-vocode blends into the
                                     # new chunk's head
+    first_chunk_tokens: Optional[int] = None   # smaller first chunk (fewer
+                                    # AR steps + a smaller first flow/HiFT
+                                    # window) cuts TTFA; None = chunk_tokens
     max_speech_steps: int = 512
     _jits: Dict = field(default_factory=dict)
 
@@ -71,9 +74,14 @@ class StreamingSynthesizer:
 
         model, variables = self.model, self.variables
         ct, lc = self.chunk_tokens, self.left_ctx_tokens
+        fc = min(self.first_chunk_tokens or ct, ct)
         window = ct + lc
         mpt = mel_per_token(model.config.flow)
         mel_window_max = int(np.ceil(window * mpt)) + 4
+        # the first window has no left context (ws = 0), so it only needs
+        # to cover the first chunk itself — a small fc shrinks both the AR
+        # step count and the first flow/HiFT window
+        mel_window_first = int(np.ceil(fc * mpt)) + 4
 
         # two compiled programs, ONE dispatch per chunk: the first fuses
         # init + decode chunk + window vocode (TTFA = a single launch), the
@@ -82,7 +90,8 @@ class StreamingSynthesizer:
         start = self._jit(
             "start", lambda v, r, rv, spk, taste, ids, lens, words:
             model.apply(v, r, rv, spk, taste, ids, lens, words,
-                        self.max_speech_steps, ct, window, mel_window_max,
+                        self.max_speech_steps, fc, fc, mel_window_first,
+                        ct,
                         method=TasteForCausalLM.stream_start_step))
         step = self._jit(
             "step", lambda v, st, rv, spk, hist, hl:
@@ -103,7 +112,7 @@ class StreamingSynthesizer:
         #                                     window's rendition of the same
         #                                     tokens — overlap-and-hold)
         s = 0                               # tokens emitted so far
-        n_chunks = int(np.ceil(self.max_speech_steps / ct))
+        n_chunks = 1 + int(np.ceil(max(0, self.max_speech_steps - fc) / ct))
         out_k = state = None
         for k in range(n_chunks):
             if k == 0:
@@ -115,9 +124,15 @@ class StreamingSynthesizer:
                              jax.random.fold_in(rng_voc, k), speaker_embeds,
                              out_k["token_hist"], out_k["hist_len"])
             state = out_k["state"]
-            tokens = np.asarray(out_k["tokens"])             # [B, ct]
-            n_new = int(out_k["n_new"])
-            done = bool(np.asarray(out_k["done"]).all())
+            # ONE host transfer for every per-chunk output: separate
+            # np.asarray/int()/bool() readbacks each pay the remote-tunnel
+            # round trip (~30 ms, CLAUDE.md) — 4 of them cost more than the
+            # fused chunk program itself
+            host = jax.device_get({key: out_k[key] for key in
+                                   ("tokens", "n_new", "done", "wav")})
+            tokens = host["tokens"]                          # [B, ct]
+            n_new = int(host["n_new"])
+            done = bool(host["done"].all())
             last = done or k == n_chunks - 1
             if n_new == 0:
                 if held is not None:     # flush the held seam audio
@@ -129,10 +144,11 @@ class StreamingSynthesizer:
                 continue
             e = s + n_new
             ws = max(0, s - lc)
-            wav = np.asarray(out_k["wav"], np.float32)
+            wav = np.asarray(host["wav"], np.float32)
             # samples per mel frame from the vocoder output itself (HiFT
             # upsample factor is config-dependent)
-            spf = wav.shape[1] // mel_window_max
+            spf = wav.shape[1] // (mel_window_first if k == 0
+                                   else mel_window_max)
 
             def off(tok):   # sample offset of absolute token `tok` in window
                 return int(np.floor((tok - ws) * mpt)) * spf

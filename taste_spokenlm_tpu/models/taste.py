@@ -352,14 +352,21 @@ class TasteForCausalLM(nn.Module):
                           taste_indices_per_word, asr_token_ids,
                           asr_token_lengths, asr_word_ids,
                           max_speech_steps: int, chunk_steps: int,
-                          window: int, mel_window_max: int):
+                          window: int, mel_window_max: int,
+                          hist_pad: int = 0):
         """stream_synth_init + the first fused stream_step in ONE dispatch:
-        first audio leaves the device after a single program launch."""
+        first audio leaves the device after a single program launch.
+
+        `hist_pad`: when later chunks are LARGER than this first one (a
+        small first chunk cuts TTFA), the on-device token history must
+        leave room for their dynamic_update_slice — pass the steady-state
+        chunk size."""
         state = self.stream_synth_init(
             rng, speaker_embeds, taste_indices_per_word, asr_token_ids,
             asr_token_lengths, asr_word_ids, max_speech_steps)
         b = speaker_embeds.shape[0]
-        hist = jnp.zeros((b, max_speech_steps + chunk_steps), jnp.int32)
+        hist = jnp.zeros(
+            (b, max_speech_steps + max(chunk_steps, hist_pad)), jnp.int32)
         return self.stream_step(state, rng_voc, speaker_embeds, hist,
                                 jnp.int32(0), chunk_steps, window,
                                 mel_window_max)

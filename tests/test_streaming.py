@@ -141,6 +141,42 @@ def test_streaming_synthesis_matches_tokens_and_is_continuous(taste_setup):
             assert d[lo:hi].max() <= 5.0 * base + 1e-6, (sm, d[lo:hi].max(), base)
 
 
+def test_streaming_small_first_chunk_same_tokens(taste_setup):
+    """first_chunk_tokens < chunk_tokens (the TTFA cut) must not change the
+    decoded token stream — chunk boundaries are invisible to the AR
+    trajectory — and every chunk's audio stays finite."""
+    cfg, model, variables, a = taste_setup
+    from taste_spokenlm_tpu.frontend.streaming import StreamingSynthesizer
+    key = jax.random.PRNGKey(3)
+    max_steps = 16
+    base = StreamingSynthesizer(model, variables, chunk_tokens=5,
+                                left_ctx_tokens=3, crossfade_tokens=1,
+                                max_speech_steps=max_steps)
+    small = StreamingSynthesizer(model, variables, chunk_tokens=5,
+                                 left_ctx_tokens=3, crossfade_tokens=1,
+                                 first_chunk_tokens=2,
+                                 max_speech_steps=max_steps)
+    args = (key, a["speaker_embeds"], a["taste"], a["asr_ids"],
+            a["asr_lens"], a["asr_words"])
+    chunks_b = list(base.stream(*args))
+    chunks_s = list(small.stream(*args))
+    tok_b = np.concatenate([c["tokens"] for c in chunks_b], axis=1)
+    tok_s = np.concatenate([c["tokens"] for c in chunks_s], axis=1)
+    keep_b = tok_b[tok_b >= 0]
+    keep_s = tok_s[tok_s >= 0]
+    np.testing.assert_array_equal(keep_b, keep_s)
+    assert chunks_s[0]["n_new"] <= 2          # first chunk really is small
+    assert chunks_s[-1]["is_last"]
+    for c in chunks_s:
+        assert np.isfinite(c["wav"]).all()
+    # same total emitted duration as the uniform chunking (within seam
+    # quantization: one mel frame per seam each way)
+    n_b = sum(c["wav"].shape[1] for c in chunks_b)
+    n_s = sum(c["wav"].shape[1] for c in chunks_s)
+    spf_est = max(n_b // max(len(keep_b), 1), 1)
+    assert abs(n_b - n_s) <= 2 * spf_est * (len(chunks_s) + len(chunks_b))
+
+
 def test_streaming_synthesize_reports_ttfa(taste_setup):
     cfg, model, variables, a = taste_setup
     from taste_spokenlm_tpu.frontend.streaming import StreamingSynthesizer
