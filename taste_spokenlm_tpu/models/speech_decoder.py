@@ -319,6 +319,67 @@ class TasteSpeechDecoder(nn.Module):
                          done=final.done)
         return final.tokens, new_state
 
+    def generate_stream_resume(
+        self,
+        rng: jax.Array,
+        speaker_embeds, audio_unit_embeds, audio_unit_lengths,
+        asr_token_ids, asr_token_lengths,
+        hist_tokens: jnp.ndarray,          # [B, >=max_steps] committed ids
+        hist_len: jnp.ndarray,             # scalar int32 (shared across B)
+        max_steps: int = 512,
+        min_token_text_ratio: float = 2.0,
+        max_token_text_ratio: float = 20.0,
+        skip_audio: bool = False,
+    ) -> Dict[str, Any]:
+        """Re-prefill with (possibly EXTENDED) text/taste conditioning and
+        REPLAY a committed speech-token history into the KV cache; returns
+        a stream state positioned at step=hist_len, ready for
+        `generate_stream_chunk`.
+
+        This is the building block of pipelined completion streaming
+        (frontend.streaming.CompletionStreamer): the joint LM is still
+        decoding text while the first audio plays, and each time more text
+        arrives the S3 decoder re-contextualizes — new prefix prefill + one
+        multi-token cached replay of the already-played speech tokens
+        (positions are unchanged because the prefix is packed left-padded
+        into a fixed `prefix_max` budget).  With the SAME text, resume +
+        chunk reproduces the uninterrupted stream trajectory exactly: the
+        replayed KV rows equal the step-by-step rows, and the rng is
+        fast-forwarded by `hist_len` splits (one split per executed decode
+        step; exact for B=1 or any batch where no row finished early —
+        a finished row would have stopped contributing steps).
+
+        The reference has no counterpart: its generation loop requires the
+        full text upfront (modeling_taste.py:1561-1661)."""
+        cfg = self.config
+        state = self.generate_stream_init(
+            rng, speaker_embeds, audio_unit_embeds, audio_unit_lengths,
+            asr_token_ids, asr_token_lengths, max_steps=max_steps,
+            min_token_text_ratio=min_token_text_ratio,
+            max_token_text_ratio=max_token_text_ratio, skip_audio=skip_audio)
+        b = hist_tokens.shape[0]
+        hist = hist_tokens[:, :max_steps]
+        hist_len = jnp.asarray(hist_len, jnp.int32)
+        # ONE causal multi-token cached decode writes the whole history's
+        # K/V; rows past hist_len write garbage into their slots, but
+        # decode_step masks keys by absolute position (key_pos <= q_pos),
+        # and each subsequent AR step overwrites its own slot first
+        emb = self.speech_embedding(
+            jnp.clip(hist, 0, cfg.speech_token_size - 1))
+        lm_out, caches = self.llm.decode_step(
+            emb, state["caches"], state["prefix_max"],
+            key_valid=state["key_valid"][:, None, None, :],
+            pos_projs=state["pos_projs"])
+        # hidden after the LAST committed token (the prefill hidden when
+        # hist_len == 0)
+        idx = jnp.full((b, 1, 1), jnp.maximum(hist_len - 1, 0))
+        last = jnp.take_along_axis(lm_out, idx, axis=1)[:, 0]
+        hidden = jnp.where(hist_len > 0, last, state["hidden"])
+        rng_fwd = jax.lax.fori_loop(
+            0, hist_len, lambda i, k: jax.random.split(k)[0], state["rng"])
+        return dict(state, caches=caches, hidden=hidden, rng=rng_fwd,
+                    step=hist_len)
+
     def generate(
         self,
         rng: jax.Array,

@@ -417,12 +417,10 @@ class TasteSpokenLM(nn.Module):
     # joint AR generation (modeling_taste.py:1030-1206)
     # ------------------------------------------------------------------
 
-    def generate(
+    def generate_stream_init(
         self,
         rng: jax.Array,
         cb: Codebook,
-        sampler_cfg: SamplerConfig,
-        tables: Dict[str, jnp.ndarray],
         llm_indices: Optional[jnp.ndarray] = None,      # [B, T, L]
         llm_token_ids: Optional[jnp.ndarray] = None,    # [B, T]
         llm_token_lengths: Optional[jnp.ndarray] = None,
@@ -432,29 +430,15 @@ class TasteSpokenLM(nn.Module):
         instruct_prefix_ids: Optional[jnp.ndarray] = None,   # [P]
         instruct_suffix_ids: Optional[jnp.ndarray] = None,   # [S]
         batch_size: int = 1,   # used by 'zero' mode only (no input arrays)
-    ) -> Dict[str, jnp.ndarray]:
-        """Batched joint decode with KV cache (the reference's generation
-        loop, modeling_taste.py:1030-1206, is B=1 and cache-less; this is a
-        TPU-first batched redesign — per-row sampler states, per-row done
-        flags, uniform cache layout with per-row RoPE offsets).
-
-        Modes (modeling_taste.py:1071-1107): 'zero' (sos only), 'text'
-        (text-token prefix), 'audio' (fused text+taste prefix with pending
-        audio embeds), 'instruct' (audio prefix wrapped in instruct
-        prefix/suffix tokens; pair with `SamplerConfig.stop_id`).
-
-        Row i derives its sampling stream as fold_in(step_key, i), so a
-        row's trajectory depends only on (rng, its inputs, its row index),
-        not on the batch size.  Alternatively `rng` may be a BATCH of keys
-        [B, 2]: row i's step-t stream is then fold_in(rng[i], t) — fully
-        independent of cohort composition and row position, which is what
-        the serving micro-batcher uses to keep per-request `seed`
-        reproducibility under concurrent load.
-
-        Returns generated llm token ids [B, max_steps], taste indices
-        [B, max_steps, L] (dense, one row per word), word ids [B, max_steps],
-        and per-row counts.
-        """
+    ) -> Dict[str, Any]:
+        """Build the conditional prefix, prefill the KV cache and return a
+        functional joint-decode stream state; drive with
+        `generate_stream_chunk`.  Chunked decoding reproduces the one-shot
+        `generate` trajectory EXACTLY (the chunk loop carries the same
+        per-step rng splits and sampler state) — the building block of the
+        pipelined completion stream (frontend.streaming.CompletionStreamer),
+        where synthesis starts from the first decoded words instead of
+        after the full decode."""
         cfg = self.config
         embed_tokens = self.language_model.embed_tokens
         d = cfg.delay
@@ -548,8 +532,56 @@ class TasteSpokenLM(nn.Module):
                                        dtype=jnp.int32), axis=0)[None]
             sampler0 = sampler0._replace(token_counts=counts)
 
+        return {
+            "step": jnp.int32(0),
+            "rng": rng,
+            "caches": caches,
+            "hidden": last_h,
+            "all_hidden": hs,
+            "sampler": sampler0,
+            "last_audio_embed": jnp.zeros((b, self.audio_dim), jnp.float32),
+            "pending_ptr": jnp.asarray(pending_start, jnp.int32),
+            "out_tokens": jnp.full((b, max_steps), IGNORE_ID, jnp.int32),
+            "out_taste": jnp.full((b, max_steps, self.taste_l), IGNORE_ID,
+                                  jnp.int32),
+            "out_words": jnp.full((b, max_steps), IGNORE_ID, jnp.int32),
+            "n_out": jnp.zeros((b,), jnp.int32),
+            "n_taste": jnp.zeros((b,), jnp.int32),
+            "word_id_cur": jnp.full((b,), -1, jnp.int32),
+            "done": jnp.zeros((b,), bool),
+            # static decode context (carried as arrays so the state is one
+            # jit-friendly pytree)
+            "key_valid0": key_valid0,
+            "prefix_len": prefix_len,
+            "pending": pending,
+            "max_prefix": jnp.int32(max_prefix),
+        }
+
+    def generate_stream_chunk(
+        self,
+        state: Dict[str, Any],
+        cb: Codebook,
+        sampler_cfg: SamplerConfig,
+        tables: Dict[str, jnp.ndarray],
+        chunk_steps: int,
+    ) -> Dict[str, Any]:
+        """Decode up to `chunk_steps` joint text+taste steps from a stream
+        state; returns the updated state (out_tokens/out_taste/out_words
+        accumulate across chunks, n_out/n_taste are the per-row totals so
+        far).  Exits early when every row is done."""
+        cfg = self.config
+        embed_tokens = self.language_model.embed_tokens
+        b = state["hidden"].shape[0]
+        max_steps = state["out_tokens"].shape[1]
+        key_valid0 = state["key_valid0"]
+        prefix_len = state["prefix_len"]
+        pending = state["pending"]
+        max_prefix = state["max_prefix"]
+        slot = jnp.arange(key_valid0.shape[1])
+
         class GenState(NamedTuple):
-            step: jnp.ndarray
+            i: jnp.ndarray                # local step within this chunk
+            step: jnp.ndarray             # global decode step
             rng: jax.Array
             caches: Any
             hidden: jnp.ndarray           # [B, H] last hidden
@@ -565,22 +597,21 @@ class TasteSpokenLM(nn.Module):
             word_id_cur: jnp.ndarray      # [B]
             done: jnp.ndarray             # [B]
 
-        gen0 = GenState(jnp.int32(0), rng, caches, last_h, hs, sampler0,
-                        jnp.zeros((b, self.audio_dim), jnp.float32),
-                        jnp.asarray(pending_start, jnp.int32),
-                        jnp.full((b, max_steps), IGNORE_ID, jnp.int32),
-                        jnp.full((b, max_steps, self.taste_l), IGNORE_ID,
-                                 jnp.int32),
-                        jnp.full((b, max_steps), IGNORE_ID, jnp.int32),
-                        jnp.zeros((b,), jnp.int32), jnp.zeros((b,), jnp.int32),
-                        jnp.full((b,), -1, jnp.int32),
-                        jnp.zeros((b,), bool))
+        gen0 = GenState(jnp.int32(0), state["step"], state["rng"],
+                        state["caches"], state["hidden"], state["all_hidden"],
+                        state["sampler"], state["last_audio_embed"],
+                        state["pending_ptr"], state["out_tokens"],
+                        state["out_taste"], state["out_words"],
+                        state["n_out"], state["n_taste"],
+                        state["word_id_cur"], state["done"])
 
         bi = jnp.arange(b)
-        per_row_keys = jnp.ndim(rng) == 2   # [B, 2] key batch (see docstring)
+        per_row_keys = jnp.ndim(state["rng"]) == 2  # [B, 2] key batch
 
         def cond(mdl, st):
-            return jnp.logical_and(st.step < max_steps, ~jnp.all(st.done))
+            return jnp.logical_and(
+                st.i < chunk_steps,
+                jnp.logical_and(st.step < max_steps, ~jnp.all(st.done)))
 
         def body(mdl, st: GenState):
             if per_row_keys:
@@ -659,7 +690,7 @@ class TasteSpokenLM(nn.Module):
                 output_hidden_states=True,
                 key_valid=jnp.logical_or(key_valid0, gen_valid[None]))
             return GenState(
-                st.step + 1, rng, out_step["caches"],
+                st.i + 1, st.step + 1, rng, out_step["caches"],
                 out_step["last_hidden"][:, 0],
                 tuple(h[:, 0] for h in out_step["hidden_states"]),
                 sampler, last_audio, pending_ptr, out_tokens, out_taste,
@@ -667,12 +698,67 @@ class TasteSpokenLM(nn.Module):
                 jnp.logical_or(st.done, step_out.terminate))
 
         final = nn.while_loop(cond, body, self, gen0)
+        return dict(
+            state, step=final.step, rng=final.rng, caches=final.caches,
+            hidden=final.hidden, all_hidden=final.all_hidden,
+            sampler=final.sampler, last_audio_embed=final.last_audio_embed,
+            pending_ptr=final.pending_ptr, out_tokens=final.out_tokens,
+            out_taste=final.out_taste, out_words=final.out_words,
+            n_out=final.n_out, n_taste=final.n_taste,
+            word_id_cur=final.word_id_cur, done=final.done)
+
+    def generate(
+        self,
+        rng: jax.Array,
+        cb: Codebook,
+        sampler_cfg: SamplerConfig,
+        tables: Dict[str, jnp.ndarray],
+        llm_indices: Optional[jnp.ndarray] = None,      # [B, T, L]
+        llm_token_ids: Optional[jnp.ndarray] = None,    # [B, T]
+        llm_token_lengths: Optional[jnp.ndarray] = None,
+        llm_word_ids: Optional[jnp.ndarray] = None,
+        conditional_mode: str = "audio",
+        max_steps: int = 256,
+        instruct_prefix_ids: Optional[jnp.ndarray] = None,   # [P]
+        instruct_suffix_ids: Optional[jnp.ndarray] = None,   # [S]
+        batch_size: int = 1,   # used by 'zero' mode only (no input arrays)
+    ) -> Dict[str, jnp.ndarray]:
+        """Batched joint decode with KV cache (the reference's generation
+        loop, modeling_taste.py:1030-1206, is B=1 and cache-less; this is a
+        TPU-first batched redesign — per-row sampler states, per-row done
+        flags, uniform cache layout with per-row RoPE offsets).
+
+        Modes (modeling_taste.py:1071-1107): 'zero' (sos only), 'text'
+        (text-token prefix), 'audio' (fused text+taste prefix with pending
+        audio embeds), 'instruct' (audio prefix wrapped in instruct
+        prefix/suffix tokens; pair with `SamplerConfig.stop_id`).
+
+        Row i derives its sampling stream as fold_in(step_key, i), so a
+        row's trajectory depends only on (rng, its inputs, its row index),
+        not on the batch size.  Alternatively `rng` may be a BATCH of keys
+        [B, 2]: row i's step-t stream is then fold_in(rng[i], t) — fully
+        independent of cohort composition and row position, which is what
+        the serving micro-batcher uses to keep per-request `seed`
+        reproducibility under concurrent load.
+
+        One-shot wrapper over the stream API (init + one full-budget
+        chunk — identical trajectory by construction).  Returns generated
+        llm token ids [B, max_steps], taste indices [B, max_steps, L]
+        (dense, one row per word), word ids [B, max_steps], and per-row
+        counts.
+        """
+        st = self.generate_stream_init(
+            rng, cb, llm_indices, llm_token_ids, llm_token_lengths,
+            llm_word_ids, conditional_mode, max_steps, instruct_prefix_ids,
+            instruct_suffix_ids, batch_size)
+        st = self.generate_stream_chunk(st, cb, sampler_cfg, tables,
+                                        max_steps)
         return {
-            "llm_token_ids": final.out_tokens,
-            "llm_word_ids": final.out_words,
-            "taste_indices": final.out_taste,
-            "num_tokens": final.n_out,
-            "num_taste_words": final.n_taste,
+            "llm_token_ids": st["out_tokens"],
+            "llm_word_ids": st["out_words"],
+            "taste_indices": st["out_taste"],
+            "num_tokens": st["n_out"],
+            "num_taste_words": st["n_taste"],
         }
 
     # ------------------------------------------------------------------

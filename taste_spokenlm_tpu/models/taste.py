@@ -348,6 +348,50 @@ class TasteForCausalLM(nn.Module):
                 "hist_len": e, "n_new": n_new, "wav": wav,
                 "done": state["done"]}
 
+    def completion_stream_start(
+        self, rng, sampler_cfg, tables, llm_indices, llm_token_ids,
+        llm_token_lengths, llm_word_ids, conditional_mode: str = "audio",
+        max_steps: int = 256, first_chunk: int = 16,
+    ):
+        """Joint-decode prefill + the FIRST decode chunk in one dispatch:
+        the pipelined completion stream (frontend.streaming
+        .CompletionStreamer) starts synthesizing from these first words
+        while the rest of the text is still decoding."""
+        st = self.spoken_lm.generate_stream_init(
+            rng, self._cb(), llm_indices, llm_token_ids, llm_token_lengths,
+            llm_word_ids, conditional_mode, max_steps)
+        return self.spoken_lm.generate_stream_chunk(
+            st, self._cb(), sampler_cfg, tables, first_chunk)
+
+    def completion_stream_chunk(self, state, sampler_cfg, tables,
+                                chunk_steps: int):
+        """Continue the joint decode by up to `chunk_steps` steps."""
+        return self.spoken_lm.generate_stream_chunk(
+            state, self._cb(), sampler_cfg, tables, chunk_steps)
+
+    def stream_extend_step(self, rng, rng_voc, speaker_embeds,
+                           taste_indices_per_word, asr_token_ids,
+                           asr_token_lengths, asr_word_ids,
+                           token_hist, hist_len,
+                           max_speech_steps: int, chunk_steps: int,
+                           window: int, mel_window_max: int):
+        """Fused pipelined-synthesis step: re-prefill the S3 decoder with
+        EXTENDED text/taste conditioning, replay the committed speech-token
+        history into the KV cache, decode the next chunk and vocode its
+        window — ONE dispatch.  rng must be the SAME stream key as the
+        initial stream_start_step so the decode rng stream continues
+        coherently (split layout mirrors stream_synth_init)."""
+        cb = self._cb()
+        audio_unit_embeds = self.spoken_lm.get_audio_embeds_from_taste(
+            cb, asr_token_lengths, asr_word_ids, taste_indices_per_word)
+        rng_dec, _ = jax.random.split(rng)
+        state = self.speech_decoder.generate_stream_resume(
+            rng_dec, speaker_embeds, audio_unit_embeds, asr_token_lengths,
+            asr_token_ids, asr_token_lengths, token_hist, hist_len,
+            max_steps=max_speech_steps)
+        return self.stream_step(state, rng_voc, speaker_embeds, token_hist,
+                                hist_len, chunk_steps, window, mel_window_max)
+
     def stream_start_step(self, rng, rng_voc, speaker_embeds,
                           taste_indices_per_word, asr_token_ids,
                           asr_token_lengths, asr_word_ids,

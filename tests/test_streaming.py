@@ -61,6 +61,66 @@ def test_chunked_decode_matches_oneshot_exactly(decoder_setup):
         lengths, np.asarray(oneshot["speech_token_lengths"]))
 
 
+def test_resume_replay_matches_uninterrupted_stream(decoder_setup):
+    """generate_stream_resume (re-prefill + multi-token history replay)
+    must continue EXACTLY like the uninterrupted stream when the text is
+    unchanged: replayed KV rows == step-by-step rows, rng fast-forward ==
+    the executed per-step splits."""
+    cfg, model, variables, (spk, audio, asr_lens, asr_ids, _) = decoder_setup
+    max_steps = 16
+    key = jax.random.PRNGKey(5)
+    state = model.apply(variables, key, spk, audio, asr_lens, asr_ids,
+                        asr_lens, max_steps=max_steps,
+                        method=TasteSpeechDecoder.generate_stream_init)
+    toks1, state1 = model.apply(
+        variables, state, 8, method=TasteSpeechDecoder.generate_stream_chunk)
+    toks1 = np.asarray(toks1)
+    assert (toks1 >= 0).all(), "precondition: no EOS inside the first chunk"
+    ref_toks2, _ = model.apply(
+        variables, state1, 8, method=TasteSpeechDecoder.generate_stream_chunk)
+
+    hist = np.zeros((toks1.shape[0], max_steps), np.int32)
+    hist[:, :8] = np.maximum(toks1, 0)
+    resumed = model.apply(
+        variables, key, spk, audio, asr_lens, asr_ids, asr_lens,
+        jnp.asarray(hist), jnp.int32(8), max_steps=max_steps,
+        method=TasteSpeechDecoder.generate_stream_resume)
+    res_toks2, _ = model.apply(
+        variables, resumed, 8, method=TasteSpeechDecoder.generate_stream_chunk)
+    np.testing.assert_array_equal(np.asarray(res_toks2),
+                                  np.asarray(ref_toks2))
+
+
+def test_resume_with_extended_text_changes_conditioning(decoder_setup):
+    """Resume with LONGER text must produce a valid continuation that
+    actually conditions on the new tokens (different from the short-text
+    continuation), with the committed history untouched."""
+    cfg, model, variables, (spk, audio, asr_lens, asr_ids, _) = decoder_setup
+    max_steps = 16
+    key = jax.random.PRNGKey(5)
+    short_lens = jnp.asarray([4, 3])
+    state = model.apply(variables, key, spk, audio, short_lens, asr_ids,
+                        short_lens, max_steps=max_steps,
+                        method=TasteSpeechDecoder.generate_stream_init)
+    toks1, _ = model.apply(
+        variables, state, 8, method=TasteSpeechDecoder.generate_stream_chunk)
+    toks1 = np.asarray(toks1)
+    assert (toks1 >= 0).all()
+    hist = np.zeros((toks1.shape[0], max_steps), np.int32)
+    hist[:, :8] = np.maximum(toks1, 0)
+    resumed = model.apply(
+        variables, key, spk, audio, asr_lens, asr_ids, asr_lens,
+        jnp.asarray(hist), jnp.int32(8), max_steps=max_steps,
+        method=TasteSpeechDecoder.generate_stream_resume)
+    toks2, _ = model.apply(
+        variables, resumed, 8, method=TasteSpeechDecoder.generate_stream_chunk)
+    toks2 = np.asarray(toks2)
+    assert int(resumed["step"]) == 8
+    # valid ids (EOS/-1 allowed at the tail)
+    live = toks2[toks2 >= 0]
+    assert (live <= cfg.speech_token_size).all()
+
+
 @pytest.fixture(scope="module")
 def taste_setup():
     cfg = TasteConfig.tiny()
@@ -187,3 +247,118 @@ def test_streaming_synthesize_reports_ttfa(taste_setup):
                                a["asr_words"])
     assert wav.shape[0] == 1 and wav.shape[1] > 0
     assert ttfa > 0
+
+
+# ---------------------------------------------------------------------------
+# pipelined completion (CompletionStreamer)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def completion_setup(taste_setup):
+    cfg, model, variables, a = taste_setup
+    from taste_spokenlm_tpu.models.sampler import SamplerConfig
+    rng = np.random.RandomState(7)
+    V = cfg.spoken_lm.llama.vocab_size
+    L = cfg.audio_tower.quantizer.num_quantizers
+    K = cfg.audio_tower.quantizer.codebook_size
+    b, t = 1, 8
+    word_ids = np.arange(t) // 2
+    llm_ids = jnp.asarray(rng.randint(2, V, (b, t)), jnp.int32)
+    indices = np.full((b, t, L), -1, np.int32)
+    starts = np.flatnonzero(np.diff(word_ids, prepend=-1) != 0)
+    indices[:, starts] = rng.randint(0, K, (b, len(starts), L))
+    tables = {"word_start": jnp.asarray(np.arange(V) % 3 == 0),
+              "banned": jnp.zeros((V,), bool),
+              "sentence_end": jnp.asarray(np.arange(V) % 7 == 0)}
+    scfg = SamplerConfig(delay=cfg.spoken_lm.delay, delay_level="word",
+                         extra_words=16, has_prefix=True)  # greedy
+    jd_inputs = dict(llm_indices=jnp.asarray(indices), llm_token_ids=llm_ids,
+                     llm_token_lengths=jnp.asarray([t]),
+                     llm_word_ids=jnp.asarray(word_ids[None]))
+    # full-budget asr buffers for the completion text (fixed shape; only
+    # lengths vary as the joint decode produces words)
+    t_asr = 12
+    syn_asr = dict(
+        asr_token_ids=jnp.asarray(rng.randint(5, 100, (b, t_asr))),
+        asr_word_ids=jnp.asarray(np.minimum(np.arange(t_asr) // 2, 5)[None]))
+    return cfg, model, variables, a, scfg, tables, jd_inputs, syn_asr
+
+
+def test_completion_streamer_pipelined_end_to_end(completion_setup):
+    """Pipelined completion: synthesis starts from a PARTIAL joint decode
+    and re-contextualizes as more words arrive (stream_extend_step).  The
+    audio must be finite and the committed S3 stream in-vocab."""
+    cfg, model, variables, a, scfg, tables, jd, syn_asr = completion_setup
+    from taste_spokenlm_tpu.frontend.streaming import CompletionStreamer
+    streamer = CompletionStreamer(
+        model, variables, scfg, tables, chunk_tokens=5, left_ctx_tokens=3,
+        crossfade_tokens=1, first_chunk_tokens=2, jd_first_chunk=3,
+        jd_chunk=4, min_start_words=1, max_speech_steps=12)
+    chunks = list(streamer.stream(
+        jax.random.PRNGKey(11), a["speaker_embeds"], jd["llm_indices"],
+        jd["llm_token_ids"], jd["llm_token_lengths"], jd["llm_word_ids"],
+        syn_asr["asr_token_ids"], syn_asr["asr_word_ids"], max_steps=10))
+    assert chunks, "pipelined stream produced no audio"
+    assert chunks[-1]["is_last"]
+    assert chunks[-1]["jd_done"], "joint decode must finish within budget"
+    for c in chunks:
+        assert np.isfinite(c["wav"]).all()
+    toks = np.concatenate([c["tokens"] for c in chunks], axis=1)
+    live = toks[toks >= 0]
+    assert live.size > 0
+    assert (live <= cfg.speech_decoder.speech_token_size).all()
+    # total emitted tokens respect the budget
+    assert live.size <= 12
+    # the jd really was partial when synthesis started: with
+    # jd_first_chunk=3 < max_steps=10, n_words grows across chunks
+    assert chunks[0]["n_words"] <= chunks[-1]["n_words"]
+
+
+def test_completion_streamer_matches_plain_stream_when_jd_first(
+        completion_setup):
+    """With the whole joint decode in the FIRST jd chunk (no extends), the
+    pipelined stream must equal StreamingSynthesizer on the final text —
+    pins that the pipelined plumbing adds nothing when there is nothing to
+    pipeline."""
+    cfg, model, variables, a, scfg, tables, jd, syn_asr = completion_setup
+    from taste_spokenlm_tpu.frontend.streaming import (CompletionStreamer,
+                                                       StreamingSynthesizer)
+    max_steps = 10
+    key = jax.random.PRNGKey(11)
+    streamer = CompletionStreamer(
+        model, variables, scfg, tables, chunk_tokens=5, left_ctx_tokens=3,
+        crossfade_tokens=1, first_chunk_tokens=2, jd_first_chunk=max_steps,
+        min_start_words=1, max_speech_steps=12)
+    chunks_p = list(streamer.stream(
+        key, a["speaker_embeds"], jd["llm_indices"], jd["llm_token_ids"],
+        jd["llm_token_lengths"], jd["llm_word_ids"],
+        syn_asr["asr_token_ids"], syn_asr["asr_word_ids"],
+        max_steps=max_steps))
+    assert chunks_p and chunks_p[-1]["is_last"]
+    n_words = chunks_p[-1]["n_words"]
+    assert all(c["n_words"] == n_words for c in chunks_p), "no extends"
+
+    # reproduce the final text view + rng stream of the pipelined run
+    rng_jd, rng_syn = jax.random.split(key)
+    words_np = np.asarray(syn_asr["asr_word_ids"])
+    lens = jnp.asarray(np.sum(words_np < n_words, axis=1).astype(np.int32))
+    # taste rows exactly as the jd produced them
+    out = model.apply(
+        variables, rng_jd, scfg, tables,
+        jd["llm_indices"], jd["llm_token_ids"], jd["llm_token_lengths"],
+        jd["llm_word_ids"], "audio", max_steps,
+        method=TasteForCausalLM.generate_completion)
+    taste = jnp.asarray(np.maximum(np.asarray(out["taste_indices"]), 0))
+    plain = StreamingSynthesizer(
+        model, variables, chunk_tokens=5, left_ctx_tokens=3,
+        crossfade_tokens=1, first_chunk_tokens=2, max_speech_steps=12)
+    chunks_s = list(plain.stream(rng_syn, a["speaker_embeds"], taste,
+                                 syn_asr["asr_token_ids"], lens,
+                                 syn_asr["asr_word_ids"]))
+    tok_p = np.concatenate([c["tokens"] for c in chunks_p], axis=1)
+    tok_s = np.concatenate([c["tokens"] for c in chunks_s], axis=1)
+    np.testing.assert_array_equal(tok_p[tok_p >= 0], tok_s[tok_s >= 0])
+    wav_p = np.concatenate([c["wav"] for c in chunks_p], axis=1)
+    wav_s = np.concatenate([c["wav"] for c in chunks_s], axis=1)
+    assert wav_p.shape == wav_s.shape
+    np.testing.assert_allclose(wav_p, wav_s, atol=1e-5)
