@@ -272,10 +272,13 @@ class CompletionStreamer:
         self, rng, speaker_embeds,
         llm_indices, llm_token_ids, llm_token_lengths, llm_word_ids,
         asr_token_ids, asr_word_ids, max_steps: int = 64,
+        asr_valid_len: Optional[int] = None,
     ) -> Iterator[Dict[str, np.ndarray]]:
         """Yields the same chunk dicts as StreamingSynthesizer.stream plus
         jd bookkeeping ({"jd_done": bool, "n_words": int}).  B=1 intended
-        (per-request streaming)."""
+        (per-request streaming).  `asr_valid_len` bounds the real (non-pad)
+        asr positions; pad positions never count toward per-phase lengths
+        even if their word id collides with a real word."""
         import jax
         import jax.numpy as jnp
         from taste_spokenlm_tpu.models.taste import TasteForCausalLM
@@ -319,10 +322,13 @@ class CompletionStreamer:
         rng_voc = jax.random.fold_in(rng_syn, 7919)
         b = np.asarray(speaker_embeds).shape[0]
         asr_words_np = np.asarray(asr_word_ids)
+        valid = np.arange(asr_words_np.shape[1])[None, :] < (
+            asr_words_np.shape[1] if asr_valid_len is None else asr_valid_len)
 
         def asr_lens(n_words):
             return jnp.asarray(
-                np.sum(asr_words_np < n_words, axis=1).astype(np.int32))
+                np.sum((asr_words_np < n_words) & valid,
+                       axis=1).astype(np.int32))
 
         # ---- phase 1: joint decode until enough words for first audio ----
         jd_state = jd_start(variables, rng_jd, llm_indices, llm_token_ids,

@@ -140,6 +140,66 @@ class TasteEngine:
         for out in it:
             yield out["wav"][0], bool(out["is_last"]), int(out["n_new"])
 
+    def _get_tables(self):
+        import jax.numpy as jnp
+        if not hasattr(self, "_tables"):
+            # without a tokenizer asset, fall back to trivial tables
+            v = self.config.spoken_lm.llama.vocab_size
+            self._tables = {
+                "word_start": jnp.asarray(np.arange(v) % 3 == 0),
+                "banned": jnp.zeros((v,), bool),
+                "sentence_end": jnp.asarray(np.arange(v) % 7 == 0)}
+        return self._tables
+
+    def complete_stream(self, llm_ids, llm_word_ids, llm_indices,
+                        asr_ids, asr_word_ids, spk, sampler_kwargs,
+                        seed, max_steps: int = 64,
+                        max_speech_steps: int = 128, chunk_tokens: int = 50,
+                        first_chunk_tokens: int = 16,
+                        jd_first_chunk: int = 16):
+        """PIPELINED completion: yields (wav_chunk [n] f32, is_last, n_new,
+        n_words) with the first chunk available after only a partial joint
+        decode (frontend.streaming.CompletionStreamer).  `asr_ids`/
+        `asr_word_ids` are the full-budget asr tokenization of the
+        completion text (word w of the decode = asr positions with word id
+        w); shapes are bucketed so repeated requests hit the jit cache."""
+        import jax
+        import jax.numpy as jnp
+        from taste_spokenlm_tpu.frontend.streaming import CompletionStreamer
+        from taste_spokenlm_tpu.models.sampler import SamplerConfig
+        bucket = self._bucket(len(llm_ids))
+        asr_bucket = self._bucket(len(asr_ids))
+        scfg = SamplerConfig(delay=self.config.spoken_lm.delay,
+                             **sampler_kwargs)
+        fc = min(first_chunk_tokens, chunk_tokens)
+        key = ("complete_stream", bucket, asr_bucket, max_steps,
+               max_speech_steps, chunk_tokens, fc, jd_first_chunk, scfg)
+        if key not in self._jits:
+            self._jits[key] = CompletionStreamer(
+                self.model, self.variables, scfg, self._get_tables(),
+                chunk_tokens=chunk_tokens,
+                left_ctx_tokens=max(chunk_tokens // 2, 1),
+                first_chunk_tokens=fc, jd_first_chunk=jd_first_chunk,
+                jd_chunk=max(jd_first_chunk, 1),
+                max_speech_steps=max_speech_steps)
+        streamer = self._jits[key]
+        ids, lens, words = self._pad_tokens(llm_ids, llm_word_ids, bucket)
+        nq = self.config.audio_tower.quantizer.num_quantizers
+        ridx = np.asarray(llm_indices, np.int32).reshape(-1, nq)[:bucket]
+        idx = np.full((1, bucket, nq), -1, np.int32)
+        idx[0, :len(ridx)] = ridx
+        a_ids, _, a_words = self._pad_tokens(asr_ids, asr_word_ids,
+                                             asr_bucket)
+        it = streamer.stream(
+            jax.random.PRNGKey(seed),
+            jnp.asarray(np.asarray(spk, np.float32)[None]),
+            jnp.asarray(idx), ids, lens, words, a_ids, a_words,
+            max_steps=max_steps,
+            asr_valid_len=min(len(asr_ids), asr_bucket))
+        for out in it:
+            yield (out["wav"][0], bool(out["is_last"]), int(out["n_new"]),
+                   int(out["n_words"]))
+
     def complete(self, llm_ids, llm_word_ids, llm_indices, sampler_kwargs,
                  seed, max_steps: int = 128):
         return self.complete_batch(
@@ -162,13 +222,7 @@ class TasteEngine:
         import jax.numpy as jnp
         from taste_spokenlm_tpu.models.sampler import SamplerConfig
         from taste_spokenlm_tpu.models.taste import TasteForCausalLM
-        v = self.config.spoken_lm.llama.vocab_size
-        if not hasattr(self, "_tables"):
-            # without a tokenizer asset, fall back to trivial tables
-            self._tables = {
-                "word_start": jnp.asarray(np.arange(v) % 3 == 0),
-                "banned": jnp.zeros((v,), bool),
-                "sentence_end": jnp.asarray(np.arange(v) % 7 == 0)}
+        self._get_tables()
         n_req = len(requests)
         cap = self.BATCH_BUCKETS[-1]
         if n_req > cap:
@@ -395,7 +449,39 @@ def create_grpc_server(engine: TasteEngine, port: int = 50051,
             yield pb.SynthesizeChunk(pcm16=pcm, sample_rate=sr,
                                      is_last=is_last, num_tokens=n_new)
 
+    def CompleteStream(request: pb.CompleteStreamRequest, context):
+        """Server-streaming PIPELINED completion: the joint text+taste
+        decode and the chunked synthesis run interleaved, so the first PCM
+        chunk leaves after only a partial joint decode (the reference
+        pipeline is strictly decode-everything-then-synthesize,
+        modeling_taste.py:1663-1791)."""
+        c = request.complete
+        nq = engine.config.audio_tower.quantizer.num_quantizers
+        idx = np.asarray(c.llm_indices, np.int32).reshape(-1, nq)
+        sr = engine.config.hift.sampling_rate
+        for wav, is_last, n_new, n_words in engine.complete_stream(
+                list(c.llm_token_ids), list(c.llm_word_ids), idx,
+                list(request.asr_token_ids), list(request.asr_word_ids),
+                np.asarray(request.speaker_embedding, np.float32),
+                dict(extra_words=c.extra_words or 8,
+                     text_top_p=c.text_top_p, taste_top_p=c.taste_top_p,
+                     text_temperature=c.temperature or 1.0,
+                     repetition_penalty=c.repetition_penalty or 1.0),
+                c.seed, max_steps=request.max_steps or 64,
+                max_speech_steps=request.max_speech_steps or 128,
+                chunk_tokens=request.chunk_tokens or 50,
+                first_chunk_tokens=request.first_chunk_tokens or 16,
+                jd_first_chunk=request.jd_first_chunk or 16):
+            pcm = (np.clip(wav, -1, 1) * 32767).astype("<i2").tobytes()
+            yield pb.SynthesizeChunk(pcm16=pcm, sample_rate=sr,
+                                     is_last=is_last, num_tokens=n_new,
+                                     n_words=n_words)
+
     handlers = {
+        "CompleteStream": grpc.unary_stream_rpc_method_handler(
+            CompleteStream,
+            request_deserializer=pb.CompleteStreamRequest.FromString,
+            response_serializer=pb.SynthesizeChunk.SerializeToString),
         "Synthesize": grpc.unary_stream_rpc_method_handler(
             Synthesize, request_deserializer=pb.SynthesizeRequest.FromString,
             response_serializer=pb.SynthesizeChunk.SerializeToString),

@@ -135,6 +135,59 @@ def test_grpc_synthesize_streams_chunks(engine):
         server.stop(0).wait(timeout=10)
 
 
+def test_grpc_complete_stream_pipelined(engine):
+    """Server-streaming PIPELINED completion: PCM chunks arrive while the
+    joint decode is still producing text; the final chunk is flagged and
+    the word count is monotonic (the reference pipeline is strictly
+    decode-everything-then-synthesize and its runtime has no streaming
+    response at all)."""
+    server, port = create_grpc_server(engine, port=0)
+    server.start()
+    channel = None
+    try:
+        cfg = engine.config
+        nq = cfg.audio_tower.quantizer.num_quantizers
+        rng = np.random.RandomState(5)
+        t_llm, t_asr = 7, 8
+        V = cfg.spoken_lm.llama.vocab_size
+        word_ids = (np.arange(t_llm) // 2).tolist()
+        idx = np.full((t_llm, nq), -1, np.int32)
+        starts = np.flatnonzero(np.diff(word_ids, prepend=-1) != 0)
+        idx[starts] = rng.randint(
+            0, cfg.audio_tower.quantizer.codebook_size, (len(starts), nq))
+        spk = (0.1 * np.ones(cfg.speech_decoder.spk_embed_dim)).tolist()
+        channel = grpc.insecure_channel(f"localhost:{port}")
+        complete_stream = channel.unary_stream(
+            "/taste_serving.Taste/CompleteStream",
+            request_serializer=pb.CompleteStreamRequest.SerializeToString,
+            response_deserializer=pb.SynthesizeChunk.FromString)
+        req = pb.CompleteStreamRequest(
+            complete=pb.CompleteRequest(
+                llm_token_ids=(rng.randint(2, V, t_llm)).tolist(),
+                llm_word_ids=word_ids,
+                llm_indices=idx.reshape(-1).tolist(),
+                # sampled decode: greedy random-weight trajectories can
+                # produce zero word starts (and thus, correctly, no audio)
+                extra_words=16, text_top_p=0.9, seed=7),
+            asr_token_ids=rng.randint(5, 100, t_asr).tolist(),
+            asr_word_ids=np.minimum(np.arange(t_asr) // 2, 5).tolist(),
+            speaker_embedding=spk, max_speech_steps=12, chunk_tokens=5,
+            first_chunk_tokens=2, jd_first_chunk=3, max_steps=16)
+        chunks = list(complete_stream(req, timeout=900))
+        assert chunks and chunks[-1].is_last
+        pcm = b"".join(c.pcm16 for c in chunks)
+        assert len(pcm) > 0 and len(pcm) % 2 == 0
+        assert sum(c.num_tokens for c in chunks) > 0
+        words = [c.n_words for c in chunks]
+        assert words == sorted(words) and words[-1] > 0
+        wav = np.frombuffer(pcm, "<i2").astype(np.float32) / 32767.0
+        assert np.isfinite(wav).all()
+    finally:
+        if channel is not None:
+            channel.close()
+        server.stop(0).wait(timeout=10)
+
+
 def test_http_health_and_tokenize(engine):
     server = create_http_server(engine, port=0)
     port = server.server_address[1]
