@@ -145,14 +145,16 @@ def train_main():
     `python bench.py` runs it as a subprocess first so serving and
     training don't share HBM)."""
     import jax
+
+    tiny = os.environ.get("BENCH_TINY", "") == "1"
+    if tiny:
+        # BEFORE any package import: the first jnp array anywhere
+        # initializes the backend, and that must be CPU in tiny mode
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     from taste_spokenlm_tpu.config import TasteConfig
     from taste_spokenlm_tpu.models.taste import TasteForCausalLM
     from taste_spokenlm_tpu.train import optim, train_step
-
-    tiny = os.environ.get("BENCH_TINY", "") == "1"
-    if tiny:
-        jax.config.update("jax_platforms", "cpu")
     try:
         jax.config.update("jax_compilation_cache_dir",
                           os.environ["JAX_COMPILATION_CACHE_DIR"])
@@ -382,16 +384,40 @@ def train_main():
     print(json.dumps(results))
 
 
-def _run_train_subprocess():
-    """Run train_main in a child process (clean HBM for each phase) and
-    parse its JSON line.  BENCH_TRAIN=0 skips."""
+def _wait_for_backend():
+    """Preflight: probe TPU backend availability in a THROWAWAY subprocess,
+    retrying through transient tunnel outages (the remote-compile tunnel
+    drops occasionally; an in-process init failure poisons the whole run).
+    Returns True once a probe sees devices; gives up after
+    BENCH_PREFLIGHT_ATTEMPTS (then the phase is attempted anyway)."""
     import subprocess
-    timeout = int(os.environ.get("BENCH_TRAIN_TIMEOUT", "3000"))
+    attempts = int(os.environ.get("BENCH_PREFLIGHT_ATTEMPTS", "6"))
+    for i in range(attempts):
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; print(len(jax.devices()))"],
+                capture_output=True, text=True, timeout=300)
+            if proc.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        print(f"backend preflight {i + 1}/{attempts} failed; retrying "
+              "in 60s...", file=sys.stderr)
+        time.sleep(60)
+    return False
+
+
+def _run_phase_subprocess(flag, timeout, label):
+    """Run one bench phase (--train-only / --serve-only) in a child process
+    (clean HBM per phase, and a tunnel outage can't take down the whole
+    bench) and parse the last JSON line of its stdout.  stderr streams
+    through live."""
+    import subprocess
     try:
         proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--train-only"],
-            capture_output=True, text=True, timeout=timeout)
-        sys.stderr.write(proc.stderr[-6000:])
+            [sys.executable, os.path.abspath(__file__), flag],
+            stdout=subprocess.PIPE, stderr=None, text=True, timeout=timeout)
         for line in reversed(proc.stdout.strip().splitlines()):
             line = line.strip()
             if line.startswith("{"):
@@ -399,22 +425,50 @@ def _run_train_subprocess():
                     return json.loads(line)
                 except json.JSONDecodeError:
                     continue
-        print(f"train bench produced no JSON (rc={proc.returncode})",
+        print(f"{label} bench produced no JSON (rc={proc.returncode})",
               file=sys.stderr)
     except subprocess.TimeoutExpired:
-        print(f"train bench timed out after {timeout}s", file=sys.stderr)
+        print(f"{label} bench timed out after {timeout}s", file=sys.stderr)
     except Exception as e:
-        print(f"train bench failed: {e}", file=sys.stderr)
-    return {}
+        print(f"{label} bench failed: {e}", file=sys.stderr)
+    return None
 
 
 def main():
+    """Orchestrator: train + serving phases each in a subprocess, with a
+    backend preflight and one retry on transient failure; merges both JSON
+    lines into the single driver-facing line."""
     tiny = os.environ.get("BENCH_TINY", "") == "1"
-    train_metrics = {}
+    train_metrics, serve_metrics = {}, None
     if os.environ.get("BENCH_TRAIN", "1") == "1":
         print("=== training benchmark (subprocess) ===", file=sys.stderr)
-        train_metrics = _run_train_subprocess()
-        print("=== serving benchmark ===", file=sys.stderr)
+        t_timeout = int(os.environ.get("BENCH_TRAIN_TIMEOUT", "3000"))
+        for _ in range(2):
+            if not tiny:
+                _wait_for_backend()
+            train_metrics = _run_phase_subprocess(
+                "--train-only", t_timeout, "train")
+            if train_metrics is not None:
+                break
+        train_metrics = train_metrics or {}
+    print("=== serving benchmark (subprocess) ===", file=sys.stderr)
+    s_timeout = int(os.environ.get("BENCH_SERVE_TIMEOUT", "5400"))
+    for _ in range(2):
+        if not tiny:
+            _wait_for_backend()
+        serve_metrics = _run_phase_subprocess(
+            "--serve-only", s_timeout, "serving")
+        if serve_metrics is not None:
+            break
+    if serve_metrics is None:
+        serve_metrics = {"metric": "completion_rtf", "value": None,
+                         "unit": "wall_s_per_audio_s", "vs_baseline": None,
+                         "error": "serving bench failed"}
+    print(json.dumps({**serve_metrics, **train_metrics}))
+
+
+def serve_main():
+    tiny = os.environ.get("BENCH_TINY", "") == "1"
     import jax
     if tiny:
         jax.config.update("jax_platforms", "cpu")
@@ -895,12 +949,13 @@ def main():
         "serving_p50_ms": load["p50_ms"],
         "serving_p99_ms": load["p99_ms"],
         "serving_tokens_per_sec": load["tokens_per_sec"],
-        **train_metrics,
     }))
 
 
 if __name__ == "__main__":
     if "--train-only" in sys.argv:
         train_main()
+    elif "--serve-only" in sys.argv:
+        serve_main()
     else:
         main()

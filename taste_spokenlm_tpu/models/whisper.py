@@ -78,11 +78,15 @@ class WhisperAttention(nn.Module):
             cache = {"k": k_cache, "v": v_cache}
 
         # Pallas flash attention on TPU for long unmasked self-attention
-        # (the whisper encoder's 1500-position hot path)
+        # (the whisper encoder's 1500-position hot path).  B=1 serving runs
+        # the XLA einsum path instead: measured at whisper-large shapes
+        # (T=1500, 20 heads) einsum is 1.50 ms/layer vs 2.09 for the flash
+        # kernel — the single-batch grid underfills the chip — while at the
+        # training batch (B=8) flash wins the full forward 446 ms vs 527.
         from taste_spokenlm_tpu.ops.pallas.flash_attention import (
             can_use_flash, flash_attention)
         import os
-        if (mask is None and cache is None
+        if (mask is None and cache is None and b >= 2
                 and can_use_flash(tq, k.shape[1])
                 and os.environ.get("TASTE_DISABLE_FLASH") != "1"
                 and jax.default_backend() in ("tpu", "axon")):

@@ -15,8 +15,13 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-NEG_INF = jnp.float32(jnp.finfo(jnp.float32).min / 2)
+# numpy (not jnp) scalar: importing this module must not initialize the
+# device backend (a jnp constant here would block the whole package import
+# on a TPU-tunnel outage and defeat CPU-forcing done after `import jax`).
+# A np.float32 scalar promotes exactly like the former jnp.float32 one.
+NEG_INF = np.float32(np.finfo(np.float32).min / 2)
 
 
 def temperature_scale(logits: jnp.ndarray, temperature: float | jnp.ndarray) -> jnp.ndarray:
