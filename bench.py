@@ -289,6 +289,8 @@ def train_main():
                 "train_stage1_mfu": (round(flops / wall / PEAK_FLOPS, 4)
                                      if flops else None),
             })
+            # a larger rung may have OOMed before this one succeeded
+            results.pop("train_stage1_error", None)
             print(f"stage1: B={b1} step={wall*1e3:.0f}ms "
                   f"loss={loss:.3f} "
                   f"mfu={results['train_stage1_mfu']}", file=sys.stderr)
@@ -371,6 +373,7 @@ def train_main():
                 "train_stage2_mfu": (round(flops / wall / PEAK_FLOPS, 4)
                                      if flops else None),
             })
+            results.pop("train_stage2_error", None)
             print(f"stage2: B={b2} step={wall*1e3:.0f}ms loss={loss:.3f} "
                   f"mfu={results['train_stage2_mfu']}", file=sys.stderr)
             break

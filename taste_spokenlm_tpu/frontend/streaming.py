@@ -88,8 +88,51 @@ class _SeamEmitter:
         return out
 
 
+class _StreamBase:
+    """Shared infrastructure for the streaming paths (method-only mixin —
+    the subclasses declare their own dataclass fields so their positional
+    constructor signatures stay stable): jit memoization, the chunk/window
+    geometry, and the drain-the-stream `synthesize` wrapper."""
+
+    def _jit(self, name, fn):
+        if name not in self._jits:
+            import jax
+            self._jits[name] = jax.jit(fn)
+        return self._jits[name]
+
+    def _geometry(self, fc: int):
+        """(chunk, left_ctx, window, mel-per-token, max mel window,
+        first mel window).  The first window has no left context (ws = 0),
+        so it only needs to cover the first chunk itself — a small fc
+        shrinks both the AR step count and the first flow/HiFT window."""
+        ct, lc = self.chunk_tokens, self.left_ctx_tokens
+        window = ct + lc
+        mpt = mel_per_token(self.model.config.flow)
+        mel_window_max = int(np.ceil(window * mpt)) + 4
+        mel_window_first = int(np.ceil(fc * mpt)) + 4
+        return ct, lc, window, mpt, mel_window_max, mel_window_first
+
+    def synthesize(self, rng, speaker_embeds, *args, **kwargs
+                   ) -> Tuple[np.ndarray, float]:
+        """Run the full stream and return (wav [B, total], ttfa_seconds) —
+        ttfa is the wall time until the FIRST chunk's audio is on the
+        host."""
+        import time
+        t0 = time.perf_counter()
+        ttfa = None
+        parts = []
+        for out in self.stream(rng, speaker_embeds, *args, **kwargs):
+            if ttfa is None:
+                ttfa = time.perf_counter() - t0
+            parts.append(out["wav"])
+        if not parts:
+            return np.zeros((np.asarray(speaker_embeds).shape[0], 0),
+                            np.float32), 0.0
+        return np.concatenate(parts, axis=1), float(ttfa)
+
+
 @dataclass
-class StreamingSynthesizer:
+class StreamingSynthesizer(_StreamBase):
     model: Any
     variables: Any
     chunk_tokens: int = 50          # ~1 s of new audio per chunk
@@ -102,12 +145,6 @@ class StreamingSynthesizer:
                                     # window) cuts TTFA; None = chunk_tokens
     max_speech_steps: int = 512
     _jits: Dict = field(default_factory=dict)
-
-    def _jit(self, name, fn):
-        if name not in self._jits:
-            import jax
-            self._jits[name] = jax.jit(fn)
-        return self._jits[name]
 
     # ------------------------------------------------------------------
 
@@ -122,15 +159,10 @@ class StreamingSynthesizer:
         from taste_spokenlm_tpu.models.taste import TasteForCausalLM
 
         model, variables = self.model, self.variables
-        ct, lc = self.chunk_tokens, self.left_ctx_tokens
-        fc = min(self.first_chunk_tokens or ct, ct)
-        window = ct + lc
-        mpt = mel_per_token(model.config.flow)
-        mel_window_max = int(np.ceil(window * mpt)) + 4
-        # the first window has no left context (ws = 0), so it only needs
-        # to cover the first chunk itself — a small fc shrinks both the AR
-        # step count and the first flow/HiFT window
-        mel_window_first = int(np.ceil(fc * mpt)) + 4
+        fc = min(self.first_chunk_tokens or self.chunk_tokens,
+                 self.chunk_tokens)
+        (ct, lc, window, mpt,
+         mel_window_max, mel_window_first) = self._geometry(fc)
 
         # two compiled programs, ONE dispatch per chunk: the first fuses
         # init + decode chunk + window vocode (TTFA = a single launch), the
@@ -193,32 +225,9 @@ class StreamingSynthesizer:
             if last:
                 break
 
-    # ------------------------------------------------------------------
-
-    def synthesize(self, rng, speaker_embeds, taste_indices_per_word,
-                   asr_token_ids, asr_token_lengths, asr_word_ids
-                   ) -> Tuple[np.ndarray, float]:
-        """Run the full stream and return (wav [B, total], ttfa_seconds) —
-        ttfa is the wall time until the FIRST chunk's audio is on the
-        host."""
-        import time
-        t0 = time.perf_counter()
-        ttfa = None
-        parts = []
-        for out in self.stream(rng, speaker_embeds, taste_indices_per_word,
-                               asr_token_ids, asr_token_lengths,
-                               asr_word_ids):
-            if ttfa is None:
-                ttfa = time.perf_counter() - t0
-            parts.append(out["wav"])
-        if not parts:
-            return np.zeros((np.asarray(speaker_embeds).shape[0], 0),
-                            np.float32), 0.0
-        return np.concatenate(parts, axis=1), float(ttfa)
-
 
 @dataclass
-class CompletionStreamer:
+class CompletionStreamer(_StreamBase):
     """PIPELINED completion: first audio after a partial joint decode.
 
     The non-streaming completion path (and the reference's,
@@ -262,12 +271,6 @@ class CompletionStreamer:
     conditional_mode: str = "audio"
     _jits: Dict = field(default_factory=dict)
 
-    def _jit(self, name, fn):
-        if name not in self._jits:
-            import jax
-            self._jits[name] = jax.jit(fn)
-        return self._jits[name]
-
     def stream(
         self, rng, speaker_embeds,
         llm_indices, llm_token_ids, llm_token_lengths, llm_word_ids,
@@ -285,12 +288,9 @@ class CompletionStreamer:
 
         model, variables = self.model, self.variables
         scfg, tables = self.sampler_cfg, self.tables
-        ct, lc, fc = (self.chunk_tokens, self.left_ctx_tokens,
-                      self.first_chunk_tokens)
-        window = ct + lc
-        mpt = mel_per_token(model.config.flow)
-        mel_window_max = int(np.ceil(window * mpt)) + 4
-        mel_window_first = int(np.ceil(fc * mpt)) + 4
+        fc = self.first_chunk_tokens
+        (ct, lc, window, mpt,
+         mel_window_max, mel_window_first) = self._geometry(fc)
 
         jd_start = self._jit(
             "jd_start", lambda v, r, ind, ids, lens, words:
@@ -407,22 +407,3 @@ class CompletionStreamer:
                                  speaker_embeds, out_k["token_hist"],
                                  out_k["hist_len"])
 
-    def synthesize(self, rng, speaker_embeds, llm_indices, llm_token_ids,
-                   llm_token_lengths, llm_word_ids, asr_token_ids,
-                   asr_word_ids, max_steps: int = 64
-                   ) -> Tuple[np.ndarray, float]:
-        """Full pipelined completion; returns (wav, ttfa_seconds)."""
-        import time
-        t0 = time.perf_counter()
-        ttfa = None
-        parts = []
-        for out in self.stream(rng, speaker_embeds, llm_indices,
-                               llm_token_ids, llm_token_lengths, llm_word_ids,
-                               asr_token_ids, asr_word_ids, max_steps):
-            if ttfa is None:
-                ttfa = time.perf_counter() - t0
-            parts.append(out["wav"])
-        if not parts:
-            return np.zeros((np.asarray(speaker_embeds).shape[0], 0),
-                            np.float32), 0.0
-        return np.concatenate(parts, axis=1), float(ttfa)

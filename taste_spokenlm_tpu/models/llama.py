@@ -65,21 +65,14 @@ class LoraDense(nn.Module):
                 "LoraDense(quantized) does not support use_bias"
             in_dim = x.shape[-1]
             if mode == "int4":
-                from taste_spokenlm_tpu.ops.pallas.int4_matmul import (
-                    _group, dequantize_int4, matmul_int4)
-                n_scales = in_dim // _group(in_dim)
+                from taste_spokenlm_tpu.ops.quantized import (
+                    int4_apply, int4_param_shapes)
+                wp_shape, s_shape = int4_param_shapes(in_dim, self.features)
                 scale = self.param("base_scale", nn.initializers.ones,
-                                   (n_scales, self.features), jnp.float32)
+                                   s_shape, jnp.float32)
                 wp = self.param("base_q4", nn.initializers.zeros,
-                                (in_dim // 2, self.features), jnp.uint8)
-                rows = 1
-                for s in x.shape[:-1]:
-                    rows *= s
-                if rows <= 256:     # decode: VMEM-unpacking Pallas kernel
-                    y = matmul_int4(x, wp, scale).astype(self.dtype)
-                else:               # prefill: one-shot in-graph unpack
-                    w = dequantize_int4(wp, scale).astype(self.dtype)
-                    y = x.astype(self.dtype) @ w
+                                wp_shape, jnp.uint8)
+                y = int4_apply(x, wp, scale, self.dtype)
             else:
                 scale = self.param("base_scale", nn.initializers.ones,
                                    (self.features,), jnp.float32)

@@ -113,8 +113,20 @@ def matmul_int4(x: jnp.ndarray, w_packed: jnp.ndarray, scale: jnp.ndarray,
         M *= s
     xm = x.reshape(M, D).astype(jnp.bfloat16)
     bn = min(block_n, N)
-    while N % bn:
+    while N % bn and bn > 128:
         bn //= 2
+    if N % bn:
+        # N with an odd/small factor (e.g. the 4097-way S3 logits head):
+        # halving would collapse bn toward 1 — a lane dimension Mosaic
+        # cannot tile.  Zero-pad the N axis to a block multiple instead
+        # (zero weights -> zero logits in the pad, sliced off below).
+        bn = min(block_n, 1 << (N - 1).bit_length())
+        Np = -(-N // bn) * bn
+        w_packed = jnp.pad(w_packed, ((0, 0), (0, Np - N)))
+        scale = jnp.pad(scale, ((0, 0), (0, Np - N)))
+        N_out, N = N, Np
+    else:
+        N_out = N
     out = pl.pallas_call(
         functools.partial(_kernel, group=group),
         grid=(N // bn,),
@@ -127,7 +139,7 @@ def matmul_int4(x: jnp.ndarray, w_packed: jnp.ndarray, scale: jnp.ndarray,
         out_shape=jax.ShapeDtypeStruct((M, N), jnp.float32),
         interpret=interpret,
     )(xm, w_packed, scale)
-    return out.reshape(*lead, N)
+    return out[:, :N_out].reshape(*lead, N_out)
 
 
 def quantize_int4(w: jnp.ndarray, group: Optional[int] = None):

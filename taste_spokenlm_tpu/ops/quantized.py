@@ -37,6 +37,33 @@ class QDense(nn.Module):
         return y
 
 
+# decode-vs-prefill crossover for the int4 path: at <=256 rows the
+# VMEM-unpacking Pallas kernel wins (weight-read bound); above it a
+# one-shot in-graph unpack + XLA matmul wins (compute bound)
+INT4_PALLAS_MAX_ROWS = 256
+
+
+def int4_apply(x, wp, scale, dtype):
+    """Shared int4 weight-only matmul dispatch (QDense4 + LoraDense):
+    x [..., D] @ dequant(wp [D//2, N] packed, scale [D/g, N]) -> [..., N]."""
+    from taste_spokenlm_tpu.ops.pallas.int4_matmul import (
+        dequantize_int4, matmul_int4)
+    rows = 1
+    for s in x.shape[:-1]:
+        rows *= s
+    if rows <= INT4_PALLAS_MAX_ROWS:
+        return matmul_int4(x, wp, scale).astype(dtype)
+    w = dequantize_int4(wp, scale).astype(dtype)
+    return x.astype(dtype) @ w
+
+
+def int4_param_shapes(in_dim: int, features: int, group=None):
+    """(packed kernel shape, scale shape) for the int4 serving layout."""
+    from taste_spokenlm_tpu.ops.pallas.int4_matmul import _group
+    n_scales = in_dim // _group(in_dim, group)
+    return (in_dim // 2, features), (n_scales, features)
+
+
 def qmode(flag) -> "str | None":
     """Normalize a quantized_serving flag: False/None -> None, True ->
     'int8', 'int8'/'int4' pass through."""
@@ -61,22 +88,12 @@ class QDense4(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        from taste_spokenlm_tpu.ops.pallas.int4_matmul import (
-            _group, dequantize_int4, matmul_int4)
-        in_dim = x.shape[-1]
-        n_scales = in_dim // _group(in_dim)
+        wp_shape, s_shape = int4_param_shapes(x.shape[-1], self.features)
         wp = self.param("kernel_q4", nn.initializers.zeros,
-                        (in_dim // 2, self.features), jnp.uint8)
+                        wp_shape, jnp.uint8)
         scale = self.param("scale", nn.initializers.ones,
-                           (n_scales, self.features), jnp.float32)
-        rows = 1
-        for s in x.shape[:-1]:
-            rows *= s
-        if rows <= 256:
-            y = matmul_int4(x, wp, scale).astype(self.dtype)
-        else:
-            w = dequantize_int4(wp, scale).astype(self.dtype)
-            y = x.astype(self.dtype) @ w
+                           s_shape, jnp.float32)
+        y = int4_apply(x, wp, scale, self.dtype)
         if self.use_bias:
             b = self.param("bias", nn.initializers.zeros, (self.features,))
             y = y + b.astype(y.dtype)

@@ -127,12 +127,17 @@ def sample(rng: jax.Array, logits: jnp.ndarray,
     min-length EOS-rejection semantics of the reference decoders).
     """
     logits = logits.astype(jnp.float32)
+    # Temperature BEFORE the masks: mask_top_k/mask_top_p detect masked
+    # entries as `<= NEG_INF * 0.5`, and a temperature > 2 would shrink a
+    # pre-scaled NEG_INF above that threshold, blowing the bisection
+    # bracket.  Masking after scaling keeps masked entries at exactly
+    # NEG_INF and is distribution-identical for the surviving tokens.
+    logits = temperature_scale(logits, temperature)
     if banned is not None:
         logits = jnp.where(banned, NEG_INF, logits)
     if forbid_eos is not None and eos_id is not None:
         eos_mask = (jnp.arange(logits.shape[-1]) == eos_id) & forbid_eos[..., None]
         logits = jnp.where(eos_mask, NEG_INF, logits)
-    logits = temperature_scale(logits, temperature)
     if top_k is not None and top_k > 0:
         logits = mask_top_k(logits, top_k)
     if top_p is not None:

@@ -256,11 +256,17 @@ class TasteEngine:
             ridx = np.asarray(r["llm_indices"], np.int32)[:bucket]
             idx[i, :len(ridx)] = ridx
         lens = np.maximum(lens, 1)  # pad rows decode a dummy 1-token prefix
-        # [nb, 2] key batch: row i streams from its own request seed
-        seeds = np.zeros((nb,), np.uint32)
+        # [nb, 2] key batch: row i streams from its own request seed.  The
+        # proto seed is uint64; fold the high word into the key so seeds
+        # differing only above bit 31 don't silently collide.
+        lo = np.zeros((nb,), np.uint32)
+        hi = np.zeros((nb,), np.uint32)
         for i, r in enumerate(requests):
-            seeds[i] = np.uint32(r.get("seed", 0))
-        rng = jax.vmap(jax.random.PRNGKey)(jnp.asarray(seeds))
+            s = int(r.get("seed", 0)) & 0xFFFFFFFFFFFFFFFF
+            lo[i] = np.uint32(s & 0xFFFFFFFF)
+            hi[i] = np.uint32(s >> 32)
+        rng = jax.vmap(lambda l, h: jax.random.fold_in(
+            jax.random.PRNGKey(l), h))(jnp.asarray(lo), jnp.asarray(hi))
         out = self._jits[key](self.variables, rng, jnp.asarray(idx),
                               jnp.asarray(ids), jnp.asarray(lens),
                               jnp.asarray(words))

@@ -30,10 +30,31 @@ def _np(x) -> np.ndarray:
         np.asarray(x).dtype, np.floating) else np.asarray(x)
 
 
+def _dequant_int4(packed: np.ndarray, scale: np.ndarray) -> np.ndarray:
+    """Pure-numpy inverse of ops/pallas/int4_matmul.quantize_int4
+    (export must not initialize the JAX backend): packed [D//2, N] uint8
+    (lo nibble = row d, hi nibble = row d + D//2, two's complement) +
+    group-wise scales [D/g, N] -> [D, N] f32."""
+    b = packed.astype(np.int16)
+    lo = (b & 15).astype(np.int8)
+    hi = ((b >> 4) & 15).astype(np.int8)
+    lo = np.where(lo >= 8, lo - 16, lo)
+    hi = np.where(hi >= 8, hi - 16, hi)
+    q = np.concatenate([lo, hi], axis=0).astype(np.float32)
+    D, N = q.shape
+    n_g = scale.shape[0]
+    g = D // n_g
+    return (q.reshape(n_g, g, N) * scale[:, None, :]).reshape(D, N)
+
+
 def _dense_weight(p: Mapping) -> np.ndarray:
     """flax Dense params -> torch Linear weight [out, in]; dequantizes the
-    int8 serving layouts (LoraDense base_q/base_scale, QDense
-    kernel_q/scale)."""
+    quantized serving layouts (LoraDense base_q/base_q4 + base_scale,
+    QDense kernel_q/scale, QDense4 kernel_q4/scale)."""
+    if "base_q4" in p:
+        return _dequant_int4(_np(p["base_q4"]), _np(p["base_scale"])).T
+    if "kernel_q4" in p:
+        return _dequant_int4(_np(p["kernel_q4"]), _np(p["scale"])).T
     if "base_q" in p:
         return (_np(p["base_q"]).astype(np.float32)
                 * _np(p["base_scale"])[None, :]).T
