@@ -241,3 +241,20 @@ def test_exported_state_loads_into_reference(composite_pair):  # noqa: F811
             ref_sd[k].detach().float().numpy(), np.asarray(v, np.float32),
             err_msg=k)
     assert len(state) - skipped > 50  # a real model's worth of tensors
+
+
+def test_int4_layouts_export_dequantized():
+    """Regression: the int4 serving layouts (base_q4/kernel_q4) must
+    dequantize on export (pure numpy — no backend init) instead of
+    falling through to a KeyError."""
+    from taste_spokenlm_tpu.ops.pallas.int4_matmul import (
+        dequantize_int4, quantize_int4)
+    r = np.random.RandomState(5)
+    w = r.randn(64, 48).astype(np.float32)
+    packed, scale = quantize_int4(jnp.asarray(w))
+    ref = np.asarray(dequantize_int4(packed, scale)).T
+    for p in ({"base_q4": np.asarray(packed),
+               "base_scale": np.asarray(scale)},
+              {"kernel_q4": np.asarray(packed),
+               "scale": np.asarray(scale)}):
+        np.testing.assert_allclose(export._dense_weight(p), ref, atol=1e-6)

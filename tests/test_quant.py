@@ -290,3 +290,21 @@ def test_quantized_int4_head():
     rel = (np.abs(logits_fp - logits_q).max()
            / max(np.abs(logits_fp).max(), 1e-6))
     assert rel < 0.15, rel   # tiny-dim int4 noise; production D gives ~2%
+
+
+def test_int4_matmul_odd_features():
+    """Regression: N with an odd factor (the 4097-way S3 logits head)
+    must not collapse the Pallas lane block toward 1 — the N axis is
+    zero-padded to a block multiple instead."""
+    from taste_spokenlm_tpu.ops.pallas.int4_matmul import (
+        dequantize_int4, matmul_int4, quantize_int4)
+    r = np.random.RandomState(3)
+    for N in (97, 513):
+        w = r.randn(256, N).astype(np.float32)
+        packed, scale = quantize_int4(jnp.asarray(w))
+        x = jnp.asarray(r.randn(2, 256).astype(np.float32))
+        y = matmul_int4(x, packed, scale)
+        ref = x @ dequantize_int4(packed, scale)
+        assert y.shape == (2, N)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
+                                   atol=0.2)

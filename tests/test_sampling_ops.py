@@ -72,3 +72,23 @@ def test_mask_top_k_more_than_vocab():
     logits = jnp.asarray([1.0, 5.0, 3.0])
     out = np.asarray(mask_top_k(logits, 10))
     assert (out > -1e20).all()
+
+
+def test_sample_high_temperature_keeps_filters():
+    """Regression: `sample` must apply temperature BEFORE the ban/EOS
+    masks — a temperature > 2 applied after masking shrank NEG_INF above
+    the finite-range detection threshold, blowing the top-k/top-p
+    bisection bracket (top-p silently degenerated to greedy and top-k was
+    disabled)."""
+    from taste_spokenlm_tpu.ops.sampling import sample
+    V = 32
+    logits = jnp.asarray(np.random.RandomState(0).randn(V), jnp.float32)
+    banned = jnp.zeros((V,), bool).at[3].set(True)
+    f = jax.jit(lambda k: sample(k, logits, temperature=3.0, top_p=0.9,
+                                 top_k=8, banned=banned,
+                                 forbid_eos=jnp.asarray(True), eos_id=V - 1))
+    ids = {int(f(jax.random.PRNGKey(i))) for i in range(40)}
+    assert len(ids) > 2, "top-p degenerated to greedy at high temperature"
+    assert 3 not in ids and (V - 1) not in ids
+    # and the kept set is still bounded by top_k
+    assert len(ids) <= 8
