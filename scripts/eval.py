@@ -4,9 +4,10 @@
 Covers the reference eval surfaces: TasteEvalTrainer metrics
 (speech_token_accuracy / text_accuracy / a0..a3_accuracy,
 scripts/run.py:68-155 -> eval.json), bin/eval_audio.py seeded
-reconstruction with teacher forcing and the `--use-target-speech-token`
-topline, and taslm log-likelihood scoring
-(SpokenLM/scripts/eval_taslm_loglikelihood.py).
+reconstruction with teacher forcing, and taslm log-likelihood scoring
+(SpokenLM/scripts/eval_taslm_loglikelihood.py).  The
+`--use-target-speech-token` s3-topline ablation lives in
+scripts/generate_audio.py (it generates audio, not metrics).
 
 Usage (synthetic smoke):
   python scripts/eval.py --seed-model ./seed --synthetic --output eval.json

@@ -54,6 +54,14 @@ def main():
     p.add_argument("--repetition-penalty", type=float, default=1.1)
     p.add_argument("--max-speech-steps", type=int, default=64)
     p.add_argument("--mel-len-max", type=int, default=128)
+    p.add_argument("--use-target-speech-token", action="store_true",
+                   help="s3-topline ablation (reference bin/eval_audio.py "
+                        "--use_target_speech_token / eval_s3.sh): vocode the "
+                        "ground-truth S3 tokens directly, bypassing tower + "
+                        "speech decoder — the flow/vocoder quality ceiling")
+    p.add_argument("--target-speech-tokens", default=None,
+                   help="path to a .npy [B, T] int array of S3 tokens for "
+                        "--use-target-speech-token (default: synthetic)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--platform", default=None,
                    help="cpu | tpu | default (sitecustomize-proof)")
@@ -90,7 +98,20 @@ def main():
     timer = StageTimer()
     key = jax.random.PRNGKey(args.seed)
 
-    if args.task == "reconstruction":
+    if args.task == "reconstruction" and args.use_target_speech_token:
+        if args.target_speech_tokens:
+            st = np.load(args.target_speech_tokens).astype(np.int32)
+        else:
+            st = rng.randint(0, cfg.speech_decoder.speech_token_size,
+                             (b, args.max_speech_steps)).astype(np.int32)
+        with timer.stage("s3_topline_vocode"):
+            out = model.apply(
+                variables, key, jnp.asarray(st),
+                jnp.asarray([st.shape[1]] * st.shape[0]),
+                inputs["speaker_embeds"], mel_len_max=args.mel_len_max,
+                method=TasteForCausalLM.vocode)
+            jax.block_until_ready(out["waveform"])
+    elif args.task == "reconstruction":
         with timer.stage("reconstruction"):
             out = model.apply(
                 variables, key, inputs["speaker_embeds"],

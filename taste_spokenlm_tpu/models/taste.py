@@ -244,6 +244,21 @@ class TasteForCausalLM(nn.Module):
                 "speech_token_lengths": gen["speech_token_lengths"],
                 "waveform": wav, "waveform_lengths": wav_lengths}
 
+    def vocode(self, rng, speech_token_ids, speech_token_lengths,
+               speaker_embeds, mel_len_max: int = 1024
+               ) -> Dict[str, jnp.ndarray]:
+        """S3 tokens -> waveform, bypassing the tower and speech decoder —
+        the reference's `--use_target_speech_token` s3-topline ablation
+        (STAGE1_TRAIN/CosyVoice/cosyvoice/bin/eval_audio.py; eval_s3.sh):
+        reconstruct from GROUND-TRUTH speech tokens to isolate the
+        flow+vocoder quality ceiling from tokenizer/decoder errors."""
+        tokens = jnp.maximum(speech_token_ids, 0)
+        wav, wav_lengths = self.voice_generator(
+            rng, tokens, speech_token_lengths, speaker_embeds, mel_len_max)
+        return {"speech_token_ids": speech_token_ids,
+                "speech_token_lengths": speech_token_lengths,
+                "waveform": wav, "waveform_lengths": wav_lengths}
+
     def generate_completion(
         self, rng, sampler_cfg: SamplerConfig, tables,
         llm_indices, llm_token_ids, llm_token_lengths, llm_word_ids,

@@ -136,3 +136,22 @@ def test_from_pretrained_end_to_end(tmp_path_factory, pipeline):
     from taste_spokenlm_tpu.serving.server import TasteEngine
     engine = TasteEngine.from_pretrained(str(ckpt), token_buckets=(8, 16))
     assert engine.config.to_json() == cfg.to_json()
+
+
+def test_vocode_s3_topline(pipeline):
+    """`vocode` (the --use-target-speech-token s3-topline ablation) turns
+    ground-truth S3 tokens into a waveform, bypassing tower + decoder."""
+    model, variables = pipeline.model, pipeline.variables
+    cfg = model.config
+    b, t = 1, 6
+    r = np.random.RandomState(0)
+    st = jnp.asarray(r.randint(0, cfg.speech_decoder.speech_token_size,
+                               (b, t)), jnp.int32)
+    out = model.apply(
+        variables, jax.random.PRNGKey(0), st, jnp.asarray([t]),
+        jnp.asarray(r.randn(b, cfg.speech_decoder.spk_embed_dim),
+                    jnp.float32),
+        mel_len_max=16, method=TasteForCausalLM.vocode)
+    wav = np.asarray(out["waveform"])
+    assert wav.shape[0] == b and np.isfinite(wav).all()
+    assert int(out["waveform_lengths"][0]) > 0
