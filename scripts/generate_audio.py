@@ -41,11 +41,17 @@ def main():
     p.add_argument("--task", default="reconstruction",
                    choices=["reconstruction", "completion"])
     p.add_argument("--conditional-mode", default="audio",
-                   choices=["audio", "text", "zero"],
+                   choices=["audio", "text", "zero", "instruct"],
                    help="completion conditioning (generate_audio.py tasks "
                         "SpokenLLM_Conditional_Compl / _Text_Compl; forced-"
                         "text voice-control prompts = pass text via the "
-                        "processor instead of ASR)")
+                        "processor instead of ASR; instruct wraps the audio "
+                        "prefix in chat-template ids)")
+    p.add_argument("--reconstruction-mode", default="SpeechAutoEncoder",
+                   choices=["SpeechAutoEncoder", "SpokenLLM"],
+                   help="reconstruction through the tokenizer only (stage-1) "
+                        "or through the spoken LM's taste head too (stage-2 "
+                        "round trip, modeling_taste.py:1793-1857)")
     p.add_argument("--output-dir", required=True)
     p.add_argument("--extra-words", type=int, default=8)
     p.add_argument("--text-top-p", type=float, default=0.3)
@@ -112,11 +118,20 @@ def main():
                 method=TasteForCausalLM.vocode)
             jax.block_until_ready(out["waveform"])
     elif args.task == "reconstruction":
+        lm_kwargs = {}
+        if args.reconstruction_mode == "SpokenLLM":
+            v = cfg.spoken_lm.llama.vocab_size
+            lm_kwargs = dict(
+                llm_token_ids=jnp.asarray(
+                    rng.randint(2, min(100, v), (b, t_tok))),
+                llm_token_lengths=jnp.asarray([t_tok]),
+                llm_word_ids=jnp.asarray((np.arange(t_tok) // 2)[None]))
         with timer.stage("reconstruction"):
             out = model.apply(
                 variables, key, inputs["speaker_embeds"],
                 inputs["asr_token_ids"], inputs["asr_token_lengths"],
                 inputs["asr_word_ids"], inputs["audio_features"],
+                mode=args.reconstruction_mode, **lm_kwargs,
                 max_speech_steps=args.max_speech_steps,
                 mel_len_max=args.mel_len_max,
                 method=TasteForCausalLM.inference_reconstruction)
@@ -137,8 +152,18 @@ def main():
             text_top_p=args.text_top_p, taste_top_p=args.taste_top_p,
             text_temperature=args.temperature,
             repetition_penalty=args.repetition_penalty)
-        if args.conditional_mode != "audio":
+        if args.conditional_mode not in ("audio", "instruct"):
             scfg = scfg._replace(has_prefix=False)
+        instruct = {}
+        if args.conditional_mode == "instruct":
+            # chat-template wrapper ids around the fused audio prefix
+            # (modeling_taste.py:1101-1124); synthetic stand-ins here, real
+            # template ids when a tokenizer is wired in
+            instruct = dict(
+                instruct_prefix_ids=jnp.asarray(
+                    rng.randint(2, min(100, v), (4,))),
+                instruct_suffix_ids=jnp.asarray(
+                    rng.randint(2, min(100, v), (3,))))
         with timer.stage("completion_decode"):
             gen = model.apply(
                 variables, key, scfg, tables,
@@ -146,7 +171,7 @@ def main():
                 None if args.conditional_mode == "zero" else llm_ids,
                 None if args.conditional_mode == "zero" else jnp.asarray([t_tok]),
                 None if args.conditional_mode == "zero" else llm_words,
-                args.conditional_mode, 64,
+                args.conditional_mode, 64, **instruct,
                 method=TasteForCausalLM.generate_completion)
             jax.block_until_ready(gen["llm_token_ids"])
         n_words = int(gen["num_taste_words"][0])
