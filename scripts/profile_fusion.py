@@ -112,10 +112,26 @@ def main():
             return x
         return jax.jit(run)
 
+    # ---- layout P: Pallas int8 streaming kernel per fused projection -----
+    from taste_spokenlm_tpu.ops.pallas.int8_matmul import matmul_int8
+
+    def step_p(x, ws):
+        for lw in ws:   # fused layout weights (qkv, o, gateup, down)
+            qkv = matmul_int8(x, *lw[0]).astype(jnp.bfloat16)
+            q, k, v = qkv[:, :H], qkv[:, H:H + KV], qkv[:, H + KV:]
+            att = q + jnp.pad(k + v, ((0, 0), (0, H - KV)))
+            x = x + matmul_int8(att, *lw[1]).astype(jnp.bfloat16)
+            gu = matmul_int8(x, *lw[2]).astype(jnp.bfloat16)
+            g, u = gu[:, :I], gu[:, I:]
+            x = x + matmul_int8(jax.nn.silu(g) * u,
+                                *lw[3]).astype(jnp.bfloat16)
+        return x
+
     gb = sum(a * b for a, b in shapes) * L / 1e9
     print(f"weights: {gb:.2f} GB int8; {args.steps} steps/call")
     for name, step, ws in (("A separate", step_a, ws_a),
                            ("B fused", step_b, ws_b),
+                           ("P pallas-fused", step_p, ws_b),
                            ("C giant", step_c, None)):
         fn = loop(step, ws)
         x0 = jnp.asarray(r.randn(1, H).astype(np.float32))
