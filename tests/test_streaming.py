@@ -362,3 +362,20 @@ def test_completion_streamer_matches_plain_stream_when_jd_first(
     wav_s = np.concatenate([c["wav"] for c in chunks_s], axis=1)
     assert wav_p.shape == wav_s.shape
     np.testing.assert_allclose(wav_p, wav_s, atol=1e-5)
+
+
+def test_completion_streamer_synthesize_drain(completion_setup):
+    """The shared-base synthesize() wrapper (drain + TTFA) forwards the
+    CompletionStreamer's extra positional/keyword args to stream()."""
+    cfg, model, variables, a, scfg, tables, jd, syn_asr = completion_setup
+    from taste_spokenlm_tpu.frontend.streaming import CompletionStreamer
+    streamer = CompletionStreamer(
+        model, variables, scfg, tables, chunk_tokens=5, left_ctx_tokens=3,
+        crossfade_tokens=1, first_chunk_tokens=2, jd_first_chunk=3,
+        jd_chunk=4, min_start_words=1, max_speech_steps=12)
+    wav, ttfa = streamer.synthesize(
+        jax.random.PRNGKey(11), a["speaker_embeds"], jd["llm_indices"],
+        jd["llm_token_ids"], jd["llm_token_lengths"], jd["llm_word_ids"],
+        syn_asr["asr_token_ids"], syn_asr["asr_word_ids"], max_steps=10)
+    assert wav.shape[0] == 1 and np.isfinite(wav).all()
+    assert ttfa >= 0.0
