@@ -73,6 +73,14 @@ def main():
                    help="cpu | tpu | default (sitecustomize-proof)")
     args = p.parse_args()
 
+    if args.use_target_speech_token and args.task != "reconstruction":
+        p.error("--use-target-speech-token is a reconstruction-task "
+                "ablation; combine it with --task reconstruction")
+    if args.use_target_speech_token and args.reconstruction_mode != \
+            "SpeechAutoEncoder":
+        p.error("--use-target-speech-token bypasses the LM entirely and "
+                "cannot be combined with --reconstruction-mode SpokenLLM")
+
     from taste_spokenlm_tpu.utils.platform import force_platform
     force_platform(args.platform)
 

@@ -138,7 +138,8 @@ def main():
         _ = float(jnp.sum(fn(x0)))   # compile + warm
         walls = []
         for i in range(args.iters):
-            xi = x0 + i * 1e-6        # vary input per call (tunnel memo)
+            xi = x0 + (i + 1) * 1e-6  # vary input per call (tunnel memo);
+            # i=0 must also differ from the warmup input x0
             t0 = time.perf_counter()
             _ = float(jnp.sum(fn(xi)))  # host readback forces execution
             walls.append(time.perf_counter() - t0)

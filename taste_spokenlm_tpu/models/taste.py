@@ -251,8 +251,12 @@ class TasteForCausalLM(nn.Module):
         the reference's `--use_target_speech_token` s3-topline ablation
         (STAGE1_TRAIN/CosyVoice/cosyvoice/bin/eval_audio.py; eval_s3.sh):
         reconstruct from GROUND-TRUTH speech tokens to isolate the
-        flow+vocoder quality ceiling from tokenizer/decoder errors."""
-        tokens = jnp.maximum(speech_token_ids, 0)
+        flow+vocoder quality ceiling from tokenizer/decoder errors.
+
+        External dumps may carry EOS/pad markers (>= speech_token_size);
+        clamp both ends — an OOB embedding gather NaNs the waveform."""
+        tokens = jnp.clip(speech_token_ids, 0,
+                          self.config.speech_decoder.speech_token_size - 1)
         wav, wav_lengths = self.voice_generator(
             rng, tokens, speech_token_lengths, speaker_embeds, mel_len_max)
         return {"speech_token_ids": speech_token_ids,
