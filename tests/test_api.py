@@ -155,3 +155,26 @@ def test_vocode_s3_topline(pipeline):
     wav = np.asarray(out["waveform"])
     assert wav.shape[0] == b and np.isfinite(wav).all()
     assert int(out["waveform_lengths"][0]) > 0
+
+
+def test_vocode_clamps_out_of_vocab_tokens(pipeline):
+    """External S3 dumps carry EOS/pad markers (>= speech_token_size) and
+    negative padding; vocode must clamp them instead of doing an OOB
+    embedding gather (which NaNs the waveform on this platform)."""
+    model, variables = pipeline.model, pipeline.variables
+    cfg = model.config
+    b, t = 1, 6
+    r = np.random.RandomState(0)
+    st = r.randint(0, cfg.speech_decoder.speech_token_size, (b, t))
+    st[0, 1] = cfg.speech_decoder.speech_token_size      # EOS marker
+    st[0, 2] = cfg.speech_decoder.speech_token_size + 7  # corrupt id
+    st[0, 3] = -1                                        # pad
+    out = model.apply(
+        variables, jax.random.PRNGKey(0), jnp.asarray(st, jnp.int32),
+        jnp.asarray([t]),
+        jnp.asarray(r.randn(b, cfg.speech_decoder.spk_embed_dim),
+                    jnp.float32),
+        mel_len_max=16, method=TasteForCausalLM.vocode)
+    wav = np.asarray(out["waveform"])
+    assert np.isfinite(wav).all()
+    assert float(np.sqrt(np.mean(wav ** 2))) > 1e-8
