@@ -34,6 +34,22 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 PEAK_FLOPS = float(os.environ.get("TPU_PEAK_FLOPS", 197e12))
 
 
+def _partial_path(label):
+    import tempfile
+    return os.path.join(tempfile.gettempdir(), f"bench_partial_{label}.json")
+
+
+def _checkpoint_partial(label, metrics):
+    """Persist measurements-so-far so a tunnel outage mid-phase doesn't lose
+    them: the orchestrator recovers this file (tagged `partial`) when the
+    phase subprocess dies without printing its final JSON line."""
+    try:
+        with open(_partial_path(label), "w") as f:
+            json.dump(metrics, f, default=float)  # numpy scalars -> float
+    except Exception as e:
+        print(f"partial checkpoint ({label}) failed: {e}", file=sys.stderr)
+
+
 def _force(out):
     """Host readback of one scalar derived from the output.
 
@@ -302,6 +318,7 @@ def train_main():
     hbm1 = _memory_stats_gb()
     if hbm1 is not None:
         results["train_stage1_peak_hbm_gb"] = hbm1
+    _checkpoint_partial("train", results)
     # release stage-1 HBM before stage 2 (rebinding drops the refs;
     # locals().pop would not)
     variables = state = step = batch = batches = metrics = None
@@ -437,11 +454,32 @@ def _run_phase_subprocess(flag, timeout, label):
     return None
 
 
+def _recover_partial(label):
+    """After all attempts of a phase failed, salvage the metrics the child
+    checkpointed before dying (tunnel outage mid-phase) rather than losing
+    the whole phase; tagged so the JSON line shows they are incomplete."""
+    try:
+        with open(_partial_path(label)) as f:
+            partial = json.load(f)
+    except Exception:
+        return None
+    if not partial:
+        return None
+    print(f"{label} bench died mid-phase; recovered {len(partial)} "
+          "checkpointed metrics (tagged partial)", file=sys.stderr)
+    return {**partial, f"{label}_partial": True}
+
+
 def main():
     """Orchestrator: train + serving phases each in a subprocess, with a
     backend preflight and one retry on transient failure; merges both JSON
     lines into the single driver-facing line."""
     tiny = os.environ.get("BENCH_TINY", "") == "1"
+    for label in ("train", "serving"):     # stale partials must not leak in
+        try:
+            os.remove(_partial_path(label))
+        except OSError:
+            pass
     train_metrics, serve_metrics = {}, None
     if os.environ.get("BENCH_TRAIN", "1") == "1":
         print("=== training benchmark (subprocess) ===", file=sys.stderr)
@@ -453,7 +491,7 @@ def main():
                 "--train-only", t_timeout, "train")
             if train_metrics is not None:
                 break
-        train_metrics = train_metrics or {}
+        train_metrics = train_metrics or _recover_partial("train") or {}
     print("=== serving benchmark (subprocess) ===", file=sys.stderr)
     s_timeout = int(os.environ.get("BENCH_SERVE_TIMEOUT", "5400"))
     for _ in range(2):
@@ -464,9 +502,15 @@ def main():
         if serve_metrics is not None:
             break
     if serve_metrics is None:
-        serve_metrics = {"metric": "completion_rtf", "value": None,
-                         "unit": "wall_s_per_audio_s", "vs_baseline": None,
-                         "error": "serving bench failed"}
+        serve_metrics = _recover_partial("serving")
+    if serve_metrics is None:
+        serve_metrics = {"error": "serving bench failed"}
+    # a recovered partial may predate the completion milestone — keep the
+    # driver-facing schema stable
+    serve_metrics.setdefault("metric", "completion_rtf")
+    serve_metrics.setdefault("value", None)
+    serve_metrics.setdefault("unit", "wall_s_per_audio_s")
+    serve_metrics.setdefault("vs_baseline", None)
     print(json.dumps({**serve_metrics, **train_metrics}))
 
 
@@ -689,6 +733,8 @@ def serve_main():
     recon_rtf = recon_wall / audio_sec
     print(f"reconstruction walls={['%.2f' % t for t in times]} "
           f"audio_s={audio_sec:.2f} rtf={recon_rtf:.4f}", file=sys.stderr)
+    serve_partial = {"reconstruction_rtf": round(recon_rtf, 4)}
+    _checkpoint_partial("serving", serve_partial)
 
     # ---------------- completion path (flagship) ----------------
     # quick-start sampling config (reference README.md:35-55), extra_words
@@ -791,6 +837,14 @@ def serve_main():
     dec_wall = min(dec_walls)
     syn_wall = min(syn_walls)
     toks_per_sec = n_tokens / dec_wall if dec_wall > 0 else 0.0
+    serve_partial.update({
+        "metric": "completion_rtf",
+        "value": round((dec_wall + syn_wall) / audio_sec, 4),
+        "unit": "wall_s_per_audio_s",
+        "vs_baseline": round(0.1 * audio_sec / (dec_wall + syn_wall), 3),
+        "decode_tokens_per_sec": round(toks_per_sec, 1),
+    })
+    _checkpoint_partial("serving", serve_partial)
 
     # batched joint decode throughput (TPU-first win over the reference's
     # B=1 cache-less loop): same program, B=4 rows
@@ -820,6 +874,11 @@ def serve_main():
     print(f"B=4 decode: {min(walls4)*1e3:.0f} ms, "
           f"{toks_per_sec_b4:.1f} tok/s", file=sys.stderr)
     ttfa_nonstream_p50 = float(np.median(ttfa_samples))
+    serve_partial.update({
+        "decode_tokens_per_sec_b4": round(toks_per_sec_b4, 1),
+        "ttfa_nonstream_p50_s": round(ttfa_nonstream_p50, 4),
+    })
+    _checkpoint_partial("serving", serve_partial)
 
     # ---------------- serving under load ----------------
     # N concurrent Complete requests through the gRPC engine's micro-batcher
@@ -845,6 +904,12 @@ def serve_main():
           file=sys.stderr)
     load = run_load_test(engine, load_reqs, load_kw, max_steps=load_steps)
     print(f"serving load: {load}", file=sys.stderr)
+    serve_partial.update({
+        "serving_p50_ms": load["p50_ms"],
+        "serving_p99_ms": load["p99_ms"],
+        "serving_tokens_per_sec": load["tokens_per_sec"],
+    })
+    _checkpoint_partial("serving", serve_partial)
 
     # ---------------- streaming TTFA ----------------
     # (a) chunked synthesis alone (frontend.streaming.StreamingSynthesizer):
