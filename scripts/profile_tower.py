@@ -36,10 +36,12 @@ variables = _fill_variables(shapes, jnp.bfloat16)
 def run(v, m):
     return model(m) if False else model.apply(v, m)["last_hidden"]
 
-mels = [mel + jnp.float32(1e-4 * i) for i in range(4)]
+mels = [mel + jnp.float32(1e-4 * (i + 1)) for i in range(4)]
 jax.block_until_ready(mels)
 t0 = time.perf_counter()
-out = run(variables, mels[0]); float(jnp.sum(out.astype(jnp.float32)))
+# warmup on the BASE mel so no timed call repeats its (executable, args)
+# pair — the tunnel memoizes identical calls (CLAUDE.md)
+out = run(variables, mel); float(jnp.sum(out.astype(jnp.float32)))
 print(f"compile+first: {time.perf_counter()-t0:.1f}s")
 walls = []
 for m in mels:

@@ -292,8 +292,11 @@ class CompletionStreamer(_StreamBase):
         (ct, lc, window, mpt,
          mel_window_max, mel_window_first) = self._geometry(fc)
 
+        # keyed by max_steps: it is a CALL argument baked into the compiled
+        # decode budget — a name-only memo would silently reuse the first
+        # call's budget (and hang phase 1 when the new budget is larger)
         jd_start = self._jit(
-            "jd_start", lambda v, r, ind, ids, lens, words:
+            f"jd_start:{max_steps}", lambda v, r, ind, ids, lens, words:
             model.apply(v, r, scfg, tables, ind, ids, lens, words,
                         self.conditional_mode, max_steps, self.jd_first_chunk,
                         method=TasteForCausalLM.completion_stream_start))
@@ -401,6 +404,13 @@ class CompletionStreamer(_StreamBase):
                     asr_lens(n_words), asr_word_ids,
                     out_k["token_hist"], out_k["hist_len"])
                 words_synth = n_words
+            elif syn_done:
+                # S3 decode drained the committed text and no new words
+                # arrived this poll: only the joint decode advances — a
+                # syn_step would pay a full flow+HiFT window vocode whose
+                # output is discarded.  Zero n_new so the already-emitted
+                # chunk is not re-emitted at the next top-of-loop read.
+                out_k = dict(out_k, n_new=jnp.zeros_like(out_k["n_new"]))
             else:
                 out_k = syn_step(variables, out_k["state"],
                                  jax.random.fold_in(rng_voc, k + 1),

@@ -355,14 +355,16 @@ class TasteSpokenLM(nn.Module):
         if not return_text_logits:
             # chunked CE (+KL): every text label position sits inside the
             # ref's [sos|tokens] span, so padding ref_hidden to `total`
-            # only touches masked positions
+            # only touches masked positions.  A precomputed batch
+            # ref_logits (extract_vq pipeline) feeds the KL directly.
             if ref_hidden is not None:
                 ref_hidden = jnp.pad(
                     ref_hidden, ((0, 0), (0, total - ref_hidden.shape[1]),
                                  (0, 0)))
             text_ce, kl = chunked_ce_kl(
                 self.language_model.logits, out["last_hidden"], text_labels,
-                ref_hidden=ref_hidden, chunk_size=ce_chunk_size)
+                ref_hidden=ref_hidden, ref_logits=ref_logits,
+                chunk_size=ce_chunk_size)
             if kl is not None:
                 text_loss = (cfg.text_kl_weight * kl
                              + (1.0 - cfg.text_kl_weight) * text_ce)

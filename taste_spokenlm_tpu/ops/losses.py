@@ -85,10 +85,11 @@ def chunked_ce_kl(
     hidden: jnp.ndarray,             # [B, T, H] student hidden
     labels: jnp.ndarray,             # [B, T] int, IGNORE_ID = masked
     ref_hidden: Optional[jnp.ndarray] = None,  # [B, T, H] frozen-base hidden
+    ref_logits: Optional[jnp.ndarray] = None,  # [B, Tr, V] teacher logits
     chunk_size: int = 64,
 ):
     """Cross-entropy (+ optional KL(teacher || student)) WITHOUT ever
-    materializing the full [B, T, V] logits.
+    materializing the full [B, T, V] student logits.
 
     The projection + softmax run per time-chunk inside a sequential
     `lax.map` under `jax.checkpoint`, so peak memory is one
@@ -97,27 +98,46 @@ def chunked_ce_kl(
     liger (SURVEY §2.4).  At Llama-1B stage-2 shapes (B=8, T=513,
     V=128256) this replaces ~8 GB of f32 logits temporaries with ~260 MB.
 
-    Returns (text_ce, kl) — kl is None when ref_hidden is None.  Both are
+    The teacher comes either as hidden states (`ref_hidden`, projected
+    through the same head per chunk) or as PRECOMPUTED logits
+    (`ref_logits`, e.g. from the extract_vq pipeline); KL positions are
+    limited to the teacher's time span, matching `kl_to_reference` on the
+    unchunked path.
+
+    Returns (text_ce, kl) — kl is None when no teacher is given.  Both are
     masked means over labels != IGNORE_ID, bit-matching the unchunked
     formulation up to f32 summation order.
     """
+    assert ref_hidden is None or ref_logits is None
     b, t, h = hidden.shape
     pad = (-t) % chunk_size
+    total = t + pad
     hidden = jnp.pad(hidden, ((0, 0), (0, pad), (0, 0)))
     labels = jnp.pad(labels, ((0, 0), (0, pad)), constant_values=IGNORE_ID)
-    nch = (t + pad) // chunk_size
+    nch = total // chunk_size
     hid_c = hidden.reshape(b, nch, chunk_size, h).transpose(1, 0, 2, 3)
     lab_c = labels.reshape(b, nch, chunk_size).transpose(1, 0, 2)
+    valid_all = labels != IGNORE_ID
+    kl_valid = valid_all
     if ref_hidden is not None:
         ref_hidden = jax.lax.stop_gradient(
             jnp.pad(ref_hidden, ((0, 0), (0, pad), (0, 0))))
         ref_c = ref_hidden.reshape(b, nch, chunk_size, h).transpose(1, 0, 2, 3)
     else:
         ref_c = jnp.zeros((nch, b, chunk_size, 0), hidden.dtype)
+    if ref_logits is not None:
+        tr = ref_logits.shape[1]
+        kl_valid = valid_all & (jnp.arange(total)[None, :] < tr)
+        refl = jax.lax.stop_gradient(jnp.pad(
+            ref_logits.astype(jnp.float32), ((0, 0), (0, total - tr), (0, 0))))
+        refl_c = refl.reshape(b, nch, chunk_size, -1).transpose(1, 0, 2, 3)
+    else:
+        refl_c = jnp.zeros((nch, b, chunk_size, 0), jnp.float32)
+    klv_c = kl_valid.reshape(b, nch, chunk_size).transpose(1, 0, 2)
 
     @jax.checkpoint
     def one(args):
-        h_c, l_c, r_c = args
+        h_c, l_c, r_c, rl_c, kv_c = args
         valid = l_c != IGNORE_ID
         logits = logits_fn(h_c).astype(jnp.float32)
         logp = jax.nn.log_softmax(logits, -1)
@@ -125,18 +145,22 @@ def chunked_ce_kl(
             logp, jnp.maximum(l_c, 0)[..., None], axis=-1)[..., 0]
         nll_sum = jnp.sum(jnp.where(valid, nll, 0.0))
         n_valid = jnp.sum(valid)
-        if r_c.shape[-1] > 0:
-            tprob = jax.nn.softmax(logits_fn(r_c).astype(jnp.float32), -1)
+        if r_c.shape[-1] > 0 or rl_c.shape[-1] > 0:
+            tlogits = (logits_fn(r_c).astype(jnp.float32)
+                       if r_c.shape[-1] > 0 else rl_c)
+            tprob = jax.nn.softmax(tlogits, -1)
             logt = jnp.log(jnp.maximum(tprob, 1e-20))
             kl = jnp.sum(tprob * (logt - logp), axis=-1)
-            kl_sum = jnp.sum(jnp.where(valid, kl, 0.0))
+            kl_sum = jnp.sum(jnp.where(kv_c, kl, 0.0))
+            kl_cnt = jnp.sum(kv_c)
         else:
             kl_sum = jnp.zeros(())
-        return nll_sum, n_valid, kl_sum
+            kl_cnt = jnp.zeros((), jnp.int32)
+        return nll_sum, n_valid, kl_sum, kl_cnt
 
-    nll_sums, n_valids, kl_sums = jax.lax.map(one, (hid_c, lab_c, ref_c))
-    denom = jnp.maximum(jnp.sum(n_valids), 1)
-    text_ce = jnp.sum(nll_sums) / denom
-    if ref_hidden is None:
+    nll_sums, n_valids, kl_sums, kl_cnts = jax.lax.map(
+        one, (hid_c, lab_c, ref_c, refl_c, klv_c))
+    text_ce = jnp.sum(nll_sums) / jnp.maximum(jnp.sum(n_valids), 1)
+    if ref_hidden is None and ref_logits is None:
         return text_ce, None
-    return text_ce, jnp.sum(kl_sums) / denom
+    return text_ce, jnp.sum(kl_sums) / jnp.maximum(jnp.sum(kl_cnts), 1)

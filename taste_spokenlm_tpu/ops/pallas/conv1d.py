@@ -50,7 +50,8 @@ def conv1d_same(x: jnp.ndarray, w: jnp.ndarray,
     outside the kernel (XLA fuses it into the output write).  On CPU the
     kernel runs in interpret mode (tests / parity)."""
     if interpret is None:
-        interpret = jax.default_backend() != "tpu"
+        # "axon" is this machine's TPU PJRT plugin name (utils/platform.py)
+        interpret = jax.default_backend() not in ("tpu", "axon")
     return _conv1d_same(x, w, b, dilation=dilation, tile=tile,
                         interpret=interpret)
 

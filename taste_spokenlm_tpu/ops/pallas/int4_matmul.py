@@ -100,7 +100,8 @@ def matmul_int4(x: jnp.ndarray, w_packed: jnp.ndarray, scale: jnp.ndarray,
     """x [..., D] bf16/f32, w_packed [D//2, N] uint8,
     scale [D//group, N] f32 -> [..., N] f32."""
     if interpret is None:
-        interpret = jax.default_backend() != "tpu"
+        # "axon" is this machine's TPU PJRT plugin name (utils/platform.py)
+        interpret = jax.default_backend() not in ("tpu", "axon")
     lead = x.shape[:-1]
     D = x.shape[-1]
     Dh, N = w_packed.shape

@@ -448,3 +448,29 @@ def test_chunked_ce_kl_matches_unchunked(setup):
     assert "text_logits" not in lean
     for k in ("loss", "text_loss", "taste_loss", "text_kl"):
         assert float(lean[k]) == pytest.approx(float(full[k]), rel=1e-5), k
+
+
+def test_chunked_ce_with_precomputed_ref_logits(setup):
+    """Batch-supplied ref_logits must drive the KL on the chunked path too
+    (make_stage2_step passes batch['ref_logits'] with
+    return_text_logits=False); regression: the KL silently vanished."""
+    cfg, model, variables, (cb, indices, ids, lens, word_ids) = setup
+    b = ids.shape[0]
+
+    def base_fwd(m, ref_ids, ref_lens):
+        o = m.language_model(input_ids=ref_ids, attention_lengths=ref_lens,
+                             disable_lora=True)
+        return m.language_model.logits(o["last_hidden"])
+
+    ref_ids = jnp.concatenate(
+        [jnp.full((b, 1), cfg.sos_id, ids.dtype), ids], axis=1)
+    ref_logits = model.apply(variables, ref_ids, lens + 1, method=base_fwd)
+
+    full = model.apply(variables, cb, indices, ids, lens, word_ids,
+                       ref_logits=ref_logits)
+    lean = model.apply(variables, cb, indices, ids, lens, word_ids,
+                       ref_logits=ref_logits, return_text_logits=False,
+                       ce_chunk_size=3)
+    assert "text_kl" in lean, "chunked path dropped the supplied-ref KL"
+    for k in ("loss", "text_loss", "text_kl"):
+        assert float(lean[k]) == pytest.approx(float(full[k]), rel=1e-5), k

@@ -364,6 +364,43 @@ def test_completion_streamer_matches_plain_stream_when_jd_first(
     np.testing.assert_allclose(wav_p, wav_s, atol=1e-5)
 
 
+def test_completion_streamer_reuse_with_different_max_steps(completion_setup):
+    """A second stream() on the SAME instance with a different max_steps
+    must honor the new decode budget (regression: the jd_start jit was
+    memoized by name only, so the second call silently reused the first
+    budget and could hang phase 1 when the new budget was larger)."""
+    cfg, model, variables, a, scfg, tables, jd, syn_asr = completion_setup
+    from taste_spokenlm_tpu.frontend.streaming import CompletionStreamer
+    streamer = CompletionStreamer(
+        model, variables, scfg, tables, chunk_tokens=5, left_ctx_tokens=3,
+        crossfade_tokens=1, first_chunk_tokens=2, jd_first_chunk=3,
+        jd_chunk=4, min_start_words=1, max_speech_steps=12)
+
+    def run(max_steps):
+        return list(streamer.stream(
+            jax.random.PRNGKey(11), a["speaker_embeds"], jd["llm_indices"],
+            jd["llm_token_ids"], jd["llm_token_lengths"], jd["llm_word_ids"],
+            syn_asr["asr_token_ids"], syn_asr["asr_word_ids"],
+            max_steps=max_steps))
+
+    small = run(4)
+    large = run(10)
+    fresh = CompletionStreamer(
+        model, variables, scfg, tables, chunk_tokens=5, left_ctx_tokens=3,
+        crossfade_tokens=1, first_chunk_tokens=2, jd_first_chunk=3,
+        jd_chunk=4, min_start_words=1, max_speech_steps=12)
+    expect = list(fresh.stream(
+        jax.random.PRNGKey(11), a["speaker_embeds"], jd["llm_indices"],
+        jd["llm_token_ids"], jd["llm_token_lengths"], jd["llm_word_ids"],
+        syn_asr["asr_token_ids"], syn_asr["asr_word_ids"], max_steps=10))
+    assert small and small[-1]["is_last"]
+    assert large and large[-1]["is_last"]
+    assert large[-1]["n_words"] == expect[-1]["n_words"]
+    wav_l = np.concatenate([c["wav"] for c in large], axis=1)
+    wav_e = np.concatenate([c["wav"] for c in expect], axis=1)
+    np.testing.assert_allclose(wav_l, wav_e, atol=1e-5)
+
+
 def test_completion_streamer_synthesize_drain(completion_setup):
     """The shared-base synthesize() wrapper (drain + TTFA) forwards the
     CompletionStreamer's extra positional/keyword args to stream()."""
