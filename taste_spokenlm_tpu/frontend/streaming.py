@@ -167,35 +167,40 @@ class StreamingSynthesizer(_StreamBase):
         # two compiled programs, ONE dispatch per chunk: the first fuses
         # init + decode chunk + window vocode (TTFA = a single launch), the
         # steady-state one fuses decode chunk + window vocode with the token
-        # history carried on-device
+        # history carried on-device.  ALL key derivation (the vocoder
+        # stream rng_voc = fold_in(rng, 7919), folded per chunk) happens
+        # INSIDE the compiled programs: an eager split/fold_in outside
+        # would each dispatch a tiny program over the remote tunnel
+        # (~30 ms apiece, CLAUDE.md) — several of them cost more than the
+        # fused chunk itself.  Derivation mirrors the host math exactly,
+        # so trajectories are unchanged.
         start = self._jit(
-            "start", lambda v, r, rv, spk, taste, ids, lens, words:
-            model.apply(v, r, rv, spk, taste, ids, lens, words,
+            "start", lambda v, r, spk, taste, ids, lens, words:
+            model.apply(v, r,
+                        jax.random.fold_in(jax.random.fold_in(r, 7919), 0),
+                        spk, taste, ids, lens, words,
                         self.max_speech_steps, fc, fc, mel_window_first,
                         ct,
                         method=TasteForCausalLM.stream_start_step))
         step = self._jit(
-            "step", lambda v, st, rv, spk, hist, hl:
-            model.apply(v, st, rv, spk, hist, hl, ct, window, mel_window_max,
+            "step", lambda v, st, r, k, spk, hist, hl:
+            model.apply(v, st,
+                        jax.random.fold_in(jax.random.fold_in(r, 7919), k),
+                        spk, hist, hl, ct, window, mel_window_max,
                         method=TasteForCausalLM.stream_step))
 
         rng = jax.random.PRNGKey(0) if rng is None else rng
-        # stream_synth_init splits rng exactly like synthesize_from_taste,
-        # so the chunked decode trajectory matches the one-shot path on the
-        # same key; window vocoding draws fresh CFM noise per chunk
-        rng_voc = jax.random.fold_in(rng, 7919)
 
         emitter = _SeamEmitter(mpt, lc, self.crossfade_tokens)
         n_chunks = 1 + int(np.ceil(max(0, self.max_speech_steps - fc) / ct))
         out_k = state = None
         for k in range(n_chunks):
             if k == 0:
-                out_k = start(variables, rng, jax.random.fold_in(rng_voc, 0),
-                              speaker_embeds, taste_indices_per_word,
+                out_k = start(variables, rng, speaker_embeds,
+                              taste_indices_per_word,
                               asr_token_ids, asr_token_lengths, asr_word_ids)
             else:
-                out_k = step(variables, state,
-                             jax.random.fold_in(rng_voc, k), speaker_embeds,
+                out_k = step(variables, state, rng, k, speaker_embeds,
                              out_k["token_hist"], out_k["hist_len"])
             state = out_k["state"]
             # ONE host transfer for every per-chunk output: separate
@@ -283,7 +288,6 @@ class CompletionStreamer(_StreamBase):
         asr positions; pad positions never count toward per-phase lengths
         even if their word id collides with a real word."""
         import jax
-        import jax.numpy as jnp
         from taste_spokenlm_tpu.models.taste import TasteForCausalLM
 
         model, variables = self.model, self.variables
@@ -292,50 +296,72 @@ class CompletionStreamer(_StreamBase):
         (ct, lc, window, mpt,
          mel_window_max, mel_window_first) = self._geometry(fc)
 
-        # keyed by max_steps: it is a CALL argument baked into the compiled
-        # decode budget — a name-only memo would silently reuse the first
-        # call's budget (and hang phase 1 when the new budget is larger)
-        jd_start = self._jit(
-            f"jd_start:{max_steps}", lambda v, r, ind, ids, lens, words:
-            model.apply(v, r, scfg, tables, ind, ids, lens, words,
-                        self.conditional_mode, max_steps, self.jd_first_chunk,
-                        method=TasteForCausalLM.completion_stream_start))
+        # ALL key derivation (rng_jd/rng_syn = split(rng); rng_voc =
+        # fold_in(rng_syn, 7919), folded per chunk) happens INSIDE the
+        # compiled programs: eager split/fold_in outside would each
+        # dispatch a tiny program over the remote tunnel (~30 ms apiece,
+        # CLAUDE.md) — on the TTFA path they cost more than the decode
+        # itself.  Derivation mirrors the previous host math exactly, so
+        # trajectories are unchanged.
+        def _keys(r):
+            rj, rs = jax.random.split(r)
+            return rj, rs, jax.random.fold_in(rs, 7919)
+
         jd_step = self._jit(
             "jd_step", lambda v, st:
             model.apply(v, st, scfg, tables, self.jd_chunk,
                         method=TasteForCausalLM.completion_stream_chunk))
-        syn_start = self._jit(
-            "syn_start", lambda v, r, rv, spk, taste, ids, lens, words:
-            model.apply(v, r, rv, spk, taste, ids, lens, words,
-                        self.max_speech_steps, fc, fc, mel_window_first, ct,
-                        method=TasteForCausalLM.stream_start_step))
-        syn_extend = self._jit(
-            "syn_extend", lambda v, r, rv, spk, taste, ids, lens, words,
-            hist, hl:
-            model.apply(v, r, rv, spk, taste, ids, lens, words, hist, hl,
-                        self.max_speech_steps, ct, window, mel_window_max,
-                        method=TasteForCausalLM.stream_extend_step))
-        syn_step = self._jit(
-            "syn_step", lambda v, st, rv, spk, hist, hl:
-            model.apply(v, st, rv, spk, hist, hl, ct, window, mel_window_max,
-                        method=TasteForCausalLM.stream_step))
+
+        def _syn_start(v, r, spk, taste, ids, lens, words):
+            _, rs, rv = _keys(r)
+            return model.apply(v, rs, jax.random.fold_in(rv, 0), spk, taste,
+                               ids, lens, words,
+                               self.max_speech_steps, fc, fc,
+                               mel_window_first, ct,
+                               method=TasteForCausalLM.stream_start_step)
+
+        def _syn_extend(v, r, k, spk, taste, ids, lens, words, hist, hl):
+            _, rs, rv = _keys(r)
+            return model.apply(v, rs, jax.random.fold_in(rv, k), spk, taste,
+                               ids, lens, words, hist, hl,
+                               self.max_speech_steps, ct, window,
+                               mel_window_max,
+                               method=TasteForCausalLM.stream_extend_step)
+
+        def _syn_step(v, st, r, k, spk, hist, hl):
+            return model.apply(v, st, jax.random.fold_in(_keys(r)[2], k),
+                               spk, hist, hl, ct, window, mel_window_max,
+                               method=TasteForCausalLM.stream_step)
+
+        syn_start = self._jit("syn_start", _syn_start)
+        syn_extend = self._jit("syn_extend", _syn_extend)
+        syn_step = self._jit("syn_step", _syn_step)
+
+        # phases 1+2 in ONE dispatch (jd prefill + first jd chunk + S3
+        # prefill + first AR chunk + first vocode window): the TTFA path
+        # pays a single program launch + a single host readback instead of
+        # four round trips.  Keyed by max_steps like jd_start.
+        fused_start = self._jit(
+            f"first_audio:{max_steps}",
+            lambda v, r, ind, ids, lens, words, spk, aids, awords, avalid:
+            model.apply(v, r, scfg, tables, ind, ids, lens, words, spk,
+                        aids, awords, avalid, self.conditional_mode,
+                        max_steps, self.jd_first_chunk,
+                        self.max_speech_steps, fc, mel_window_first, ct,
+                        method=TasteForCausalLM.completion_first_audio))
 
         rng = jax.random.PRNGKey(0) if rng is None else rng
-        rng_jd, rng_syn = jax.random.split(rng)
-        rng_voc = jax.random.fold_in(rng_syn, 7919)
-        b = np.asarray(speaker_embeds).shape[0]
-        asr_words_np = np.asarray(asr_word_ids)
-        valid = np.arange(asr_words_np.shape[1])[None, :] < (
-            asr_words_np.shape[1] if asr_valid_len is None else asr_valid_len)
+        t_asr = asr_word_ids.shape[1]
+        valid = np.arange(t_asr)[None, :] < (
+            t_asr if asr_valid_len is None else asr_valid_len)
+        asr_words_np = None    # host copy, fetched AFTER the first dispatch
+                               # so the transfer overlaps device compute
 
         def asr_lens(n_words):
-            return jnp.asarray(
-                np.sum((asr_words_np < n_words) & valid,
-                       axis=1).astype(np.int32))
-
-        # ---- phase 1: joint decode until enough words for first audio ----
-        jd_state = jd_start(variables, rng_jd, llm_indices, llm_token_ids,
-                            llm_token_lengths, llm_word_ids)
+            # host numpy result: it ships WITH the next dispatch as a call
+            # argument instead of paying its own eager device put
+            return np.sum((asr_words_np < n_words) & valid,
+                          axis=1).astype(np.int32)
 
         def jd_read(st):
             h = jax.device_get({k: st[k] for k in
@@ -348,26 +374,48 @@ class CompletionStreamer(_StreamBase):
             return (int(h["n_taste"][0]) if done else words), done, \
                 np.maximum(h["out_taste"], 0)
 
-        n_words, jd_done, taste = jd_read(jd_state)
-        while not jd_done and n_words < self.min_start_words:
-            jd_state = jd_step(variables, jd_state)
-            n_words, jd_done, taste = jd_read(jd_state)
-        if n_words == 0:
-            return     # degenerate: nothing to synthesize
+        # ---- phases 1+2 fused: first audio in ONE dispatch ----
+        out0 = fused_start(variables, rng, llm_indices, llm_token_ids,
+                           llm_token_lengths, llm_word_ids, speaker_embeds,
+                           asr_token_ids, asr_word_ids, valid)
+        jd_state = out0["jd_state"]
+        asr_words_np = np.asarray(asr_word_ids)   # overlaps the dispatch
+        syn_keys = ("tokens", "n_new", "done", "wav")
+        first = jax.device_get({"n_words": out0["n_words"],
+                                "jd_done": out0["jd_done"],
+                                **{k: out0["syn"][k] for k in syn_keys}})
+        n_words, jd_done = int(first["n_words"]), bool(first["jd_done"])
+        pending_host = None
+        if n_words >= self.min_start_words or jd_done:
+            if n_words == 0:
+                return     # degenerate: nothing to synthesize
+            out_k = out0["syn"]
+            pending_host = {k: first[k] for k in syn_keys}
+        else:
+            # the first jd chunk produced too few words: DISCARD the fused
+            # call's synthesis, poll jd chunks until min_start_words, then
+            # prefill from the accumulated words (rare with sensible
+            # jd_first_chunk ~16 tokens vs min_start_words ~2)
+            while True:
+                jd_state = jd_step(variables, jd_state)
+                n_words, jd_done, taste = jd_read(jd_state)
+                if jd_done or n_words >= self.min_start_words:
+                    break
+            if n_words == 0:
+                return     # degenerate: nothing to synthesize
+            out_k = syn_start(variables, rng, speaker_embeds, taste,
+                              asr_token_ids, asr_lens(n_words), asr_word_ids)
 
-        # ---- phase 2: first audio from the words decoded so far ----
         emitter = _SeamEmitter(mpt, lc, self.crossfade_tokens)
-        taste_j = jnp.asarray(taste)
-        out_k = syn_start(variables, rng_syn, jax.random.fold_in(rng_voc, 0),
-                          speaker_embeds, taste_j, asr_token_ids,
-                          asr_lens(n_words), asr_word_ids)
         words_synth = n_words   # words the current S3 prefill has seen
 
         max_chunks = 2 + int(np.ceil(self.max_speech_steps / ct)) \
             + int(np.ceil(max_steps / self.jd_chunk))
         for k in range(max_chunks):
-            host = jax.device_get({key: out_k[key] for key in
-                                   ("tokens", "n_new", "done", "wav")})
+            if pending_host is not None:
+                host, pending_host = pending_host, None
+            else:
+                host = jax.device_get({key: out_k[key] for key in syn_keys})
             n_new = int(host["n_new"])
             syn_done = bool(host["done"].all())
             final_text = jd_done and words_synth >= n_words
@@ -397,23 +445,21 @@ class CompletionStreamer(_StreamBase):
                 n_words, jd_done, taste = jd_read(jd_state)
             if n_words > words_synth:
                 # new words: re-contextualize (extend prefill + replay)
-                taste_j = jnp.asarray(taste)
                 out_k = syn_extend(
-                    variables, rng_syn, jax.random.fold_in(rng_voc, k + 1),
-                    speaker_embeds, taste_j, asr_token_ids,
-                    asr_lens(n_words), asr_word_ids,
+                    variables, rng, k + 1, speaker_embeds, taste,
+                    asr_token_ids, asr_lens(n_words), asr_word_ids,
                     out_k["token_hist"], out_k["hist_len"])
                 words_synth = n_words
             elif syn_done:
                 # S3 decode drained the committed text and no new words
                 # arrived this poll: only the joint decode advances — a
                 # syn_step would pay a full flow+HiFT window vocode whose
-                # output is discarded.  Zero n_new so the already-emitted
+                # output is discarded.  Zero n_new (host-side: device_get
+                # passes numpy scalars through) so the already-emitted
                 # chunk is not re-emitted at the next top-of-loop read.
-                out_k = dict(out_k, n_new=jnp.zeros_like(out_k["n_new"]))
+                out_k = dict(out_k, n_new=np.int32(0))
             else:
-                out_k = syn_step(variables, out_k["state"],
-                                 jax.random.fold_in(rng_voc, k + 1),
+                out_k = syn_step(variables, out_k["state"], rng, k + 1,
                                  speaker_embeds, out_k["token_hist"],
                                  out_k["hist_len"])
 

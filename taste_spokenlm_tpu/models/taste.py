@@ -388,6 +388,56 @@ class TasteForCausalLM(nn.Module):
         return self.spoken_lm.generate_stream_chunk(
             state, self._cb(), sampler_cfg, tables, chunk_steps)
 
+    def completion_first_audio(
+        self, rng, sampler_cfg, tables, llm_indices, llm_token_ids,
+        llm_token_lengths, llm_word_ids, speaker_embeds, asr_token_ids,
+        asr_word_ids, asr_valid, conditional_mode: str = "audio",
+        max_steps: int = 256, jd_first_chunk: int = 16,
+        max_speech_steps: int = 512, first_chunk_tokens: int = 16,
+        mel_window_first: int = 128, hist_pad: int = 0,
+    ):
+        """completion_stream_start + the first synthesis chunk in ONE
+        dispatch: joint-LM prefill, `jd_first_chunk` joint decode steps,
+        S3 prefill over the words decoded so far, `first_chunk_tokens` AR
+        steps and one small flow/HiFT window — first audio leaves the
+        device after a single program launch.  Every host round trip on
+        the TTFA path costs ~30 ms over the remote tunnel (CLAUDE.md);
+        the unfused path pays four of them before the first sample.
+
+        Key derivation, the word count, the taste clamp and the asr
+        lengths mirror frontend.streaming.CompletionStreamer's host math
+        bit-for-bit (rng_jd/rng_syn = split(rng); vocoder stream =
+        fold_in(fold_in(rng_syn, 7919), 0); complete words only while
+        decoding; `asr_valid` masks tokenizer pad positions), so the fused
+        stream continues identically from the returned states.
+
+        The caller must check `n_words >= min_start_words OR jd_done` on
+        the host; when false the synthesis outputs were computed from too
+        little text and must be DISCARDED (fall back to jd chunk polling +
+        a separate stream_start_step) — the decode budget `jd_first_chunk`
+        simply hadn't produced enough words for first audio yet.
+        """
+        rng_jd, rng_syn = jax.random.split(rng)
+        st = self.spoken_lm.generate_stream_init(
+            rng_jd, self._cb(), llm_indices, llm_token_ids,
+            llm_token_lengths, llm_word_ids, conditional_mode, max_steps)
+        st = self.spoken_lm.generate_stream_chunk(
+            st, self._cb(), sampler_cfg, tables, jd_first_chunk)
+        words = jnp.minimum(st["n_taste"][0],
+                            jnp.maximum(st["word_id_cur"][0], 0))
+        jd_done = jnp.all(st["done"]) | (st["step"] >= max_steps)
+        n_words = jnp.where(jd_done, st["n_taste"][0], words)
+        taste = jnp.maximum(st["out_taste"], 0)
+        asr_lens = jnp.sum((asr_word_ids < n_words) & asr_valid,
+                           axis=1).astype(jnp.int32)
+        rng_voc = jax.random.fold_in(jax.random.fold_in(rng_syn, 7919), 0)
+        syn = self.stream_start_step(
+            rng_syn, rng_voc, speaker_embeds, taste, asr_token_ids,
+            asr_lens, asr_word_ids, max_speech_steps, first_chunk_tokens,
+            first_chunk_tokens, mel_window_first, hist_pad)
+        return {"jd_state": st, "syn": syn, "n_words": n_words,
+                "jd_done": jd_done}
+
     def stream_extend_step(self, rng, rng_voc, speaker_embeds,
                            taste_indices_per_word, asr_token_ids,
                            asr_token_lengths, asr_word_ids,

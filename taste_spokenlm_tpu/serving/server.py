@@ -52,22 +52,33 @@ class TasteEngine:
                 return b
         return self.token_buckets[-1]
 
+    @staticmethod
+    def _host_key(seed) -> np.ndarray:
+        """Deterministic PRNG key from the proto's uint64 seed, built on the
+        HOST: equals np.asarray(jax.random.PRNGKey(seed)) for seeds < 2**32
+        (the threefry key layout is [hi, lo] uint32), and mixes the high
+        word in for larger seeds — jax.random.PRNGKey alone would raise
+        OverflowError at >= 2**63 and silently truncate above 2**32.  A
+        host-built key also ships WITH the request's dispatch instead of
+        paying its own eager device op (~30 ms over the remote tunnel)."""
+        s = int(seed) & 0xFFFFFFFFFFFFFFFF
+        lo, hi = s & 0xFFFFFFFF, s >> 32
+        return np.array([0, lo ^ ((hi * 0x9E3779B9) & 0xFFFFFFFF)],
+                        np.uint32)
+
     def _pad_tokens(self, ids, word_ids, bucket):
-        import jax.numpy as jnp
-        # truncate overlong requests to the largest bucket
+        # host numpy outputs: they ship with the next dispatch as call
+        # arguments instead of paying per-array eager device puts
         ids = list(ids)[:bucket]
         word_ids = list(word_ids)[:bucket]
         n = len(ids)
         pad = bucket - n
         ids = np.pad(np.asarray(ids, np.int32), (0, pad))
         word_ids = np.pad(np.asarray(word_ids, np.int32), (0, pad))
-        return (jnp.asarray(ids[None]), jnp.asarray([n], np.int32),
-                jnp.asarray(word_ids[None]))
+        return (ids[None], np.asarray([n], np.int32), word_ids[None])
 
     def tokenize(self, mel: np.ndarray, asr_ids, asr_word_ids) -> np.ndarray:
         import jax
-        import jax.numpy as jnp
-        from taste_spokenlm_tpu.models.taste import TasteForCausalLM
         bucket = self._bucket(len(asr_ids))
         key = ("tokenize", bucket)
         if key not in self._jits:
@@ -76,13 +87,12 @@ class TasteEngine:
                                           v, mel, ids, lens, words,
                                           method=lambda m, *a: m.audio_tower(*a)))
         ids, lens, words = self._pad_tokens(asr_ids, asr_word_ids, bucket)
-        out = self._jits[key](self.variables, jnp.asarray(mel[None]), ids,
+        out = self._jits[key](self.variables, np.asarray(mel)[None], ids,
                               lens, words)
         return np.asarray(out["quantized_indices"])[0, :len(asr_ids)]
 
     def reconstruct(self, mel, asr_ids, asr_word_ids, spk, max_steps, seed):
         import jax
-        import jax.numpy as jnp
         from taste_spokenlm_tpu.models.taste import TasteForCausalLM
         bucket = self._bucket(len(asr_ids))
         mel_len_max = max(32, int(np.ceil(max_steps / 50 * 22050 / 256)) + 8)
@@ -96,9 +106,9 @@ class TasteEngine:
             self._jits[key] = jax.jit(fn)
         ids, lens, words = self._pad_tokens(asr_ids, asr_word_ids, bucket)
         t0 = time.perf_counter()
-        out = self._jits[key](self.variables, jax.random.PRNGKey(seed),
-                              jnp.asarray(spk[None]), ids, lens, words,
-                              jnp.asarray(mel[None]))
+        out = self._jits[key](self.variables, self._host_key(seed),
+                              np.asarray(spk)[None], ids, lens, words,
+                              np.asarray(mel)[None])
         wav = np.asarray(out["waveform"])[0]
         n = int(out["waveform_lengths"][0])
         wall = time.perf_counter() - t0
@@ -114,8 +124,6 @@ class TasteEngine:
         windowed flow/HiFT, frontend.streaming).  Shapes are bucketed like
         the other flows so repeated requests hit the jit cache; one
         StreamingSynthesizer (3 compiled programs) is cached per bucket."""
-        import jax
-        import jax.numpy as jnp
         from taste_spokenlm_tpu.frontend.streaming import StreamingSynthesizer
         bucket = self._bucket(len(asr_ids))
         taste = np.asarray(taste_indices, np.int32).reshape(
@@ -134,9 +142,9 @@ class TasteEngine:
                 max_speech_steps=max_steps)
         streamer = self._jits[key]
         ids, lens, words = self._pad_tokens(asr_ids, asr_word_ids, bucket)
-        it = streamer.stream(jax.random.PRNGKey(seed),
-                             jnp.asarray(np.asarray(spk, np.float32)[None]),
-                             jnp.asarray(taste_pad), ids, lens, words)
+        it = streamer.stream(self._host_key(seed),
+                             np.asarray(spk, np.float32)[None],
+                             taste_pad, ids, lens, words)
         for out in it:
             yield out["wav"][0], bool(out["is_last"]), int(out["n_new"])
 
@@ -163,8 +171,6 @@ class TasteEngine:
         `asr_word_ids` are the full-budget asr tokenization of the
         completion text (word w of the decode = asr positions with word id
         w); shapes are bucketed so repeated requests hit the jit cache."""
-        import jax
-        import jax.numpy as jnp
         from taste_spokenlm_tpu.frontend.streaming import CompletionStreamer
         from taste_spokenlm_tpu.models.sampler import SamplerConfig
         bucket = self._bucket(len(llm_ids))
@@ -191,9 +197,9 @@ class TasteEngine:
         a_ids, _, a_words = self._pad_tokens(asr_ids, asr_word_ids,
                                              asr_bucket)
         it = streamer.stream(
-            jax.random.PRNGKey(seed),
-            jnp.asarray(np.asarray(spk, np.float32)[None]),
-            jnp.asarray(idx), ids, lens, words, a_ids, a_words,
+            self._host_key(seed),
+            np.asarray(spk, np.float32)[None],
+            idx, ids, lens, words, a_ids, a_words,
             max_steps=max_steps,
             asr_valid_len=min(len(asr_ids), asr_bucket))
         for out in it:
@@ -219,7 +225,6 @@ class TasteEngine:
         it was micro-batched with.  Cohorts larger than the biggest batch
         bucket are decoded in bucket-sized chunks."""
         import jax
-        import jax.numpy as jnp
         from taste_spokenlm_tpu.models.sampler import SamplerConfig
         from taste_spokenlm_tpu.models.taste import TasteForCausalLM
         self._get_tables()
@@ -237,7 +242,11 @@ class TasteEngine:
                              **sampler_kwargs)
         key = ("complete", bucket, nb, max_steps, scfg)
         if key not in self._jits:
-            def fn(v_, rng, idx, ids, lens, words):
+            def fn(v_, lo, hi, idx, ids, lens, words):
+                # per-row key derivation IN-GRAPH (an eager vmap'd fold_in
+                # would dispatch its own program over the remote tunnel)
+                rng = jax.vmap(lambda l, h: jax.random.fold_in(
+                    jax.random.PRNGKey(l), h))(lo, hi)
                 return self.model.apply(
                     v_, rng, scfg, self._tables, idx, ids, lens, words,
                     "audio", max_steps,
@@ -265,11 +274,7 @@ class TasteEngine:
             s = int(r.get("seed", 0)) & 0xFFFFFFFFFFFFFFFF
             lo[i] = np.uint32(s & 0xFFFFFFFF)
             hi[i] = np.uint32(s >> 32)
-        rng = jax.vmap(lambda l, h: jax.random.fold_in(
-            jax.random.PRNGKey(l), h))(jnp.asarray(lo), jnp.asarray(hi))
-        out = self._jits[key](self.variables, rng, jnp.asarray(idx),
-                              jnp.asarray(ids), jnp.asarray(lens),
-                              jnp.asarray(words))
+        out = self._jits[key](self.variables, lo, hi, idx, ids, lens, words)
         out = {k: np.asarray(val) for k, val in out.items()}
         return [{k: val[i] for k, val in out.items()} for i in range(n_req)]
 

@@ -321,3 +321,25 @@ def test_serving_under_load(engine):
     assert stats["total_tokens"] > 0
     assert 0 < stats["p50_ms"] <= stats["p99_ms"] <= stats["max_ms"]
     assert stats["tokens_per_sec"] > 0
+
+
+def test_host_key_matches_prngkey_and_handles_uint64_seeds():
+    """_host_key must equal jax.random.PRNGKey for 32-bit seeds (the RPC
+    contract for existing clients) and stay deterministic + distinct for
+    full-range uint64 seeds — PRNGKey alone silently truncates above 2**32
+    and raises OverflowError at >= 2**63 (regression: three RPC flows
+    passed request.seed straight through)."""
+    for s in (0, 1, 7, 2**31, 2**32 - 1):
+        np.testing.assert_array_equal(
+            TasteEngine._host_key(s), np.asarray(jax.random.PRNGKey(s)))
+    big = 2**63 + 12345          # PRNGKey(big) raises OverflowError
+    k1 = TasteEngine._host_key(big)
+    assert k1.dtype == np.uint32 and k1.shape == (2,)
+    np.testing.assert_array_equal(k1, TasteEngine._host_key(big))
+    # seeds differing only in the high word must produce different keys
+    assert not np.array_equal(TasteEngine._host_key(5),
+                              TasteEngine._host_key(5 + 2**32))
+    # a host key drives jax.random like a PRNGKey does
+    a = jax.random.normal(k1, (3,))
+    b = jax.random.normal(jnp.asarray(k1), (3,))
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

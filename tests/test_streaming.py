@@ -416,3 +416,40 @@ def test_completion_streamer_synthesize_drain(completion_setup):
         syn_asr["asr_token_ids"], syn_asr["asr_word_ids"], max_steps=10)
     assert wav.shape[0] == 1 and np.isfinite(wav).all()
     assert ttfa >= 0.0
+
+
+def test_completion_streamer_fallback_when_first_chunk_too_few_words(
+        completion_setup):
+    """When the fused first-audio dispatch's jd chunk produces fewer than
+    min_start_words, the streamer must DISCARD that synthesis and fall back
+    to jd polling + a fresh prefill — and the result must match a streamer
+    whose first jd chunk covers the same words directly (the two paths
+    prefill from the same word set on the same key)."""
+    cfg, model, variables, a, scfg, tables, jd, syn_asr = completion_setup
+    from taste_spokenlm_tpu.frontend.streaming import CompletionStreamer
+    common = dict(chunk_tokens=5, left_ctx_tokens=3, crossfade_tokens=1,
+                  first_chunk_tokens=2, max_speech_steps=12)
+
+    def run(streamer):
+        return list(streamer.stream(
+            jax.random.PRNGKey(11), a["speaker_embeds"], jd["llm_indices"],
+            jd["llm_token_ids"], jd["llm_token_lengths"], jd["llm_word_ids"],
+            syn_asr["asr_token_ids"], syn_asr["asr_word_ids"], max_steps=10))
+
+    # jd_first_chunk=1 cannot complete 2 words -> fused synthesis discarded,
+    # fallback polls jd_step (chunk 3) until >=2 words
+    fallback = run(CompletionStreamer(
+        model, variables, scfg, tables, jd_first_chunk=1, jd_chunk=3,
+        min_start_words=2, **common))
+    # jd_first_chunk=4 == 1+3: same decoded words before first audio, no
+    # fallback (the jd trajectory is chunk-size invariant)
+    direct = run(CompletionStreamer(
+        model, variables, scfg, tables, jd_first_chunk=4, jd_chunk=3,
+        min_start_words=2, **common))
+    assert fallback and fallback[-1]["is_last"]
+    assert direct and direct[-1]["is_last"]
+    assert fallback[-1]["n_words"] == direct[-1]["n_words"]
+    wav_f = np.concatenate([c["wav"] for c in fallback], axis=1)
+    wav_d = np.concatenate([c["wav"] for c in direct], axis=1)
+    assert np.isfinite(wav_f).all()
+    np.testing.assert_allclose(wav_f, wav_d, atol=1e-5)
