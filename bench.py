@@ -544,8 +544,15 @@ def serve_main():
     embed_qs = ("int4head"
                 if os.environ.get("BENCH_INT4_HEAD", "1") == "1" else True)
     if quant:
+        # use_lora=False: serving runs with the stage-2 adapters MERGED
+        # into the base weights (utils/quant.merge_lora_params, exact in
+        # float) — the unmerged decode pays ~2 r-rank matmuls per
+        # projection per AR step (~224 extra ops/step at Llama-1B r=64)
+        # for the same math.  BENCH_MERGE_LORA=0 times the unmerged path.
+        merged = os.environ.get("BENCH_MERGE_LORA", "1") == "1"
         cfg = cfg.replace(
             spoken_lm=cfg.spoken_lm.replace(
+                use_lora=cfg.spoken_lm.use_lora and not merged,
                 llama=cfg.spoken_lm.llama.replace(
                     quantized_serving=qs, quantized_embed_serving=embed_qs)),
             speech_decoder=cfg.speech_decoder.replace(

@@ -53,6 +53,12 @@ def main():
                    help="EXPORT direction: checkpoint dir (config.json + "
                         "params/) from this framework -> reference-named "
                         "torch state dict in --output")
+    p.add_argument("--merge-lora", action="store_true",
+                   help="merge the stage-2 LoRA adapters into the spoken-LM "
+                        "base kernels (W' = W + alpha/r A@B, exact in "
+                        "float) and drop them — serving-time peft "
+                        "merge_and_unload; pair with use_lora=False and "
+                        "run BEFORE --quantize-llama")
     p.add_argument("--quantize-llama", action="store_true",
                    help="store the spoken-LM backbone's base kernels as "
                         "int8 + per-channel scales (weight-only serving "
@@ -127,6 +133,19 @@ def main():
         tree["params"].setdefault("voice_generator", {})["hift"] = \
             convert.hift_params(state)
         print("converted hift")
+
+    if args.merge_lora:
+        lm = tree["params"].get("spoken_lm", {}).get("language_model")
+        if lm is None:
+            sys.exit("--merge-lora needs a converted spoken-LM backbone "
+                     "with adapters (--taste checkpoint)")
+        from taste_spokenlm_tpu.config import LoraConfig
+        from taste_spokenlm_tpu.utils.quant import merge_lora_params
+        lora = LoraConfig()
+        tree["params"]["spoken_lm"]["language_model"] = \
+            merge_lora_params(lm, lora.alpha, lora.r)
+        print(f"merged LoRA adapters into base kernels "
+              f"(alpha={lora.alpha}, r={lora.r}); serve with use_lora=False")
 
     if args.quantize_llama:
         lm = tree["params"].get("spoken_lm", {}).get("language_model")

@@ -112,6 +112,51 @@ def quantize_llama_params(tree: Dict, include_embed: bool = False,
     return out
 
 
+def merge_lora_params(tree: Dict, alpha: int, r: int) -> Dict:
+    """LlamaModel float tree WITH LoRA adapters -> plain tree with the
+    adapters merged into each base kernel (W' = W + (alpha/r) A @ B) and
+    the lora_a/lora_b leaves dropped — peft `merge_and_unload` for serving
+    (the reference deploys its stage-2 model with unmerged peft adapters,
+    /root/reference/SpokenLM/taslm/modeling_taslm.py; merged serving skips
+    the ~2 x r-rank matmuls per projection per decode step).
+
+    Exact in float arithmetic; pair with `use_lora=False` (and quantize the
+    MERGED tree).  The stage-2 in-graph frozen-base KL needs the UNMERGED
+    adapters (`disable_lora=True` recovers the base model), so this is a
+    serving-only transform."""
+    scale = alpha / r
+    out: Dict = {}
+    for key, val in tree.items():
+        if not key.startswith("layers_"):
+            out[key] = val
+            continue
+        layer_out: Dict = {}
+        for sub, subtree in val.items():
+            if sub not in ("self_attn", "mlp"):
+                layer_out[sub] = subtree
+                continue
+            mod_out: Dict = {}
+            for proj, pt in subtree.items():
+                if proj in _PROJ_NAMES and "lora_a" in pt:
+                    assert "base" in pt, (
+                        f"{key}/{sub}/{proj}: merge_lora_params runs on the "
+                        "FLOAT tree (before quantize_llama_params)")
+                    a = jnp.asarray(pt["lora_a"], jnp.float32)
+                    b = jnp.asarray(pt["lora_b"], jnp.float32)
+                    assert a.shape[1] == r, (a.shape, r)
+                    k = jnp.asarray(pt["base"]["kernel"], jnp.float32)
+                    base = dict(pt["base"], kernel=k + scale * (a @ b))
+                    mod_out[proj] = {kk: vv for kk, vv in pt.items()
+                                     if kk not in ("lora_a", "lora_b",
+                                                   "base")}
+                    mod_out[proj]["base"] = base
+                else:
+                    mod_out[proj] = pt
+            layer_out[sub] = mod_out
+        out[key] = layer_out
+    return out
+
+
 def _quantize_dense_leaf(pt: Dict, mode: str = "int8") -> Dict:
     """{"kernel", "bias"?} Dense params -> the QDense/QDense4 layout."""
     out = {k: v for k, v in pt.items() if k != "kernel"}

@@ -308,3 +308,53 @@ def test_int4_matmul_odd_features():
         assert y.shape == (2, N)
         np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
                                    atol=0.2)
+
+
+def test_merge_lora_matches_adapter_forward():
+    """merge_lora_params folds W' = W + (alpha/r) A@B into the base kernels:
+    a lora-free model on the merged tree must match the adapter model
+    bit-for-tolerance in float — the serving decode then skips the ~2
+    r-rank matmuls per projection per step (deployment-standard peft
+    merge_and_unload, which the reference never does)."""
+    from taste_spokenlm_tpu.utils.quant import merge_lora_params
+
+    lora = LoraConfig.tiny()
+    cfg = _cfg()
+    lm = LlamaModel(cfg, lora=lora)
+    rng = jax.random.PRNGKey(9)
+    ids = jax.random.randint(rng, (2, 6), 0, cfg.vocab_size)
+    v = lm.init(rng, input_ids=ids)
+
+    # lora_b initializes to zero (peft default) -> give the adapters a real
+    # contribution so the merge is actually exercised
+    def put_b(t, key=jax.random.PRNGKey(33)):
+        out = {}
+        for k, val in t.items():
+            if k == "lora_b":
+                key = jax.random.fold_in(key, hash(str(val.shape)) % 997)
+                out[k] = 0.3 * jax.random.normal(key, val.shape, val.dtype)
+            elif isinstance(val, dict):
+                out[k] = put_b(val, key)
+            else:
+                out[k] = val
+        return out
+
+    params = put_b(v["params"])
+    out_lora = lm.apply({"params": params}, input_ids=ids)
+
+    merged = merge_lora_params(params, lora.alpha, lora.r)
+    # adapters gone, base kernels changed
+    flat = jax.tree_util.tree_leaves_with_path(merged)
+    assert not any("lora" in str(p) for p, _ in flat)
+    lm_plain = LlamaModel(cfg)
+    out_merged = lm_plain.apply({"params": merged}, input_ids=ids)
+    np.testing.assert_allclose(np.asarray(out_merged["last_hidden"]),
+                               np.asarray(out_lora["last_hidden"]),
+                               atol=2e-5, rtol=1e-4)
+
+    # merged tree quantizes like any float tree
+    q = quantize_llama_params(merged)
+    assert quantization_error(merged, q) < 0.01
+    lm_q = LlamaModel(cfg.replace(quantized_serving=True))
+    out_q = lm_q.apply({"params": q}, input_ids=ids)
+    assert np.isfinite(np.asarray(out_q["last_hidden"])).all()
