@@ -550,13 +550,18 @@ def serve_main():
         # projection per AR step (~224 extra ops/step at Llama-1B r=64)
         # for the same math.  BENCH_MERGE_LORA=0 times the unmerged path.
         merged = os.environ.get("BENCH_MERGE_LORA", "1") == "1"
+        # fused qkv/gateup GEMVs (needs merged LoRA); BENCH_FUSED_QKV=0
+        # opts out for an unfused A/B
+        fused = merged and os.environ.get("BENCH_FUSED_QKV", "1") == "1"
         cfg = cfg.replace(
             spoken_lm=cfg.spoken_lm.replace(
                 use_lora=cfg.spoken_lm.use_lora and not merged,
                 llama=cfg.spoken_lm.llama.replace(
-                    quantized_serving=qs, quantized_embed_serving=embed_qs)),
+                    quantized_serving=qs, quantized_embed_serving=embed_qs,
+                    fused_qkv_serving=fused)),
             speech_decoder=cfg.speech_decoder.replace(
-                llm=cfg.speech_decoder.llm.replace(quantized_serving=qs)))
+                llm=cfg.speech_decoder.llm.replace(
+                    quantized_serving=qs, fused_qkv_serving=fused)))
     print(f"llama serving quantization: "
           f"{(qs + '+' + str(embed_qs)) if quant else 'off'}",
           file=sys.stderr)

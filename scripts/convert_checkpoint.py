@@ -67,6 +67,12 @@ def main():
     p.add_argument("--quantize-s3-decoder", action="store_true",
                    help="int8-quantize the speech decoder's AR llm stack "
                         "(pair with speech_decoder.llm.quantized_serving)")
+    p.add_argument("--fuse-qkv", action="store_true",
+                   help="emit the fused_qkv_serving layout with "
+                        "--quantize-llama / --quantize-s3-decoder: q/k/v "
+                        "(and gate/up) concatenated into single GEMV "
+                        "kernels — identical math, fewer per-step ops; "
+                        "requires --merge-lora (or an adapter-free ckpt)")
     args = p.parse_args()
 
     from taste_spokenlm_tpu.utils import convert
@@ -154,8 +160,9 @@ def main():
                      "(--llama or a composite --taste checkpoint)")
         from taste_spokenlm_tpu.utils.quant import quantize_llama_params
         tree["params"]["spoken_lm"]["language_model"] = \
-            quantize_llama_params(lm)
-        print("quantized spoken-LM base kernels to int8")
+            quantize_llama_params(lm, fuse_qkv=args.fuse_qkv)
+        print("quantized spoken-LM base kernels to int8"
+              + (" (fused qkv/gateup layout)" if args.fuse_qkv else ""))
 
     if args.quantize_s3_decoder:
         sd = tree["params"].get("speech_decoder", {})
@@ -164,10 +171,11 @@ def main():
                      "decoder (--taste checkpoint)")
         from taste_spokenlm_tpu.utils.quant import (_quantize_dense_leaf,
                                                     quantize_encoder_params)
-        sd["llm"] = quantize_encoder_params(sd["llm"])
+        sd["llm"] = quantize_encoder_params(sd["llm"], fuse_qkv=args.fuse_qkv)
         if "llm_decoder" in sd:   # logits head rides the same serving flag
             sd["llm_decoder"] = _quantize_dense_leaf(sd["llm_decoder"])
-        print("quantized S3 decoder llm stack + logits head to int8")
+        print("quantized S3 decoder llm stack + logits head to int8"
+              + (" (fused qkv layout)" if args.fuse_qkv else ""))
 
     os.makedirs(args.output, exist_ok=True)
     save_params(os.path.join(args.output, "params"), tree)

@@ -33,7 +33,17 @@ def main():
     p.add_argument("--iters", type=int, default=20)
     p.add_argument("--steps", type=int, default=64)
     p.add_argument("--layers", type=int, default=16)
+    p.add_argument("--h", type=int, default=2048, help="hidden size")
+    p.add_argument("--kv", type=int, default=512, help="kv proj out dim")
+    p.add_argument("--i", dest="inter", type=int, default=8192,
+                   help="mlp intermediate size")
+    # --s3: the S3 speech-decoder conformer stack's decode shapes
+    # (7 blocks, d=1024, MHA q/k/v/out all [1024,1024], FFN 1024<->2048)
+    p.add_argument("--s3", action="store_true")
     args = p.parse_args()
+    if args.s3:
+        args.h, args.kv, args.inter, args.layers = 1024, 1024, 2048, 7
+        args.steps = 512
     from taste_spokenlm_tpu.utils.platform import force_platform
     force_platform(args.platform)
 
@@ -46,7 +56,7 @@ def main():
     except Exception:
         pass
 
-    H, KV, I = 2048, 512, 8192
+    H, KV, I = args.h, args.kv, args.inter
     L = args.layers
     shapes = [(H, H), (H, KV), (H, KV), (H, H), (H, I), (H, I), (I, H)]
     r = np.random.RandomState(0)

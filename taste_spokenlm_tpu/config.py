@@ -237,6 +237,10 @@ class EncoderStackConfig(_Base):
     pos_enc_layer_type: str = "rel_pos_espnet"
     selfattention_layer_type: str = "rel_selfattn"
     normalize_before: bool = True
+    # serve linear_q/k/v as ONE [d, 3d] GEMV (identical math; the small S3
+    # stack's AR decode is per-op-overhead bound) — quantize with
+    # quantize_encoder_params(fuse_qkv=True)
+    fused_qkv_serving: bool = False
     static_chunk_size: int = 1  # 1 => causal LM masking
     use_cnn_module: bool = False
     cnn_module_kernel: int = 15
@@ -336,6 +340,12 @@ class LlamaConfig(_Base):
     # serves the tied lm_head from a nibble-packed transposed copy through
     # the Pallas int4 kernel (halves the largest weight read of the step)
     quantized_embed_serving: Any = False  # False | True ('int8') | 'int4head'
+    # serve q/k/v as ONE [H, Hq+2KV] GEMV and gate/up as one [H, 2I] GEMV:
+    # the B=1 AR decode step is per-op-overhead-bound on top of its HBM
+    # bytes (112 -> 64 projections/step at Llama-1B).  Requires merged LoRA
+    # (use_lora=False); quantize with quantize_llama_params(fuse_qkv=True).
+    # Identical math — the fused GEMV computes the same dot products.
+    fused_qkv_serving: bool = False
     # llama3 rope scaling
     rope_scaling_factor: float = 32.0
     rope_low_freq_factor: float = 1.0

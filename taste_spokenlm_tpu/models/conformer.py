@@ -83,15 +83,23 @@ class RelPositionAttention(nn.Module):
     num_heads: int
     dtype: Any = jnp.float32
     quantized: Any = False  # False | 'int8' | 'int4'
+    fused_qkv: bool = False  # one [d, 3d] GEMV (EncoderStackConfig flag)
 
     def setup(self):
         d = self.d_model
-        self.linear_q = _q_dense(d, self.quantized, dtype=self.dtype,
-                                 name="linear_q")
-        self.linear_k = _q_dense(d, self.quantized, dtype=self.dtype,
-                                 name="linear_k")
-        self.linear_v = _q_dense(d, self.quantized, dtype=self.dtype,
-                                 name="linear_v")
+        if self.fused_qkv:
+            # the AR decode step of the small S3 stack is per-op-overhead
+            # bound; q/k/v as one GEMV computes identical dot products
+            # (quantize with quantize_encoder_params(fuse_qkv=True))
+            self.linear_qkv = _q_dense(3 * d, self.quantized,
+                                       dtype=self.dtype, name="linear_qkv")
+        else:
+            self.linear_q = _q_dense(d, self.quantized, dtype=self.dtype,
+                                     name="linear_q")
+            self.linear_k = _q_dense(d, self.quantized, dtype=self.dtype,
+                                     name="linear_k")
+            self.linear_v = _q_dense(d, self.quantized, dtype=self.dtype,
+                                     name="linear_v")
         self.linear_out = _q_dense(d, self.quantized, dtype=self.dtype,
                                    name="linear_out")
         self.linear_pos = _q_dense(d, self.quantized, use_bias=False,
@@ -104,6 +112,13 @@ class RelPositionAttention(nn.Module):
     def _qkv(self, x):
         b, t, _ = x.shape
         h, dk = self.num_heads, self.d_model // self.num_heads
+        d = self.d_model
+        if self.fused_qkv:
+            qkv = self.linear_qkv(x)
+            q = qkv[..., :d].reshape(b, t, h, dk)
+            k = qkv[..., d:2 * d].reshape(b, t, h, dk)
+            v = qkv[..., 2 * d:].reshape(b, t, h, dk)
+            return q, k, v
         q = self.linear_q(x).reshape(b, t, h, dk)
         k = self.linear_k(x).reshape(b, t, h, dk)
         v = self.linear_v(x).reshape(b, t, h, dk)
@@ -249,12 +264,14 @@ class EncoderLayer(nn.Module):
     cnn_causal: bool = False
     dtype: Any = jnp.float32
     quantized: Any = False  # False | 'int8' | 'int4'
+    fused_qkv: bool = False
 
     def setup(self):
         mha_norm = "norm_mha" if self.conformer_names else "norm1"
         ffn_norm = "norm_ff" if self.conformer_names else "norm2"
         self.attn = RelPositionAttention(self.d_model, self.num_heads,
                                          self.dtype, self.quantized,
+                                         self.fused_qkv,
                                          name="self_attn")
         self.attn_norm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=mha_norm)
         self.ffn = PositionwiseFeedForward(self.d_model, self.ffn_dim,
@@ -358,6 +375,7 @@ class ConformerEncoder(nn.Module):
                       cnn_module_norm=cfg.cnn_module_norm,
                       cnn_causal=cfg.cnn_causal, dtype=self.dtype,
                       quantized=cfg.quantized_serving,
+                      fused_qkv=cfg.fused_qkv_serving,
                       name=f"encoders_{i}")
             for i in range(cfg.num_blocks)
         ]

@@ -155,12 +155,24 @@ class LlamaAttention(nn.Module):
         cfg = self.config
         hd = cfg.head_dim
         qz = cfg.quantized_serving
-        self.q_proj = LoraDense(cfg.num_attention_heads * hd, self.lora,
-                                dtype=self.dtype, quantized=qz)
-        self.k_proj = LoraDense(cfg.num_key_value_heads * hd, self.lora,
-                                dtype=self.dtype, quantized=qz)
-        self.v_proj = LoraDense(cfg.num_key_value_heads * hd, self.lora,
-                                dtype=self.dtype, quantized=qz)
+        if cfg.fused_qkv_serving:
+            # one [H, (Hq+2KV)] GEMV instead of three: the AR decode step is
+            # per-op-overhead-bound, not just byte-bound (quantize with
+            # utils/quant.quantize_llama_params(fuse_qkv=True)).  Adapters
+            # must be merged first (merge_lora_params) — per-projection LoRA
+            # over a fused base would re-introduce the ops fusion removes.
+            assert self.lora is None, \
+                "fused_qkv_serving requires merged LoRA (use_lora=False)"
+            self.qkv_proj = LoraDense(
+                (cfg.num_attention_heads + 2 * cfg.num_key_value_heads) * hd,
+                None, dtype=self.dtype, quantized=qz)
+        else:
+            self.q_proj = LoraDense(cfg.num_attention_heads * hd, self.lora,
+                                    dtype=self.dtype, quantized=qz)
+            self.k_proj = LoraDense(cfg.num_key_value_heads * hd, self.lora,
+                                    dtype=self.dtype, quantized=qz)
+            self.v_proj = LoraDense(cfg.num_key_value_heads * hd, self.lora,
+                                    dtype=self.dtype, quantized=qz)
         self.o_proj = LoraDense(cfg.hidden_size, self.lora, dtype=self.dtype,
                                 quantized=qz)
 
@@ -169,12 +181,22 @@ class LlamaAttention(nn.Module):
         cfg = self.config
         b, t, _ = x.shape
         hd = cfg.head_dim
-        q = self.q_proj(x, disable_lora=disable_lora).reshape(
-            b, t, cfg.num_attention_heads, hd)
-        k = self.k_proj(x, disable_lora=disable_lora).reshape(
-            b, t, cfg.num_key_value_heads, hd)
-        v = self.v_proj(x, disable_lora=disable_lora).reshape(
-            b, t, cfg.num_key_value_heads, hd)
+        if cfg.fused_qkv_serving:
+            nq = cfg.num_attention_heads * hd
+            nkv = cfg.num_key_value_heads * hd
+            qkv = self.qkv_proj(x, disable_lora=disable_lora)
+            q = qkv[..., :nq].reshape(b, t, cfg.num_attention_heads, hd)
+            k = qkv[..., nq:nq + nkv].reshape(
+                b, t, cfg.num_key_value_heads, hd)
+            v = qkv[..., nq + nkv:].reshape(
+                b, t, cfg.num_key_value_heads, hd)
+        else:
+            q = self.q_proj(x, disable_lora=disable_lora).reshape(
+                b, t, cfg.num_attention_heads, hd)
+            k = self.k_proj(x, disable_lora=disable_lora).reshape(
+                b, t, cfg.num_key_value_heads, hd)
+            v = self.v_proj(x, disable_lora=disable_lora).reshape(
+                b, t, cfg.num_key_value_heads, hd)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
         if cache is not None:
@@ -195,12 +217,21 @@ class LlamaMLP(nn.Module):
     def __call__(self, x, disable_lora: bool = False):
         cfg = self.config
         qz = cfg.quantized_serving
-        gate = LoraDense(cfg.intermediate_size, self.lora, dtype=self.dtype,
-                         name="gate_proj", quantized=qz)(
-                             x, disable_lora=disable_lora)
-        up = LoraDense(cfg.intermediate_size, self.lora, dtype=self.dtype,
-                       name="up_proj", quantized=qz)(
-                           x, disable_lora=disable_lora)
+        if cfg.fused_qkv_serving:
+            # gate+up as one [H, 2I] GEMV (see LlamaAttention.setup)
+            assert self.lora is None, \
+                "fused_qkv_serving requires merged LoRA (use_lora=False)"
+            gu = LoraDense(2 * cfg.intermediate_size, None, dtype=self.dtype,
+                           name="gateup_proj", quantized=qz)(x)
+            gate = gu[..., :cfg.intermediate_size]
+            up = gu[..., cfg.intermediate_size:]
+        else:
+            gate = LoraDense(cfg.intermediate_size, self.lora,
+                             dtype=self.dtype, name="gate_proj",
+                             quantized=qz)(x, disable_lora=disable_lora)
+            up = LoraDense(cfg.intermediate_size, self.lora, dtype=self.dtype,
+                           name="up_proj", quantized=qz)(
+                               x, disable_lora=disable_lora)
         return LoraDense(cfg.hidden_size, self.lora, dtype=self.dtype,
                          name="down_proj", quantized=qz)(
                              nn.silu(gate) * up, disable_lora=disable_lora)

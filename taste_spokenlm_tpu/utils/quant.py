@@ -78,12 +78,19 @@ def quantize_embed(table, head_mode: str = "int8") -> Dict:
 
 def quantize_llama_params(tree: Dict, include_embed: bool = False,
                           mode: str = "int8",
-                          embed_head_mode: str = "int8") -> Dict:
+                          embed_head_mode: str = "int8",
+                          fuse_qkv: bool = False) -> Dict:
     """LlamaModel param tree (bf16/f32 "base" kernels) -> the
     quantized_serving layout ("base_q"/"base_scale" per projection).
     LoRA adapters, norms, and the untied lm_head stay untouched;
     `include_embed` also converts embed_tokens (and thus the tied head)
-    to the QEmbed int8 layout (pair with quantized_embed_serving)."""
+    to the QEmbed int8 layout (pair with quantized_embed_serving).
+
+    `fuse_qkv` emits the `fused_qkv_serving` layout: q/k/v concatenated
+    into one "qkv_proj" kernel and gate/up into one "gateup_proj" (pair
+    with LlamaConfig.fused_qkv_serving; per-output-channel scales make the
+    concat exactly equal to quantizing each projection separately).
+    Requires merged adapters (merge_lora_params first)."""
     out: Dict = {}
     for key, val in tree.items():
         if key == "embed_tokens" and include_embed:
@@ -94,7 +101,23 @@ def quantize_llama_params(tree: Dict, include_embed: bool = False,
             for sub, subtree in val.items():
                 if sub in ("self_attn", "mlp"):
                     mod_out: Dict = {}
+                    fuse_names = (("q_proj", "k_proj", "v_proj")
+                                  if sub == "self_attn"
+                                  else ("gate_proj", "up_proj"))
+                    fused_name = ("qkv_proj" if sub == "self_attn"
+                                  else "gateup_proj")
+                    if fuse_qkv:
+                        assert not any("lora_a" in subtree.get(n, {})
+                                       for n in fuse_names), \
+                            "fuse_qkv needs merged LoRA (merge_lora_params)"
+                        kern = jnp.concatenate(
+                            [jnp.asarray(subtree[n]["base"]["kernel"],
+                                         jnp.float32)
+                             for n in fuse_names], axis=1)
+                        mod_out[fused_name] = quantize_kernel(kern, mode)
                     for proj, pt in subtree.items():
+                        if fuse_qkv and proj in fuse_names:
+                            continue
                         if proj in _PROJ_NAMES and "base" in pt:
                             newp = {k: v for k, v in pt.items()
                                     if k != "base"}
@@ -173,10 +196,15 @@ _ENCODER_DENSE = ("linear_q", "linear_k", "linear_v", "linear_out",
                   "linear_pos", "w_1", "w_2")
 
 
-def quantize_encoder_params(tree: Dict, mode: str = "int8") -> Dict:
+def quantize_encoder_params(tree: Dict, mode: str = "int8",
+                            fuse_qkv: bool = False) -> Dict:
     """ConformerEncoder param tree -> the quantized_serving layout: the
     per-layer attention/ffn Dense kernels become int8 + scale (input layers,
-    norms, pos biases, conv modules untouched)."""
+    norms, pos biases, conv modules untouched).
+
+    `fuse_qkv` emits the `fused_qkv_serving` layout: linear_q/k/v
+    concatenated into one "linear_qkv" (kernel, bias, and per-output-channel
+    scale concat losslessly — identical math to the separate GEMVs)."""
     out: Dict = {}
     for key, val in tree.items():
         if not key.startswith("encoders_"):
@@ -185,10 +213,24 @@ def quantize_encoder_params(tree: Dict, mode: str = "int8") -> Dict:
         layer_out: Dict = {}
         for sub, subtree in val.items():
             if sub == "self_attn":
-                layer_out[sub] = {
+                att: Dict = {}
+                if fuse_qkv:
+                    names = ("linear_q", "linear_k", "linear_v")
+                    fused = {"kernel": jnp.concatenate(
+                        [jnp.asarray(subtree[n]["kernel"], jnp.float32)
+                         for n in names], axis=1)}
+                    if "bias" in subtree[names[0]]:
+                        fused["bias"] = jnp.concatenate(
+                            [jnp.asarray(subtree[n]["bias"], jnp.float32)
+                             for n in names], axis=0)
+                    att["linear_qkv"] = _quantize_dense_leaf(fused, mode)
+                    subtree = {n: pt for n, pt in subtree.items()
+                               if n not in names}
+                att.update({
                     name: (_quantize_dense_leaf(pt, mode)
                            if name in _ENCODER_DENSE else pt)
-                    for name, pt in subtree.items()}
+                    for name, pt in subtree.items()})
+                layer_out[sub] = att
             elif sub.startswith("feed_forward"):
                 layer_out[sub] = {
                     name: (_quantize_dense_leaf(pt, mode)

@@ -358,3 +358,101 @@ def test_merge_lora_matches_adapter_forward():
     lm_q = LlamaModel(cfg.replace(quantized_serving=True))
     out_q = lm_q.apply({"params": q}, input_ids=ids)
     assert np.isfinite(np.asarray(out_q["last_hidden"])).all()
+
+
+def test_fused_qkv_serving_matches_unfused():
+    """The fused_qkv_serving layout (one qkv GEMV + one gateup GEMV per
+    layer, quantize_llama_params(fuse_qkv=True)) computes exactly the same
+    dot products as the per-projection int8 layout — outputs must agree to
+    float tolerance, full forward AND cached decode step."""
+    cfg = _cfg()
+    lm_fp = LlamaModel(cfg)
+    rng = jax.random.PRNGKey(12)
+    ids = jax.random.randint(rng, (2, 6), 0, cfg.vocab_size)
+    v = lm_fp.init(rng, input_ids=ids)
+
+    q_sep = quantize_llama_params(v["params"])
+    q_fused = quantize_llama_params(v["params"], fuse_qkv=True)
+    # fused tree: q/k/v and gate/up replaced by qkv_proj / gateup_proj
+    l0 = q_fused["layers_0"]
+    assert "qkv_proj" in l0["self_attn"] and "q_proj" not in l0["self_attn"]
+    assert "gateup_proj" in l0["mlp"] and "gate_proj" not in l0["mlp"]
+    # per-output-channel scales concat losslessly: fused == sep, bitwise
+    np.testing.assert_array_equal(
+        np.asarray(l0["self_attn"]["qkv_proj"]["base_q"]),
+        np.concatenate([np.asarray(q_sep["layers_0"]["self_attn"][n]["base_q"])
+                        for n in ("q_proj", "k_proj", "v_proj")], axis=1))
+
+    lm_sep = LlamaModel(cfg.replace(quantized_serving=True))
+    lm_fused = LlamaModel(cfg.replace(quantized_serving=True,
+                                      fused_qkv_serving=True))
+    out_sep = lm_sep.apply({"params": q_sep}, input_ids=ids)
+    out_fused = lm_fused.apply({"params": q_fused}, input_ids=ids)
+    np.testing.assert_allclose(np.asarray(out_fused["last_hidden"]),
+                               np.asarray(out_sep["last_hidden"]),
+                               atol=2e-5, rtol=1e-5)
+
+    # cached decode step agreement
+    c_sep = lm_sep.apply({"params": q_sep}, 2, 8, method=lm_sep.init_cache)
+    c_fused = lm_fused.apply({"params": q_fused}, 2, 8,
+                             method=lm_fused.init_cache)
+    o1 = lm_sep.apply({"params": q_sep}, input_ids=ids, caches=c_sep,
+                      cache_index=jnp.int32(0))
+    o2 = lm_fused.apply({"params": q_fused}, input_ids=ids, caches=c_fused,
+                        cache_index=jnp.int32(0))
+    s1 = lm_sep.apply({"params": q_sep}, input_ids=ids[:, :1],
+                      caches=o1["caches"], cache_index=jnp.int32(6),
+                      position_offset=6)
+    s2 = lm_fused.apply({"params": q_fused}, input_ids=ids[:, :1],
+                        caches=o2["caches"], cache_index=jnp.int32(6),
+                        position_offset=6)
+    np.testing.assert_allclose(np.asarray(s2["last_hidden"]),
+                               np.asarray(s1["last_hidden"]),
+                               atol=2e-5, rtol=1e-5)
+
+
+def test_fused_qkv_conformer_matches_unfused():
+    """EncoderStackConfig.fused_qkv_serving (linear_q/k/v as one linear_qkv
+    GEMV, quantize_encoder_params(fuse_qkv=True)) is exact vs the
+    per-projection layout: the quantized kernels/biases concat losslessly."""
+    from taste_spokenlm_tpu.config import EncoderStackConfig
+    from taste_spokenlm_tpu.models.conformer import ConformerEncoder
+    from taste_spokenlm_tpu.utils.quant import quantize_encoder_params
+
+    cfg = EncoderStackConfig.tiny(32, 32, 2)
+    enc = ConformerEncoder(cfg)
+    rng = jax.random.PRNGKey(13)
+    x = jax.random.normal(rng, (2, 7, 32))
+    lens = jnp.asarray([7, 5])
+    v = enc.init(rng, x, lens)
+
+    q_sep = quantize_encoder_params(v["params"])
+    q_fused = quantize_encoder_params(v["params"], fuse_qkv=True)
+    att = q_fused["encoders_0"]["self_attn"]
+    assert "linear_qkv" in att and "linear_q" not in att
+    np.testing.assert_array_equal(
+        np.asarray(att["linear_qkv"]["kernel_q"]),
+        np.concatenate(
+            [np.asarray(q_sep["encoders_0"]["self_attn"][n]["kernel_q"])
+             for n in ("linear_q", "linear_k", "linear_v")], axis=1))
+
+    enc_sep = ConformerEncoder(cfg.replace(quantized_serving=True))
+    enc_fused = ConformerEncoder(cfg.replace(quantized_serving=True,
+                                             fused_qkv_serving=True))
+    out_sep = enc_sep.apply({"params": q_sep}, x, lens)
+    out_fused = enc_fused.apply({"params": q_fused}, x, lens)
+    np.testing.assert_allclose(np.asarray(out_fused), np.asarray(out_sep),
+                               atol=2e-5, rtol=1e-5)
+
+    # cached AR decode step agreement (the path fusion targets)
+    c_sep = enc_sep.apply({"params": q_sep}, 2, 8,
+                          method=enc_sep.init_cache)
+    c_fused = enc_fused.apply({"params": q_fused}, 2, 8,
+                              method=enc_fused.init_cache)
+    step = jax.random.normal(jax.random.PRNGKey(14), (2, 1, 32))
+    o1, _ = enc_sep.apply({"params": q_sep}, step, c_sep, jnp.int32(0),
+                          method=enc_sep.decode_step)
+    o2, _ = enc_fused.apply({"params": q_fused}, step, c_fused, jnp.int32(0),
+                            method=enc_fused.decode_step)
+    np.testing.assert_allclose(np.asarray(o2), np.asarray(o1),
+                               atol=2e-5, rtol=1e-5)
