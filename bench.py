@@ -35,8 +35,14 @@ PEAK_FLOPS = float(os.environ.get("TPU_PEAK_FLOPS", 197e12))
 
 
 def _partial_path(label):
+    """Run-scoped checkpoint path: the orchestrator pins BENCH_RUN_TAG to
+    its own pid (inherited by the phase subprocesses), so two concurrent
+    bench runs can't salvage each other's partial metrics."""
     import tempfile
-    return os.path.join(tempfile.gettempdir(), f"bench_partial_{label}.json")
+    tag = os.environ.get("BENCH_RUN_TAG", "")
+    suffix = f"_{tag}" if tag else ""
+    return os.path.join(tempfile.gettempdir(),
+                        f"bench_partial_{label}{suffix}.json")
 
 
 def _checkpoint_partial(label, metrics):
@@ -411,8 +417,19 @@ def _wait_for_backend():
     Returns True once a probe sees devices; gives up after
     BENCH_PREFLIGHT_ATTEMPTS (then the phase is attempted anyway)."""
     import subprocess
-    attempts = int(os.environ.get("BENCH_PREFLIGHT_ATTEMPTS", "6"))
+    # observed tunnel outages exceed 1.5 h — be patient, but bound the
+    # TOTAL wall spent waiting across all preflights so a dead tunnel
+    # can't eat the caller's whole time budget (a down-tunnel probe HANGS
+    # at the 300 s timeout rather than erroring)
+    attempts = int(os.environ.get("BENCH_PREFLIGHT_ATTEMPTS", "15"))
+    budget_s = float(os.environ.get("BENCH_PREFLIGHT_BUDGET_S", "5400"))
     for i in range(attempts):
+        if _wait_for_backend.spent_s > budget_s:
+            print(f"backend preflight budget exhausted "
+                  f"({_wait_for_backend.spent_s:.0f}s); proceeding anyway",
+                  file=sys.stderr)
+            return False
+        t0 = time.perf_counter()
         try:
             proc = subprocess.run(
                 [sys.executable, "-c",
@@ -425,7 +442,11 @@ def _wait_for_backend():
         print(f"backend preflight {i + 1}/{attempts} failed; retrying "
               "in 60s...", file=sys.stderr)
         time.sleep(60)
+        _wait_for_backend.spent_s += time.perf_counter() - t0
     return False
+
+
+_wait_for_backend.spent_s = 0.0
 
 
 def _run_phase_subprocess(flag, timeout, label):
@@ -475,6 +496,7 @@ def main():
     backend preflight and one retry on transient failure; merges both JSON
     lines into the single driver-facing line."""
     tiny = os.environ.get("BENCH_TINY", "") == "1"
+    os.environ.setdefault("BENCH_RUN_TAG", str(os.getpid()))
     for label in ("train", "serving"):     # stale partials must not leak in
         try:
             os.remove(_partial_path(label))

@@ -73,6 +73,12 @@ def main():
                         "(and gate/up) concatenated into single GEMV "
                         "kernels — identical math, fewer per-step ops; "
                         "requires --merge-lora (or an adapter-free ckpt)")
+    p.add_argument("--config", help="config.json to start from when writing "
+                        "the output dir's config (default: TasteConfig."
+                        "full()); serving transforms (--merge-lora/"
+                        "--quantize-*/--fuse-qkv) are reflected in the "
+                        "written config so from_pretrained(output) works "
+                        "with no hand edits")
     args = p.parse_args()
 
     from taste_spokenlm_tpu.utils import convert
@@ -140,14 +146,28 @@ def main():
             convert.hift_params(state)
         print("converted hift")
 
+    # base config: --config > an existing config.json in --output >
+    # TasteConfig.full().  Resolved BEFORE the transforms so --merge-lora
+    # uses the checkpoint's actual LoRA scale, and so a re-run over an
+    # existing dir doesn't clobber its architecture with full() defaults.
+    from taste_spokenlm_tpu.config import LoraConfig, TasteConfig
+    out_cfg_path = os.path.join(args.output, "config.json")
+    if args.config:
+        with open(args.config) as f:
+            cfg = TasteConfig.from_dict(json.load(f))
+    elif os.path.exists(out_cfg_path):
+        with open(out_cfg_path) as f:
+            cfg = TasteConfig.from_dict(json.load(f))
+    else:
+        cfg = TasteConfig.full()
+
     if args.merge_lora:
         lm = tree["params"].get("spoken_lm", {}).get("language_model")
         if lm is None:
             sys.exit("--merge-lora needs a converted spoken-LM backbone "
                      "with adapters (--taste checkpoint)")
-        from taste_spokenlm_tpu.config import LoraConfig
         from taste_spokenlm_tpu.utils.quant import merge_lora_params
-        lora = LoraConfig()
+        lora = cfg.spoken_lm.lora or LoraConfig()
         tree["params"]["spoken_lm"]["language_model"] = \
             merge_lora_params(lm, lora.alpha, lora.r)
         print(f"merged LoRA adapters into base kernels "
@@ -179,6 +199,25 @@ def main():
 
     os.makedirs(args.output, exist_ok=True)
     save_params(os.path.join(args.output, "params"), tree)
+
+    # config.json mirroring the applied serving transforms, so
+    # `from_pretrained(args.output)` builds modules whose param layout
+    # matches the saved tree with no hand edits
+    if args.merge_lora:
+        cfg = cfg.replace(spoken_lm=cfg.spoken_lm.replace(use_lora=False))
+    if args.quantize_llama:
+        cfg = cfg.replace(spoken_lm=cfg.spoken_lm.replace(
+            llama=cfg.spoken_lm.llama.replace(
+                quantized_serving="int8",
+                fused_qkv_serving=args.fuse_qkv)))
+    if args.quantize_s3_decoder:
+        cfg = cfg.replace(speech_decoder=cfg.speech_decoder.replace(
+            llm=cfg.speech_decoder.llm.replace(
+                quantized_serving="int8",
+                fused_qkv_serving=args.fuse_qkv)))
+    with open(os.path.join(args.output, "config.json"), "w") as f:
+        f.write(cfg.to_json())
+
     n = sum(np.asarray(x).size for x in _flatten(tree))
     print(f"saved {args.output} ({n/1e6:.1f}M values)")
 

@@ -128,8 +128,12 @@ def chunked_ce_kl(
     if ref_logits is not None:
         tr = ref_logits.shape[1]
         kl_valid = valid_all & (jnp.arange(total)[None, :] < tr)
+        # pad/reshape in the TEACHER'S dtype (typically bf16 from the
+        # extract_vq pipeline) — upcasting here would materialize a full
+        # [B, T, V] f32 copy, defeating the chunking; the per-chunk f32
+        # cast happens inside `one`
         refl = jax.lax.stop_gradient(jnp.pad(
-            ref_logits.astype(jnp.float32), ((0, 0), (0, total - tr), (0, 0))))
+            ref_logits, ((0, 0), (0, total - tr), (0, 0))))
         refl_c = refl.reshape(b, nch, chunk_size, -1).transpose(1, 0, 2, 3)
     else:
         refl_c = jnp.zeros((nch, b, chunk_size, 0), jnp.float32)
@@ -146,8 +150,8 @@ def chunked_ce_kl(
         nll_sum = jnp.sum(jnp.where(valid, nll, 0.0))
         n_valid = jnp.sum(valid)
         if r_c.shape[-1] > 0 or rl_c.shape[-1] > 0:
-            tlogits = (logits_fn(r_c).astype(jnp.float32)
-                       if r_c.shape[-1] > 0 else rl_c)
+            tlogits = (logits_fn(r_c) if r_c.shape[-1] > 0
+                       else rl_c).astype(jnp.float32)
             tprob = jax.nn.softmax(tlogits, -1)
             logt = jnp.log(jnp.maximum(tprob, 1e-20))
             kl = jnp.sum(tprob * (logt - logp), axis=-1)

@@ -55,16 +55,15 @@ class TasteEngine:
     @staticmethod
     def _host_key(seed) -> np.ndarray:
         """Deterministic PRNG key from the proto's uint64 seed, built on the
-        HOST: equals np.asarray(jax.random.PRNGKey(seed)) for seeds < 2**32
-        (the threefry key layout is [hi, lo] uint32), and mixes the high
-        word in for larger seeds — jax.random.PRNGKey alone would raise
-        OverflowError at >= 2**63 and silently truncate above 2**32.  A
-        host-built key also ships WITH the request's dispatch instead of
+        HOST as [seed >> 32, seed & 0xffffffff] uint32: exactly
+        `np.asarray(jax.random.PRNGKey(seed))` for seeds < 2**32, and the
+        natural uint64 extension above that (this jax build TRUNCATES
+        PRNGKey seeds to the low 32 bits, verified empirically) — both
+        words carry entropy, so distinct uint64 seeds give distinct keys.
+        A host-built key also ships WITH the request's dispatch instead of
         paying its own eager device op (~30 ms over the remote tunnel)."""
         s = int(seed) & 0xFFFFFFFFFFFFFFFF
-        lo, hi = s & 0xFFFFFFFF, s >> 32
-        return np.array([0, lo ^ ((hi * 0x9E3779B9) & 0xFFFFFFFF)],
-                        np.uint32)
+        return np.array([s >> 32, s & 0xFFFFFFFF], np.uint32)
 
     def _pad_tokens(self, ids, word_ids, bucket):
         # host numpy outputs: they ship with the next dispatch as call
@@ -242,11 +241,7 @@ class TasteEngine:
                              **sampler_kwargs)
         key = ("complete", bucket, nb, max_steps, scfg)
         if key not in self._jits:
-            def fn(v_, lo, hi, idx, ids, lens, words):
-                # per-row key derivation IN-GRAPH (an eager vmap'd fold_in
-                # would dispatch its own program over the remote tunnel)
-                rng = jax.vmap(lambda l, h: jax.random.fold_in(
-                    jax.random.PRNGKey(l), h))(lo, hi)
+            def fn(v_, rng, idx, ids, lens, words):
                 return self.model.apply(
                     v_, rng, scfg, self._tables, idx, ids, lens, words,
                     "audio", max_steps,
@@ -265,16 +260,12 @@ class TasteEngine:
             ridx = np.asarray(r["llm_indices"], np.int32)[:bucket]
             idx[i, :len(ridx)] = ridx
         lens = np.maximum(lens, 1)  # pad rows decode a dummy 1-token prefix
-        # [nb, 2] key batch: row i streams from its own request seed.  The
-        # proto seed is uint64; fold the high word into the key so seeds
-        # differing only above bit 31 don't silently collide.
-        lo = np.zeros((nb,), np.uint32)
-        hi = np.zeros((nb,), np.uint32)
-        for i, r in enumerate(requests):
-            s = int(r.get("seed", 0)) & 0xFFFFFFFFFFFFFFFF
-            lo[i] = np.uint32(s & 0xFFFFFFFF)
-            hi[i] = np.uint32(s >> 32)
-        out = self._jits[key](self.variables, lo, hi, idx, ids, lens, words)
+        # [nb, 2] key batch: row i streams from its own request seed, with
+        # the SAME host-built PRNGKey layout every other RPC uses
+        # (_host_key), shipped with the dispatch
+        rng = np.stack([self._host_key(r.get("seed", 0)) for r in requests]
+                       + [self._host_key(0)] * (nb - n_req))
+        out = self._jits[key](self.variables, rng, idx, ids, lens, words)
         out = {k: np.asarray(val) for k, val in out.items()}
         return [{k: val[i] for k, val in out.items()} for i in range(n_req)]
 

@@ -138,6 +138,65 @@ def test_from_pretrained_end_to_end(tmp_path_factory, pipeline):
     assert engine.config.to_json() == cfg.to_json()
 
 
+def test_from_pretrained_quantized_fused_dir(tmp_path_factory, pipeline):
+    """A serving checkpoint dir in the merged+quantized+fused layout (what
+    `convert_checkpoint.py --merge-lora --quantize-llama
+    --quantize-s3-decoder --fuse-qkv` writes, config.json included) loads
+    through from_pretrained and decodes — the module tree built from the
+    saved config must match the saved param layout exactly."""
+    import taste_spokenlm_tpu as tst
+    from taste_spokenlm_tpu.config import LoraConfig
+    from taste_spokenlm_tpu.utils.checkpoint import save_params
+    from taste_spokenlm_tpu.utils.quant import (merge_lora_params,
+                                                quantize_llama_params,
+                                                quantize_encoder_params,
+                                                _quantize_dense_leaf)
+
+    cfg = pipeline.model.config
+    lora = LoraConfig.tiny()
+    params = jax.device_get(pipeline.variables["params"])
+    sl = dict(params["spoken_lm"])
+    sl["language_model"] = quantize_llama_params(
+        merge_lora_params(sl["language_model"], lora.alpha, lora.r),
+        fuse_qkv=True)
+    sd = dict(params["speech_decoder"])
+    sd["llm"] = quantize_encoder_params(sd["llm"], fuse_qkv=True)
+    sd["llm_decoder"] = _quantize_dense_leaf(sd["llm_decoder"])
+    tree = {"params": dict(params, spoken_lm=sl, speech_decoder=sd),
+            "quantizer": jax.device_get(pipeline.variables["quantizer"])}
+
+    serve_cfg = cfg.replace(
+        spoken_lm=cfg.spoken_lm.replace(
+            use_lora=False,
+            llama=cfg.spoken_lm.llama.replace(
+                quantized_serving="int8", fused_qkv_serving=True)),
+        speech_decoder=cfg.speech_decoder.replace(
+            llm=cfg.speech_decoder.llm.replace(
+                quantized_serving="int8", fused_qkv_serving=True)))
+
+    ckpt = tmp_path_factory.mktemp("fused_ckpt")
+    with open(ckpt / "config.json", "w") as f:
+        f.write(serve_cfg.to_json())
+    save_params(str(ckpt / "params"), tree)
+
+    model, variables, _ = tst.from_pretrained(str(ckpt))
+    assert model.config.spoken_lm.llama.fused_qkv_serving
+    rng = np.random.RandomState(5)
+    t = 8
+    out = model.apply(
+        variables, jax.random.PRNGKey(0),
+        jnp.asarray(rng.randn(1, cfg.speech_decoder.spk_embed_dim),
+                    jnp.float32),
+        jnp.asarray(rng.randint(5, 100, (1, t))), jnp.asarray([t]),
+        jnp.asarray((np.arange(t) // 2)[None]),
+        jnp.asarray(rng.randn(1, cfg.audio_tower.whisper.n_mels,
+                              cfg.audio_tower.whisper.max_source_positions * 2),
+                    jnp.float32),
+        max_speech_steps=8, mel_len_max=16,
+        method=TasteForCausalLM.inference_reconstruction)
+    assert np.isfinite(np.asarray(out["waveform"])).all()
+
+
 def test_vocode_s3_topline(pipeline):
     """`vocode` (the --use-target-speech-token s3-topline ablation) turns
     ground-truth S3 tokens into a waveform, bypassing tower + decoder."""

@@ -339,6 +339,11 @@ def test_host_key_matches_prngkey_and_handles_uint64_seeds():
     # seeds differing only in the high word must produce different keys
     assert not np.array_equal(TasteEngine._host_key(5),
                               TasteEngine._host_key(5 + 2**32))
+    # layout is [hi, lo]: injective over the full uint64 range (the old
+    # xor-mix collapsed e.g. these two distinct seeds onto one key)
+    np.testing.assert_array_equal(k1, np.array([2**31, 12345], np.uint32))
+    assert not np.array_equal(TasteEngine._host_key(0x9E3779B9),
+                              TasteEngine._host_key(2**32))
     # a host key drives jax.random like a PRNGKey does
     a = jax.random.normal(k1, (3,))
     b = jax.random.normal(jnp.asarray(k1), (3,))
