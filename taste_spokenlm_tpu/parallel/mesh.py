@@ -53,6 +53,13 @@ def batch_specs(mesh: Mesh, batch: Any) -> Any:
 # ---------------------------------------------------------------------------
 
 # path-regex -> partition spec on the *last* dims of the weight
+#
+# NOTE the fused single-GEMV serving layouts (qkv_proj / gateup_proj /
+# linear_qkv, *_serving fused_qkv flags) deliberately have NO rule: their
+# output dim concatenates tensors that downstream ops slice apart, so
+# column-sharding them would put e.g. gate and up on different shards of
+# an elementwise product.  They fall through to replicated — fusion is a
+# single-chip B=1 decode optimization; shard the UNFUSED layout under TP.
 _TP_RULES = [
     # llama attention + mlp: column-parallel qkv/gate/up, row-parallel o/down
     (r".*(q_proj|k_proj|v_proj|gate_proj|up_proj).*/base/kernel$", P(None, "model")),
