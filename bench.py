@@ -951,12 +951,17 @@ def serve_main():
     #     flow/HiFT window instead of the full decode + full synthesis
     from taste_spokenlm_tpu.frontend.streaming import (CompletionStreamer,
                                                        StreamingSynthesizer)
+    # chunk-geometry knobs (env-tunable for TTFA sweeps)
+    ct = int(os.environ.get("BENCH_CHUNK_TOKENS", "16" if tiny else "50"))
+    lc = int(os.environ.get("BENCH_LEFT_CTX", "8" if tiny else "25"))
+    fc = int(os.environ.get("BENCH_FIRST_CHUNK", "4" if tiny else "16"))
+    jfc = int(os.environ.get("BENCH_JD_FIRST_CHUNK", "4" if tiny else "16"))
+    jch = int(os.environ.get("BENCH_JD_CHUNK", "8" if tiny else "24"))
     streamer = StreamingSynthesizer(
-        model, variables, chunk_tokens=16 if tiny else 50,
-        left_ctx_tokens=8 if tiny else 25,
+        model, variables, chunk_tokens=ct, left_ctx_tokens=lc,
         # small first chunk (~0.32 s of audio): fewer AR steps + a smaller
         # first flow/HiFT window ahead of the first byte
-        first_chunk_tokens=4 if tiny else 16,
+        first_chunk_tokens=fc,
         max_speech_steps=max_speech)
     syn_lens = jnp.asarray([gen_asr_len] * b)
     taste_j = jnp.asarray(taste_dense)
@@ -988,9 +993,8 @@ def serve_main():
     # sequential and has no counterpart.
     cstreamer = CompletionStreamer(
         model, variables, scfg, tables,
-        chunk_tokens=16 if tiny else 50, left_ctx_tokens=8 if tiny else 25,
-        first_chunk_tokens=4 if tiny else 16,
-        jd_first_chunk=4 if tiny else 16, jd_chunk=8 if tiny else 24,
+        chunk_tokens=ct, left_ctx_tokens=lc, first_chunk_tokens=fc,
+        jd_first_chunk=jfc, jd_chunk=jch,
         min_start_words=2, max_speech_steps=max_speech)
 
     def pipelined_first(i, key):
