@@ -411,6 +411,41 @@ def test_fused_qkv_serving_matches_unfused():
                                atol=2e-5, rtol=1e-5)
 
 
+def test_fused_qkv_int4_layout_concat_lossless():
+    """fuse_qkv with mode='int4': group-wise scales run along the INPUT dim,
+    so concatenating q/k/v along the output dim before quantization is
+    bitwise identical to quantizing each projection separately — and the
+    int4 fused model runs."""
+    cfg = _cfg()
+    lm = LlamaModel(cfg)
+    rng = jax.random.PRNGKey(15)
+    ids = jax.random.randint(rng, (1, 5), 0, cfg.vocab_size)
+    v = lm.init(rng, input_ids=ids)
+
+    q_sep = quantize_llama_params(v["params"], mode="int4")
+    q_fused = quantize_llama_params(v["params"], mode="int4", fuse_qkv=True)
+    att = q_fused["layers_0"]["self_attn"]
+    assert "qkv_proj" in att and att["qkv_proj"]["base_q4"].dtype == jnp.uint8
+    np.testing.assert_array_equal(
+        np.asarray(att["qkv_proj"]["base_q4"]),
+        np.concatenate([np.asarray(q_sep["layers_0"]["self_attn"][n]["base_q4"])
+                        for n in ("q_proj", "k_proj", "v_proj")], axis=1))
+    np.testing.assert_array_equal(
+        np.asarray(att["qkv_proj"]["base_scale"]),
+        np.concatenate(
+            [np.asarray(q_sep["layers_0"]["self_attn"][n]["base_scale"])
+             for n in ("q_proj", "k_proj", "v_proj")], axis=1))
+
+    lm_fused = LlamaModel(cfg.replace(quantized_serving="int4",
+                                      fused_qkv_serving=True))
+    lm_sep = LlamaModel(cfg.replace(quantized_serving="int4"))
+    out_f = lm_fused.apply({"params": q_fused}, input_ids=ids)
+    out_s = lm_sep.apply({"params": q_sep}, input_ids=ids)
+    np.testing.assert_allclose(np.asarray(out_f["last_hidden"]),
+                               np.asarray(out_s["last_hidden"]),
+                               atol=2e-5, rtol=1e-5)
+
+
 def test_fused_qkv_conformer_matches_unfused():
     """EncoderStackConfig.fused_qkv_serving (linear_q/k/v as one linear_qkv
     GEMV, quantize_encoder_params(fuse_qkv=True)) is exact vs the
