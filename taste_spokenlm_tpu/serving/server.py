@@ -212,7 +212,7 @@ class TasteEngine:
                   llm_indices=llm_indices, seed=seed)],
             sampler_kwargs, max_steps)[0]
 
-    BATCH_BUCKETS = (1, 2, 4, 8)
+    BATCH_BUCKETS = (1, 2, 4, 8, 16)
 
     def complete_batch(self, requests, sampler_kwargs, max_steps: int = 128):
         """One batched joint text+taste decode over N concurrent requests
