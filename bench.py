@@ -187,16 +187,22 @@ def train_main():
     dtype = jnp.bfloat16
     cfg = TasteConfig.tiny() if tiny else TasteConfig.full()
     # per-layer remat everywhere gradients flow (the reference trains with
-    # gradient checkpointing, stage1-1_text_only.yml:28-44)
+    # gradient checkpointing, stage1-1_text_only.yml:28-44).
+    # BENCH_REMAT: 1 = full recompute (reference-equivalent, min memory),
+    # dots / dots_no_batch = save MXU dot outputs (ops/remat.py) — trades
+    # HBM for fewer recompute FLOPs, 0 = off.
+    rm_env = os.environ.get("BENCH_REMAT", "1")
+    rm = {"1": True, "0": False}.get(rm_env, rm_env)
+    print(f"remat: {rm}", file=sys.stderr)
     cfg = cfg.replace(
         audio_tower=cfg.audio_tower.replace(
-            whisper=cfg.audio_tower.whisper.replace(remat=True)),
+            whisper=cfg.audio_tower.whisper.replace(remat=rm)),
         speech_decoder=cfg.speech_decoder.replace(
-            text_encoder=cfg.speech_decoder.text_encoder.replace(remat=True),
-            audio_encoder=cfg.speech_decoder.audio_encoder.replace(remat=True),
-            llm=cfg.speech_decoder.llm.replace(remat=True)),
+            text_encoder=cfg.speech_decoder.text_encoder.replace(remat=rm),
+            audio_encoder=cfg.speech_decoder.audio_encoder.replace(remat=rm),
+            llm=cfg.speech_decoder.llm.replace(remat=rm)),
         spoken_lm=cfg.spoken_lm.replace(
-            llama=cfg.spoken_lm.llama.replace(remat=True)))
+            llama=cfg.spoken_lm.llama.replace(remat=rm)))
     model = TasteForCausalLM(cfg, dtype=dtype)
     results = {}
 

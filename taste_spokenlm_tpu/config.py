@@ -128,8 +128,10 @@ class WhisperConfig(_Base):
         50254, 50258, 50359, 50360, 50361, 50362, 50363)
     begin_suppress_ids: Tuple[int, ...] = (220, 50257)
     timestamp_begin_id: int = 50365  # <|0.00|>; -1 disables
-    # per-layer gradient checkpointing on the encoder (training memory)
-    remat: bool = False
+    # per-layer gradient checkpointing on the encoder (training memory):
+    # False | True (recompute all) | 'dots' / 'dots_no_batch' (save MXU dot
+    # outputs, recompute the elementwise tail — ops/remat.py)
+    remat: Any = False
 
     @classmethod
     def tiny(cls) -> "WhisperConfig":
@@ -252,8 +254,9 @@ class EncoderStackConfig(_Base):
     # int8 weight-only serving layout for the layer Dense kernels
     # (ops/quantized.QDense; utils/quant.quantize_encoder_params converts)
     quantized_serving: Any = False   # False | True ('int8') | 'int8' | 'int4'
-    # per-layer gradient checkpointing (training memory)
-    remat: bool = False
+    # per-layer gradient checkpointing (training memory):
+    # False | True | 'dots' | 'dots_no_batch' (ops/remat.py)
+    remat: Any = False
 
     @classmethod
     def tiny(cls, input_size: int = 32, output_size: int = 32,
@@ -351,8 +354,9 @@ class LlamaConfig(_Base):
     rope_low_freq_factor: float = 1.0
     rope_high_freq_factor: float = 4.0
     rope_original_max_position: int = 8192
-    # per-layer gradient checkpointing (training memory)
-    remat: bool = False
+    # per-layer gradient checkpointing (training memory):
+    # False | True | 'dots' | 'dots_no_batch' (ops/remat.py)
+    remat: Any = False
 
     @classmethod
     def tiny(cls) -> "LlamaConfig":

@@ -29,6 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from taste_spokenlm_tpu.config import EncoderStackConfig
+from taste_spokenlm_tpu.ops.remat import remat_policy as _remat_policy
 from taste_spokenlm_tpu.ops.quantized import dense as _q_dense
 from taste_spokenlm_tpu.ops.masking import chunk_causal_mask, length_mask
 
@@ -364,8 +365,9 @@ class ConformerEncoder(nn.Module):
             raise ValueError(f"unknown input_layer {cfg.input_layer!r}")
         conformer_names = cfg.input_layer != "linear_legacy"
         act = cfg.activation_type if conformer_names else "relu"
-        layer_cls = nn.remat(EncoderLayer, static_argnums=(7,)) if self.remat \
-            else EncoderLayer
+        layer_cls = (nn.remat(EncoderLayer, static_argnums=(7,),
+                              policy=_remat_policy(self.remat))
+                     if self.remat else EncoderLayer)
         self.encoders = [
             layer_cls(cfg.output_size, cfg.attention_heads, cfg.linear_units,
                       act, conformer_names=conformer_names,

@@ -29,6 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from taste_spokenlm_tpu.config import LlamaConfig, LoraConfig
+from taste_spokenlm_tpu.ops.remat import remat_policy as _remat_policy
 from taste_spokenlm_tpu.ops.attention import gqa_attention
 
 
@@ -283,7 +284,8 @@ class LlamaModel(nn.Module):
             self.embed_tokens = nn.Embed(cfg.vocab_size, cfg.hidden_size,
                                          dtype=self.dtype)
         # static_argnums: 0 is self; 7 is the python-bool disable_lora flag
-        layer_cls = (nn.remat(LlamaLayer, static_argnums=(7,))
+        layer_cls = (nn.remat(LlamaLayer, static_argnums=(7,),
+                              policy=_remat_policy(self.remat))
                      if self.remat else LlamaLayer)
         self.layers = [layer_cls(cfg, self.lora, self.dtype, name=f"layers_{i}")
                        for i in range(cfg.num_hidden_layers)]

@@ -22,6 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from taste_spokenlm_tpu.config import WhisperConfig
+from taste_spokenlm_tpu.ops.remat import remat_policy as _remat_policy
 from taste_spokenlm_tpu.ops.attention import multi_head_attention
 from taste_spokenlm_tpu.ops.masking import causal_mask, length_mask, combine_masks
 
@@ -158,8 +159,9 @@ class WhisperEncoder(nn.Module):
         x = x + pos[None, : x.shape[1]].astype(self.dtype)
 
         collected = None
-        layer_cls = nn.remat(WhisperEncoderLayer) if self.remat \
-            else WhisperEncoderLayer
+        layer_cls = (nn.remat(WhisperEncoderLayer,
+                              policy=_remat_policy(self.remat))
+                     if self.remat else WhisperEncoderLayer)
         for i in range(cfg.encoder_layers):
             if collect_layer is not None and i == collect_layer:
                 collected = x

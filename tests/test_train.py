@@ -254,3 +254,33 @@ def test_frozen_dce_step_matches_plain_step(stage1):
     enc1 = jax.tree_util.tree_leaves(
         s_dce.params["audio_tower"]["encoder"])[0]
     np.testing.assert_array_equal(np.asarray(enc0), np.asarray(enc1))
+
+
+def test_remat_dots_policy_equivalent(stage1):
+    """remat=True (recompute-all) vs remat='dots' (save MXU dot outputs,
+    ops/remat.py) only changes WHAT the backward recomputes — one stage-1
+    step must produce the same loss and the same updated params."""
+    cfg, model, variables, batch = stage1
+    tx = optim.make_optimizer(1e-3)
+    outs = {}
+    for rm in (True, "dots"):
+        c = cfg.replace(
+            audio_tower=cfg.audio_tower.replace(
+                whisper=cfg.audio_tower.whisper.replace(remat=rm)),
+            speech_decoder=cfg.speech_decoder.replace(
+                text_encoder=cfg.speech_decoder.text_encoder.replace(
+                    remat=rm),
+                audio_encoder=cfg.speech_decoder.audio_encoder.replace(
+                    remat=rm),
+                llm=cfg.speech_decoder.llm.replace(remat=rm)))
+        m = TasteForCausalLM(c)
+        s = train_step.init_state(jax.random.PRNGKey(0), variables["params"],
+                                  variables["quantizer"], tx)
+        step = train_step.make_stage1_step(m, tx, mesh=None, donate=False)
+        s2, metrics = step(s, batch)
+        outs[rm] = (float(metrics["loss"]), jax.device_get(s2.params))
+    assert outs[True][0] == pytest.approx(outs["dots"][0], rel=1e-6)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-6),
+        outs[True][1], outs["dots"][1])
