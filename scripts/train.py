@@ -147,6 +147,9 @@ def main():
     p.add_argument("--lr", type=float, default=1.6e-4)
     p.add_argument("--warmup", type=int, default=5000)
     p.add_argument("--grad-clip", type=float, default=5.0)
+    p.add_argument("--remat", default="off",
+                   choices=["off", "full", "dots", "dots_no_batch"],
+                   help="per-layer gradient checkpointing policy")
     p.add_argument("--data-parallel", type=int, default=None)
     p.add_argument("--model-parallel", type=int, default=1)
     p.add_argument("--ref-kl", action="store_true",
@@ -180,6 +183,23 @@ def main():
     from taste_spokenlm_tpu.utils.checkpoint import load_params
 
     cfg = TasteConfig.tiny() if args.tiny else TasteConfig.full()
+    if args.remat != "off":
+        # per-layer gradient checkpointing everywhere gradients flow
+        # (reference trains with gradient_checkpointing: true,
+        # configs/training/stage1-1_text_only.yml:40); 'dots' saves MXU dot
+        # outputs instead of recomputing everything (ops/remat.py)
+        rm = True if args.remat == "full" else args.remat
+        cfg = cfg.replace(
+            audio_tower=cfg.audio_tower.replace(
+                whisper=cfg.audio_tower.whisper.replace(remat=rm)),
+            speech_decoder=cfg.speech_decoder.replace(
+                text_encoder=cfg.speech_decoder.text_encoder.replace(
+                    remat=rm),
+                audio_encoder=cfg.speech_decoder.audio_encoder.replace(
+                    remat=rm),
+                llm=cfg.speech_decoder.llm.replace(remat=rm)),
+            spoken_lm=cfg.spoken_lm.replace(
+                llama=cfg.spoken_lm.llama.replace(remat=rm)))
     model = TasteForCausalLM(cfg)
     mesh = mesh_lib.make_mesh(data=args.data_parallel,
                               model=args.model_parallel)
