@@ -191,18 +191,10 @@ def train_main():
     # BENCH_REMAT: 1 = full recompute (reference-equivalent, min memory),
     # dots / dots_no_batch = save MXU dot outputs (ops/remat.py) — trades
     # HBM for fewer recompute FLOPs, 0 = off.
-    rm_env = os.environ.get("BENCH_REMAT", "1")
-    rm = {"1": True, "0": False}.get(rm_env, rm_env)
+    from taste_spokenlm_tpu.ops.remat import apply_remat, parse_remat
+    rm = parse_remat(os.environ.get("BENCH_REMAT", "1"))
     print(f"remat: {rm}", file=sys.stderr)
-    cfg = cfg.replace(
-        audio_tower=cfg.audio_tower.replace(
-            whisper=cfg.audio_tower.whisper.replace(remat=rm)),
-        speech_decoder=cfg.speech_decoder.replace(
-            text_encoder=cfg.speech_decoder.text_encoder.replace(remat=rm),
-            audio_encoder=cfg.speech_decoder.audio_encoder.replace(remat=rm),
-            llm=cfg.speech_decoder.llm.replace(remat=rm)),
-        spoken_lm=cfg.spoken_lm.replace(
-            llama=cfg.spoken_lm.llama.replace(remat=rm)))
+    cfg = apply_remat(cfg, rm)
     model = TasteForCausalLM(cfg, dtype=dtype)
     results = {}
 
@@ -546,7 +538,9 @@ def main():
             print("serving bench unavailable; emitting last committed good "
                   "run tagged stale=true", file=sys.stderr)
         except Exception:
-            serve_metrics = {"error": "serving bench failed"}
+            pass
+    if serve_metrics is None:          # tiny mode, or no last-good file
+        serve_metrics = {"error": "serving bench failed"}
     # a recovered partial may predate the completion milestone — keep the
     # driver-facing schema stable
     serve_metrics.setdefault("metric", "completion_rtf")
@@ -554,9 +548,14 @@ def main():
     serve_metrics.setdefault("unit", "wall_s_per_audio_s")
     serve_metrics.setdefault("vs_baseline", None)
     merged = {**serve_metrics, **train_metrics}
+    # refresh the last-good snapshot only when BOTH halves are complete —
+    # a train-skipped or train-partial run must not gut the stale-fallback
+    # schema a later outage would replay
     if (not tiny and merged.get("value")
+            and "train_stage1_step_s" in merged
             and not any(k in merged for k in
-                        ("error", "stale", "serving_partial"))):
+                        ("error", "stale", "serving_partial",
+                         "train_partial"))):
         try:
             with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                    "BENCH_LAST_GOOD.json"), "w") as f:
@@ -965,13 +964,18 @@ def serve_main():
     load_steps = 16 if tiny else 32
     t0 = time.perf_counter()
     # warmup with the full cohort: compiles the B=16 bucket so the timed
-    # run decodes all 16 concurrent requests in ONE batched generate
+    # run decodes all 16 concurrent requests in ONE batched generate.
+    # window_ms=200 only bounds the gather wait — the batcher closes the
+    # micro-batch the moment all max_batch requests arrive — so a wide
+    # window guarantees the cohort lands in the warmed bucket-16 program
+    # instead of racing thread startup into a cold smaller bucket (whose
+    # compile would then pollute the timed percentiles).
     run_load_test(engine, load_reqs, load_kw, max_steps=load_steps,
-                  max_batch=16)
+                  max_batch=16, window_ms=200.0)
     print(f"serving-load warmup (compile): {time.perf_counter()-t0:.1f}s",
           file=sys.stderr)
     load = run_load_test(engine, load_reqs, load_kw, max_steps=load_steps,
-                         max_batch=16)
+                         max_batch=16, window_ms=200.0)
     print(f"serving load: {load}", file=sys.stderr)
     serve_partial.update({
         "serving_p50_ms": load["p50_ms"],

@@ -188,18 +188,8 @@ def main():
         # (reference trains with gradient_checkpointing: true,
         # configs/training/stage1-1_text_only.yml:40); 'dots' saves MXU dot
         # outputs instead of recomputing everything (ops/remat.py)
-        rm = True if args.remat == "full" else args.remat
-        cfg = cfg.replace(
-            audio_tower=cfg.audio_tower.replace(
-                whisper=cfg.audio_tower.whisper.replace(remat=rm)),
-            speech_decoder=cfg.speech_decoder.replace(
-                text_encoder=cfg.speech_decoder.text_encoder.replace(
-                    remat=rm),
-                audio_encoder=cfg.speech_decoder.audio_encoder.replace(
-                    remat=rm),
-                llm=cfg.speech_decoder.llm.replace(remat=rm)),
-            spoken_lm=cfg.spoken_lm.replace(
-                llama=cfg.spoken_lm.llama.replace(remat=rm)))
+        from taste_spokenlm_tpu.ops.remat import apply_remat, parse_remat
+        cfg = apply_remat(cfg, parse_remat(args.remat))
     model = TasteForCausalLM(cfg)
     mesh = mesh_lib.make_mesh(data=args.data_parallel,
                               model=args.model_parallel)

@@ -19,6 +19,35 @@ WHAT the backward recomputes, never the math — gradients are identical
 
 from typing import Any, Optional
 
+VALID_REMAT = (False, True, "dots", "dots_no_batch")
+
+
+def parse_remat(value: str) -> Any:
+    """Parse a CLI/env remat string to a config field value; raises
+    ValueError on unknown names (early, at the parse site)."""
+    rm = {"1": True, "true": True, "full": True, "on": True,
+          "0": False, "false": False, "off": False}.get(value.lower(), value)
+    if rm not in VALID_REMAT:
+        raise ValueError(f"unknown remat policy {value!r} "
+                         "(off | full | dots | dots_no_batch)")
+    return rm
+
+
+def apply_remat(cfg, rm):
+    """Set the remat policy on every stack gradients flow through in the
+    stage-1/stage-2 train steps (whisper tower, speech-decoder encoders +
+    LM, spoken-LM llama).  The single place the fan-out lives — bench.py,
+    scripts/train.py and the tests all thread the flag through here."""
+    return cfg.replace(
+        audio_tower=cfg.audio_tower.replace(
+            whisper=cfg.audio_tower.whisper.replace(remat=rm)),
+        speech_decoder=cfg.speech_decoder.replace(
+            text_encoder=cfg.speech_decoder.text_encoder.replace(remat=rm),
+            audio_encoder=cfg.speech_decoder.audio_encoder.replace(remat=rm),
+            llm=cfg.speech_decoder.llm.replace(remat=rm)),
+        spoken_lm=cfg.spoken_lm.replace(
+            llama=cfg.spoken_lm.llama.replace(remat=rm)))
+
 
 def remat_policy(remat: Any) -> Optional[Any]:
     if remat == "dots":

@@ -263,17 +263,9 @@ def test_remat_dots_policy_equivalent(stage1):
     cfg, model, variables, batch = stage1
     tx = optim.make_optimizer(1e-3)
     outs = {}
+    from taste_spokenlm_tpu.ops.remat import apply_remat
     for rm in (True, "dots"):
-        c = cfg.replace(
-            audio_tower=cfg.audio_tower.replace(
-                whisper=cfg.audio_tower.whisper.replace(remat=rm)),
-            speech_decoder=cfg.speech_decoder.replace(
-                text_encoder=cfg.speech_decoder.text_encoder.replace(
-                    remat=rm),
-                audio_encoder=cfg.speech_decoder.audio_encoder.replace(
-                    remat=rm),
-                llm=cfg.speech_decoder.llm.replace(remat=rm)))
-        m = TasteForCausalLM(c)
+        m = TasteForCausalLM(apply_remat(cfg, rm))
         s = train_step.init_state(jax.random.PRNGKey(0), variables["params"],
                                   variables["quantizer"], tx)
         step = train_step.make_stage1_step(m, tx, mesh=None, donate=False)
