@@ -40,6 +40,8 @@ def main():
     # --s3: the S3 speech-decoder conformer stack's decode shapes
     # (7 blocks, d=1024, MHA q/k/v/out all [1024,1024], FFN 1024<->2048)
     p.add_argument("--s3", action="store_true")
+    p.add_argument("--only", default=None,
+                   help="comma-separated layout letters to run, e.g. B,Q")
     args = p.parse_args()
     if args.s3:
         args.h, args.kv, args.inter, args.layers = 1024, 1024, 2048, 7
@@ -137,15 +139,45 @@ def main():
                                 *lw[3]).astype(jnp.bfloat16)
         return x
 
+    # ---- layout Q: Pallas int4 kernel per fused projection ---------------
+    from taste_spokenlm_tpu.ops.pallas.int4_matmul import (matmul_int4,
+                                                           quantize_int4)
+
+    def mk4(d_in, d_out):
+        return quantize_int4(jnp.asarray(
+            r.randn(d_in, d_out).astype(np.float32) * 0.02))
+
+    fused_shapes = [(H, H + 2 * KV), (H, H), (H, 2 * I), (I, H)]
+    ws_q = [[mk4(*sh) for sh in fused_shapes] for _ in range(L)]
+
+    def step_q(x, ws):
+        for lw in ws:
+            qkv = matmul_int4(x, *lw[0]).astype(jnp.bfloat16)
+            q, k, v = qkv[:, :H], qkv[:, H:H + KV], qkv[:, H + KV:]
+            att = q + jnp.pad(k + v, ((0, 0), (0, H - KV)))
+            x = x + matmul_int4(att, *lw[1]).astype(jnp.bfloat16)
+            gu = matmul_int4(x, *lw[2]).astype(jnp.bfloat16)
+            g, u = gu[:, :I], gu[:, I:]
+            x = x + matmul_int4(jax.nn.silu(g) * u,
+                                *lw[3]).astype(jnp.bfloat16)
+        return x
+
     gb = sum(a * b for a, b in shapes) * L / 1e9
     print(f"weights: {gb:.2f} GB int8; {args.steps} steps/call")
+    only = set(args.only.upper().split(",")) if args.only else None
     for name, step, ws in (("A separate", step_a, ws_a),
                            ("B fused", step_b, ws_b),
                            ("P pallas-fused", step_p, ws_b),
+                           ("Q pallas-int4", step_q, ws_q),
                            ("C giant", step_c, None)):
+        if only and name[0] not in only:
+            continue
         fn = loop(step, ws)
         x0 = jnp.asarray(r.randn(1, H).astype(np.float32))
+        t0 = time.perf_counter()
         _ = float(jnp.sum(fn(x0)))   # compile + warm
+        print(f"{name:12s} compile+warm {time.perf_counter()-t0:.1f}s",
+              flush=True)
         walls = []
         for i in range(args.iters):
             xi = x0 + (i + 1) * 1e-6  # vary input per call (tunnel memo);

@@ -6,13 +6,15 @@ cross this machine's PJRT transfer layer, and an in-graph nibble unpack
 materializes the unpacked matrix in HBM — so the unpack has to happen in
 VMEM, which is what this kernel does.
 
-MEASURED (v5e, Llama-1B decode, B=1): int4 is SLOWER than the XLA int8
-path (2.61 vs 2.35 ms/step full backbone loop) — at M=1 the per-call
-kernel overhead plus the VPU nibble unpack across ~112 calls/step
-exceeds the bandwidth saved.  Kept as an opt-in
+MEASURED (v5e, Llama-1B decode, B=1): with the original int32
+mask/shift nibble unpack, int4 was SLOWER than the XLA int8 path
+(2.61 vs 2.35 ms/step full backbone loop) — at M=1 the per-call kernel
+overhead plus the VPU unpack across ~112 calls/step exceeded the
+bandwidth saved.  The unpack is now reformulated in bf16 (see _kernel)
+to cut the VPU op count ~40%; until that closes the gap on-chip the
+serving default remains int8, with int4 opt-in
 (`quantized_serving="int4"`) for HBM-capacity-constrained deployments
-(weights at half the int8 footprint) and as the substrate for future
-fused-layer kernels; the serving default remains int8.
+(weights at half the int8 footprint).
 
 Packing: the contraction dim D is split in halves; byte [d, n] of the
 packed [D//2, N] uint8 buffer holds w[d, n] in the LOW nibble and
@@ -67,16 +69,19 @@ def unpack_int4_ref(wp: jnp.ndarray) -> jnp.ndarray:
 
 
 def _kernel(x_ref, wp_ref, s_ref, out_ref, *, group: int):
-    # nibble split via i32 mask/subtract — Mosaic cannot legalize shifts
-    # on i8 vectors ('arith.shli' fails), so sign-extend arithmetically:
-    # v in [0,15] -> v - 2*(v & 8) in [-8,7]
-    b = wp_ref[...].astype(jnp.int32)
-    lo = b & 15
-    lo = lo - 2 * (lo & 8)
-    hi = jnp.right_shift(b, 4)
-    hi = hi - 2 * (hi & 8)
-    w_lo = lo.astype(jnp.bfloat16)
-    w_hi = hi.astype(jnp.bfloat16)
+    # Nibble split in bf16: uint8 bytes (0..255) convert exactly to bf16
+    # (8 significand bits), /16 is a power-of-two scale and floor recovers
+    # the high nibble, so hi*16+lo == byte holds EXACTLY in bf16.  The
+    # original int32 mask/shift formulation was VPU-bound: ~10 i32 ops per
+    # packed byte across the whole weight matrix cost more than the HBM
+    # bytes int4 saved (2.61 vs 2.35 ms/step at Llama-1B).  bf16 halves
+    # the register traffic and needs ~6 ops; two's-complement sign-extend
+    # becomes a compare+select (v in [0,15] -> v-16 when v>=8).
+    f = wp_ref[...].astype(jnp.bfloat16)
+    hi_u = jnp.floor(f * jnp.bfloat16(1.0 / 16.0))
+    lo_u = f - hi_u * jnp.bfloat16(16.0)
+    w_lo = jnp.where(lo_u >= 8, lo_u - 16, lo_u)
+    w_hi = jnp.where(hi_u >= 8, hi_u - 16, hi_u)
     x = x_ref[...]
     half = x.shape[-1] // 2
     n_g = half // group
