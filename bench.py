@@ -605,15 +605,22 @@ def serve_main():
         # fused qkv/gateup GEMVs (needs merged LoRA); BENCH_FUSED_QKV=0
         # opts out for an unfused A/B
         fused = merged and os.environ.get("BENCH_FUSED_QKV", "1") == "1"
+        # whole-MLP Pallas kernels (ops/pallas/fused_mlp): one call per
+        # MLP, weights streamed once through VMEM — BENCH_FUSED_MLP=1
+        # opts in (default off until measured faster than the XLA GEMVs)
+        fused_mlp = (merged
+                     and os.environ.get("BENCH_FUSED_MLP", "0") == "1")
         cfg = cfg.replace(
             spoken_lm=cfg.spoken_lm.replace(
                 use_lora=cfg.spoken_lm.use_lora and not merged,
                 llama=cfg.spoken_lm.llama.replace(
                     quantized_serving=qs, quantized_embed_serving=embed_qs,
-                    fused_qkv_serving=fused)),
+                    fused_qkv_serving=fused,
+                    fused_mlp_serving=fused_mlp)),
             speech_decoder=cfg.speech_decoder.replace(
                 llm=cfg.speech_decoder.llm.replace(
-                    quantized_serving=qs, fused_qkv_serving=fused)))
+                    quantized_serving=qs, fused_qkv_serving=fused,
+                    fused_mlp_serving=fused_mlp)))
     print(f"llama serving quantization: "
           f"{(qs + '+' + str(embed_qs)) if quant else 'off'}",
           file=sys.stderr)

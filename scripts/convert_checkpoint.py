@@ -73,6 +73,13 @@ def main():
                         "(and gate/up) concatenated into single GEMV "
                         "kernels — identical math, fewer per-step ops; "
                         "requires --merge-lora (or an adapter-free ckpt)")
+    p.add_argument("--fused-mlp", action="store_true",
+                   help="emit the fused_mlp_serving layout with "
+                        "--quantize-llama / --quantize-s3-decoder: the "
+                        "whole MLP served as one Pallas call "
+                        "(ops/pallas/fused_mlp); gate/up/down stay "
+                        "separate and int4 packs the second projection "
+                        "per-tile; requires --merge-lora")
     p.add_argument("--config", help="config.json to start from when writing "
                         "the output dir's config (default: TasteConfig."
                         "full()); serving transforms (--merge-lora/"
@@ -180,9 +187,11 @@ def main():
                      "(--llama or a composite --taste checkpoint)")
         from taste_spokenlm_tpu.utils.quant import quantize_llama_params
         tree["params"]["spoken_lm"]["language_model"] = \
-            quantize_llama_params(lm, fuse_qkv=args.fuse_qkv)
+            quantize_llama_params(lm, fuse_qkv=args.fuse_qkv,
+                                  fused_mlp=args.fused_mlp)
         print("quantized spoken-LM base kernels to int8"
-              + (" (fused qkv/gateup layout)" if args.fuse_qkv else ""))
+              + (" (fused qkv/gateup layout)" if args.fuse_qkv else "")
+              + (" (fused-MLP kernels)" if args.fused_mlp else ""))
 
     if args.quantize_s3_decoder:
         sd = tree["params"].get("speech_decoder", {})
@@ -191,7 +200,8 @@ def main():
                      "decoder (--taste checkpoint)")
         from taste_spokenlm_tpu.utils.quant import (_quantize_dense_leaf,
                                                     quantize_encoder_params)
-        sd["llm"] = quantize_encoder_params(sd["llm"], fuse_qkv=args.fuse_qkv)
+        sd["llm"] = quantize_encoder_params(sd["llm"], fuse_qkv=args.fuse_qkv,
+                                            fused_mlp=args.fused_mlp)
         if "llm_decoder" in sd:   # logits head rides the same serving flag
             sd["llm_decoder"] = _quantize_dense_leaf(sd["llm_decoder"])
         print("quantized S3 decoder llm stack + logits head to int8"
@@ -209,12 +219,14 @@ def main():
         cfg = cfg.replace(spoken_lm=cfg.spoken_lm.replace(
             llama=cfg.spoken_lm.llama.replace(
                 quantized_serving="int8",
-                fused_qkv_serving=args.fuse_qkv)))
+                fused_qkv_serving=args.fuse_qkv,
+                fused_mlp_serving=args.fused_mlp)))
     if args.quantize_s3_decoder:
         cfg = cfg.replace(speech_decoder=cfg.speech_decoder.replace(
             llm=cfg.speech_decoder.llm.replace(
                 quantized_serving="int8",
-                fused_qkv_serving=args.fuse_qkv)))
+                fused_qkv_serving=args.fuse_qkv,
+                fused_mlp_serving=args.fused_mlp)))
     with open(os.path.join(args.output, "config.json"), "w") as f:
         f.write(cfg.to_json())
 

@@ -162,6 +162,44 @@ def main():
                                 *lw[3]).astype(jnp.bfloat16)
         return x
 
+    # ---- layout R: fused-MLP int8 kernel (1 call/MLP) + XLA attn GEMVs ---
+    from taste_spokenlm_tpu.ops.pallas.fused_mlp import (
+        gated_mlp_int4, gated_mlp_int8, quantize_int4_tiled)
+
+    # fused qkv/o (from ws_b) + separate int8 gate/up/down (from ws_a)
+    ws_r = [[ws_b[l][0], ws_b[l][1], ws_a[l][4], ws_a[l][5], ws_a[l][6]]
+            for l in range(L)]
+
+    def step_r(x, ws):
+        for lw in ws:
+            qkv = gemv(x, *lw[0])
+            q, k, v = qkv[:, :H], qkv[:, H:H + KV], qkv[:, H + KV:]
+            att = q + jnp.pad(k + v, ((0, 0), (0, H - KV)))
+            x = x + gemv(att, *lw[1])
+            x = x + gated_mlp_int8(x.astype(jnp.bfloat16),
+                                   lw[2][0], lw[2][1], lw[3][0], lw[3][1],
+                                   lw[4][0], lw[4][1]).astype(jnp.bfloat16)
+        return x
+
+    # ---- layout S: fused-MLP int4 kernel + pallas-int4 attn GEMVs --------
+    def mk4t(d_in, d_out, tile):
+        return quantize_int4_tiled(jnp.asarray(
+            r.randn(d_in, d_out).astype(np.float32) * 0.02), tile)
+
+    ws_s = [[mk4(H, H + 2 * KV), mk4(H, H),
+             mk4(H, I), mk4(H, I), mk4t(I, H, 512)] for _ in range(L)]
+
+    def step_s(x, ws):
+        for lw in ws:
+            qkv = matmul_int4(x, *lw[0]).astype(jnp.bfloat16)
+            q, k, v = qkv[:, :H], qkv[:, H:H + KV], qkv[:, H + KV:]
+            att = q + jnp.pad(k + v, ((0, 0), (0, H - KV)))
+            x = x + matmul_int4(att, *lw[1]).astype(jnp.bfloat16)
+            x = x + gated_mlp_int4(x.astype(jnp.bfloat16),
+                                   lw[2][0], lw[2][1], lw[3][0], lw[3][1],
+                                   lw[4][0], lw[4][1]).astype(jnp.bfloat16)
+        return x
+
     gb = sum(a * b for a, b in shapes) * L / 1e9
     print(f"weights: {gb:.2f} GB int8; {args.steps} steps/call")
     only = set(args.only.upper().split(",")) if args.only else None
@@ -169,6 +207,8 @@ def main():
                            ("B fused", step_b, ws_b),
                            ("P pallas-fused", step_p, ws_b),
                            ("Q pallas-int4", step_q, ws_q),
+                           ("R fusedmlp-i8", step_r, ws_r),
+                           ("S fusedmlp-i4", step_s, ws_s),
                            ("C giant", step_c, None)):
         if only and name[0] not in only:
             continue

@@ -243,6 +243,10 @@ class EncoderStackConfig(_Base):
     # stack's AR decode is per-op-overhead bound) — quantize with
     # quantize_encoder_params(fuse_qkv=True)
     fused_qkv_serving: bool = False
+    # serve each positionwise FFN as ONE Pallas call (both projections +
+    # activation, weights streamed once through VMEM; ops/pallas/fused_mlp)
+    # — int4 mode packs w_2 per-tile (quantize_encoder_params(fused_mlp=True))
+    fused_mlp_serving: bool = False
     static_chunk_size: int = 1  # 1 => causal LM masking
     use_cnn_module: bool = False
     cnn_module_kernel: int = 15
@@ -349,6 +353,13 @@ class LlamaConfig(_Base):
     # (use_lora=False); quantize with quantize_llama_params(fuse_qkv=True).
     # Identical math — the fused GEMV computes the same dot products.
     fused_qkv_serving: bool = False
+    # serve the whole MLP (gate/up/act/down) as ONE Pallas call per layer
+    # (ops/pallas/fused_mlp): the weights stream through VMEM exactly once
+    # and the intermediate activation never touches HBM.  Keeps gate/up/down
+    # SEPARATE in the param tree (standard quantized layout; int4 packs
+    # down_proj per-tile) — quantize with
+    # quantize_llama_params(fused_mlp=True).  Requires merged LoRA.
+    fused_mlp_serving: bool = False
     # llama3 rope scaling
     rope_scaling_factor: float = 32.0
     rope_low_freq_factor: float = 1.0

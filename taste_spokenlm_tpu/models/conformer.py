@@ -188,9 +188,25 @@ class PositionwiseFeedForward(nn.Module):
     activation: str = "relu"
     dtype: Any = jnp.float32
     quantized: Any = False  # False | 'int8' | 'int4'
+    fused: bool = False     # EncoderStackConfig.fused_mlp_serving
 
     @nn.compact
     def __call__(self, x):
+        from taste_spokenlm_tpu.ops.quantized import qmode
+        if self.fused and qmode(self.quantized) is not None:
+            # ONE Pallas call for the whole FFN (ops/pallas/fused_mlp);
+            # params keep the QDense/QDense4 naming, but int4 packs w_2
+            # per-tile: quantize_encoder_params(fused_mlp=True)
+            from taste_spokenlm_tpu.ops.quantized import (
+                QProjParams, fused_ffn_apply)
+            mode = qmode(self.quantized)
+            names = ("kernel_q", "scale", "kernel_q4")
+            w1 = QProjParams(self.d_model, self.hidden, mode, names,
+                             use_bias=True, name="w_1")()
+            w2 = QProjParams(self.hidden, self.d_model, mode, names,
+                             use_bias=True, name="w_2")()
+            return fused_ffn_apply(x, w1, w2, mode, self.dtype,
+                                   activation=self.activation)
         h = _q_dense(self.hidden, self.quantized, dtype=self.dtype,
                      name="w_1")(x)
         h = _ACT[self.activation](h)
@@ -266,6 +282,7 @@ class EncoderLayer(nn.Module):
     dtype: Any = jnp.float32
     quantized: Any = False  # False | 'int8' | 'int4'
     fused_qkv: bool = False
+    fused_mlp: bool = False
 
     def setup(self):
         mha_norm = "norm_mha" if self.conformer_names else "norm1"
@@ -277,14 +294,15 @@ class EncoderLayer(nn.Module):
         self.attn_norm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=mha_norm)
         self.ffn = PositionwiseFeedForward(self.d_model, self.ffn_dim,
                                            self.activation, self.dtype,
-                                           self.quantized,
+                                           self.quantized, self.fused_mlp,
                                            name="feed_forward")
         self.ffn_norm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=ffn_norm)
         self.ff_scale = 0.5 if self.macaron_style else 1.0
         if self.macaron_style:
             self.ffn_macaron = PositionwiseFeedForward(
                 self.d_model, self.ffn_dim, self.activation, self.dtype,
-                self.quantized, name="feed_forward_macaron")
+                self.quantized, self.fused_mlp,
+                name="feed_forward_macaron")
             self.macaron_norm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
                                              name="norm_ff_macaron")
         if self.use_cnn_module:
@@ -378,6 +396,7 @@ class ConformerEncoder(nn.Module):
                       cnn_causal=cfg.cnn_causal, dtype=self.dtype,
                       quantized=cfg.quantized_serving,
                       fused_qkv=cfg.fused_qkv_serving,
+                      fused_mlp=cfg.fused_mlp_serving,
                       name=f"encoders_{i}")
             for i in range(cfg.num_blocks)
         ]

@@ -218,6 +218,23 @@ class LlamaMLP(nn.Module):
     def __call__(self, x, disable_lora: bool = False):
         cfg = self.config
         qz = cfg.quantized_serving
+        from taste_spokenlm_tpu.ops.quantized import qmode
+        if cfg.fused_mlp_serving and qmode(qz) is not None:
+            # whole MLP as ONE Pallas call (ops/pallas/fused_mlp): weights
+            # stream through VMEM once, the activation never touches HBM.
+            # Params keep the standard separate gate/up/down quantized
+            # layout (int4 packs down_proj per-tile:
+            # quantize_llama_params(fused_mlp=True)).
+            assert self.lora is None, \
+                "fused_mlp_serving requires merged LoRA (use_lora=False)"
+            from taste_spokenlm_tpu.ops.quantized import (
+                QProjParams, fused_gated_mlp_apply)
+            mode = qmode(qz)
+            H, I = cfg.hidden_size, cfg.intermediate_size
+            gate = QProjParams(H, I, mode, name="gate_proj")()
+            up = QProjParams(H, I, mode, name="up_proj")()
+            down = QProjParams(I, H, mode, name="down_proj")()
+            return fused_gated_mlp_apply(x, gate, up, down, mode, self.dtype)
         if cfg.fused_qkv_serving:
             # gate+up as one [H, 2I] GEMV (see LlamaAttention.setup)
             assert self.lora is None, \

@@ -75,6 +75,96 @@ def qmode(flag) -> "str | None":
     return flag
 
 
+# fused-MLP kernels hold the [M, out] f32 accumulator block in VMEM across
+# the whole grid; past ~256 rows prefill is compute-bound anyway
+FUSED_MLP_MAX_ROWS = 256
+
+
+class QProjParams(nn.Module):
+    """Declares one quantized projection's params (no forward) so the
+    fused-MLP dispatch can read the raw leaves.  `names` matches the
+    surrounding module family: ("base_q", "base_scale", "base_q4") mirrors
+    llama.LoraDense(quantized), ("kernel_q", "scale", "kernel_q4") mirrors
+    QDense/QDense4 — the param tree stays identical to the unfused layout,
+    so utils/quant transforms and converters are unchanged."""
+
+    in_dim: int
+    features: int
+    mode: str                       # 'int8' | 'int4'
+    names: tuple = ("base_q", "base_scale", "base_q4")
+    use_bias: bool = False
+
+    @nn.compact
+    def __call__(self):
+        if self.mode == "int4":
+            wp_shape, s_shape = int4_param_shapes(self.in_dim, self.features)
+            wp = self.param(self.names[2], nn.initializers.zeros,
+                            wp_shape, jnp.uint8)
+            scale = self.param(self.names[1], nn.initializers.ones,
+                               s_shape, jnp.float32)
+        else:
+            wp = self.param(self.names[0], nn.initializers.zeros,
+                            (self.in_dim, self.features), jnp.int8)
+            scale = self.param(self.names[1], nn.initializers.ones,
+                               (self.features,), jnp.float32)
+        bias = (self.param("bias", nn.initializers.zeros, (self.features,))
+                if self.use_bias else None)
+        return wp, scale, bias
+
+
+def _rows(x) -> int:
+    rows = 1
+    for s in x.shape[:-1]:
+        rows *= s
+    return rows
+
+
+def fused_gated_mlp_apply(x, gate, up, down, mode: str, dtype,
+                          activation: str = "silu"):
+    """Gated-MLP dispatch over (wp, scale, _) triples from QProjParams:
+    decode rows -> ONE Pallas call (ops/pallas/fused_mlp); prefill rows ->
+    unfused XLA math over the same params."""
+    from taste_spokenlm_tpu.ops.pallas.fused_mlp import (
+        gated_mlp_int4, gated_mlp_int8, mlp_tile, dequantize_int4_tiled)
+    I = (gate[0].shape[1])
+    tile = mlp_tile(I)
+    if _rows(x) <= FUSED_MLP_MAX_ROWS:
+        fn = gated_mlp_int4 if mode == "int4" else gated_mlp_int8
+        return fn(x, gate[0], gate[1], up[0], up[1], down[0], down[1],
+                  activation=activation, block_i=tile).astype(dtype)
+    act = nn.silu if activation in ("silu", "swish") else nn.relu
+    if mode == "int4":
+        g = int4_apply(x, gate[0], gate[1], dtype)
+        u = int4_apply(x, up[0], up[1], dtype)
+        wd = dequantize_int4_tiled(down[0], down[1], tile).astype(dtype)
+        return (act(g) * u).astype(dtype) @ wd
+    g = (x.astype(dtype) @ gate[0].astype(dtype)) * gate[1].astype(dtype)
+    u = (x.astype(dtype) @ up[0].astype(dtype)) * up[1].astype(dtype)
+    return ((act(g) * u) @ down[0].astype(dtype)) * down[1].astype(dtype)
+
+
+def fused_ffn_apply(x, w1, w2, mode: str, dtype, activation: str = "swish"):
+    """Plain-FFN dispatch over (wp, scale, bias) triples (conformer
+    positionwise FFN): decode rows -> ONE Pallas call; prefill -> XLA."""
+    from taste_spokenlm_tpu.ops.pallas.fused_mlp import (
+        ffn_int4, ffn_int8, mlp_tile, dequantize_int4_tiled)
+    I = w1[0].shape[1]
+    tile = mlp_tile(I)
+    if _rows(x) <= FUSED_MLP_MAX_ROWS:
+        fn = ffn_int4 if mode == "int4" else ffn_int8
+        return fn(x, w1[0], w1[1], w1[2], w2[0], w2[1], w2[2],
+                  activation=activation, block_i=tile).astype(dtype)
+    act = nn.silu if activation in ("silu", "swish") else nn.relu
+    if mode == "int4":
+        h = int4_apply(x, w1[0], w1[1], dtype) + w1[2].astype(dtype)
+        wd = dequantize_int4_tiled(w2[0], w2[1], tile).astype(dtype)
+        return act(h).astype(dtype) @ wd + w2[2].astype(dtype)
+    h = (x.astype(dtype) @ w1[0].astype(dtype)) * w1[1].astype(dtype) \
+        + w1[2].astype(dtype)
+    return (act(h) @ w2[0].astype(dtype)) * w2[1].astype(dtype) \
+        + w2[2].astype(dtype)
+
+
 class QDense4(nn.Module):
     """Int4 weight-only Dense: kernel packed two-nibbles-per-byte along the
     contraction dim (ops/pallas/int4_matmul layout) + per-output-channel

@@ -41,6 +41,19 @@ def quantize_kernel(w, mode: str = "int8") -> Dict:
         from taste_spokenlm_tpu.ops.pallas.int4_matmul import quantize_int4
         packed, scale = quantize_int4(w)   # group-wise scales [D/g, out]
         return {"base_q4": packed, "base_scale": scale}
+    if mode == "int4_tiled":
+        # fused-MLP second projection: packed PER-TILE along the
+        # contraction dim so the fused kernel's grid streams contiguous
+        # lo/hi nibble blocks (ops/pallas/fused_mlp).  Same param SHAPES
+        # as the standard int4 layout — only the packing order differs.
+        from taste_spokenlm_tpu.ops.pallas.fused_mlp import (
+            mlp_tile, quantize_int4_tiled)
+        packed, scale = quantize_int4_tiled(w, mlp_tile(w.shape[0]))
+        from taste_spokenlm_tpu.ops.quantized import int4_param_shapes
+        assert (packed.shape, scale.shape) == \
+            int4_param_shapes(w.shape[0], w.shape[1]), \
+            (packed.shape, scale.shape)
+        return {"base_q4": packed, "base_scale": scale}
     amax = jnp.max(jnp.abs(w), axis=0)
     scale = jnp.maximum(amax, 1e-8) / 127.0
     q = jnp.clip(jnp.round(w / scale[None, :]), -127, 127).astype(jnp.int8)
@@ -79,7 +92,8 @@ def quantize_embed(table, head_mode: str = "int8") -> Dict:
 def quantize_llama_params(tree: Dict, include_embed: bool = False,
                           mode: str = "int8",
                           embed_head_mode: str = "int8",
-                          fuse_qkv: bool = False) -> Dict:
+                          fuse_qkv: bool = False,
+                          fused_mlp: bool = False) -> Dict:
     """LlamaModel param tree (bf16/f32 "base" kernels) -> the
     quantized_serving layout ("base_q"/"base_scale" per projection).
     LoRA adapters, norms, and the untied lm_head stay untouched;
@@ -90,7 +104,11 @@ def quantize_llama_params(tree: Dict, include_embed: bool = False,
     into one "qkv_proj" kernel and gate/up into one "gateup_proj" (pair
     with LlamaConfig.fused_qkv_serving; per-output-channel scales make the
     concat exactly equal to quantizing each projection separately).
-    Requires merged adapters (merge_lora_params first)."""
+    Requires merged adapters (merge_lora_params first).
+
+    `fused_mlp` emits the `fused_mlp_serving` layout: gate/up/down stay
+    SEPARATE (overrides the gateup half of fuse_qkv) and, in int4 mode,
+    down_proj is packed per-tile for the fused kernel's grid."""
     out: Dict = {}
     for key, val in tree.items():
         if key == "embed_tokens" and include_embed:
@@ -106,7 +124,8 @@ def quantize_llama_params(tree: Dict, include_embed: bool = False,
                                   else ("gate_proj", "up_proj"))
                     fused_name = ("qkv_proj" if sub == "self_attn"
                                   else "gateup_proj")
-                    if fuse_qkv:
+                    do_fuse = fuse_qkv and not (fused_mlp and sub == "mlp")
+                    if do_fuse:
                         assert not any("lora_a" in subtree.get(n, {})
                                        for n in fuse_names), \
                             "fuse_qkv needs merged LoRA (merge_lora_params)"
@@ -116,13 +135,17 @@ def quantize_llama_params(tree: Dict, include_embed: bool = False,
                              for n in fuse_names], axis=1)
                         mod_out[fused_name] = quantize_kernel(kern, mode)
                     for proj, pt in subtree.items():
-                        if fuse_qkv and proj in fuse_names:
+                        if do_fuse and proj in fuse_names:
                             continue
                         if proj in _PROJ_NAMES and "base" in pt:
+                            pmode = mode
+                            if (fused_mlp and mode == "int4"
+                                    and proj == "down_proj"):
+                                pmode = "int4_tiled"
                             newp = {k: v for k, v in pt.items()
                                     if k != "base"}
                             newp.update(quantize_kernel(
-                                pt["base"]["kernel"], mode))
+                                pt["base"]["kernel"], pmode))
                             mod_out[proj] = newp
                         else:
                             mod_out[proj] = pt
@@ -184,7 +207,7 @@ def _quantize_dense_leaf(pt: Dict, mode: str = "int8") -> Dict:
     """{"kernel", "bias"?} Dense params -> the QDense/QDense4 layout."""
     out = {k: v for k, v in pt.items() if k != "kernel"}
     qd = quantize_kernel(pt["kernel"], mode)
-    if mode == "int4":
+    if mode.startswith("int4"):
         out["kernel_q4"] = qd["base_q4"]
     else:
         out["kernel_q"] = qd["base_q"]
@@ -197,7 +220,8 @@ _ENCODER_DENSE = ("linear_q", "linear_k", "linear_v", "linear_out",
 
 
 def quantize_encoder_params(tree: Dict, mode: str = "int8",
-                            fuse_qkv: bool = False) -> Dict:
+                            fuse_qkv: bool = False,
+                            fused_mlp: bool = False) -> Dict:
     """ConformerEncoder param tree -> the quantized_serving layout: the
     per-layer attention/ffn Dense kernels become int8 + scale (input layers,
     norms, pos biases, conv modules untouched).
@@ -232,8 +256,14 @@ def quantize_encoder_params(tree: Dict, mode: str = "int8",
                     for name, pt in subtree.items()})
                 layer_out[sub] = att
             elif sub.startswith("feed_forward"):
+                # fused-MLP int4 packs the second projection per-tile
+                # (pair with EncoderStackConfig.fused_mlp_serving)
+                def _ffn_mode(name):
+                    if fused_mlp and mode == "int4" and name == "w_2":
+                        return "int4_tiled"
+                    return mode
                 layer_out[sub] = {
-                    name: (_quantize_dense_leaf(pt, mode)
+                    name: (_quantize_dense_leaf(pt, _ffn_mode(name))
                            if name in _ENCODER_DENSE else pt)
                     for name, pt in subtree.items()}
             else:
