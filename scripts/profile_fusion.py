@@ -17,6 +17,7 @@ Usage: python scripts/profile_fusion.py [--platform cpu] [--iters 20]
 """
 
 import argparse
+import functools
 import os
 import sys
 import time
@@ -62,11 +63,24 @@ def main():
     L = args.layers
     shapes = [(H, H), (H, KV), (H, KV), (H, H), (H, I), (H, I), (I, H)]
     r = np.random.RandomState(0)
+    # Weights are generated ON DEVICE (jax.random, jitted): shipping GBs
+    # of host-generated weights through the remote-device tunnel takes
+    # tens of minutes; the values themselves don't matter for timing.
+    _key = [jax.random.PRNGKey(0)]
+
+    def _dev_key():
+        _key[0], k = jax.random.split(_key[0])
+        return k
+
+    @functools.partial(jax.jit, static_argnums=(1, 2))
+    def _mk_dev(k, d_in, d_out):
+        kq, ks = jax.random.split(k)
+        q = jax.random.randint(kq, (d_in, d_out), -127, 128, jnp.int32)
+        s = (jax.random.uniform(ks, (d_out,), jnp.float32) + 0.5) / 127.0
+        return q.astype(jnp.int8), s
 
     def mk(d_in, d_out):
-        q = r.randint(-127, 128, (d_in, d_out)).astype(np.int8)
-        s = (r.rand(d_out).astype(np.float32) + 0.5) / 127.0
-        return jnp.asarray(q), jnp.asarray(s)
+        return _mk_dev(_dev_key(), d_in, d_out)
 
     def gemv(x, w, s):
         return (x.astype(jnp.bfloat16) @ w.astype(jnp.bfloat16)) \
@@ -159,10 +173,9 @@ def main():
                                                            quantize_int4)
 
     def mk4(d_in, d_out):
-        # int8 grid stands in for randn: 4x fewer bytes over the tunnel
-        q = r.randint(-127, 128, (d_in, d_out)).astype(np.int8)
-        return quantize_int4(jnp.asarray(q).astype(jnp.float32)
-                             * (0.02 / 64.0))
+        # int8 grid stands in for randn (generated on device)
+        q, _ = mk(d_in, d_out)
+        return quantize_int4(q.astype(jnp.float32) * (0.02 / 64.0))
 
     fused_shapes = [(H, H + 2 * KV), (H, H), (H, 2 * I), (I, H)]
 
@@ -207,9 +220,9 @@ def main():
 
     # ---- layout S: fused-MLP int4 kernel + pallas-int4 attn GEMVs --------
     def mk4t(d_in, d_out, tile):
-        q = r.randint(-127, 128, (d_in, d_out)).astype(np.int8)
-        return quantize_int4_tiled(jnp.asarray(q).astype(jnp.float32)
-                                   * (0.02 / 64.0), tile)
+        q, _ = mk(d_in, d_out)
+        return quantize_int4_tiled(q.astype(jnp.float32) * (0.02 / 64.0),
+                                   tile)
 
     def get_ws_s():
         return _memo("s", lambda: [[mk4(H, H + 2 * KV), mk4(H, H),
