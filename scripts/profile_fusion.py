@@ -145,8 +145,11 @@ def main():
         y = gemv(x, *ws)
         return x + y[:, :H]
 
-    def loop(step, ws):
-        def run(x0):
+    def loop(step):
+        # Weights are a jit ARGUMENT, not a closure: closing over ~1 GB of
+        # device arrays embeds them as HLO constants, and the remote-compile
+        # tunnel then uploads the whole gigabyte per compile (>30 min).
+        def run(x0, ws):
             def body(x, _):
                 return step(x, ws), ()
             x, _ = jax.lax.scan(body, x0, None, length=args.steps)
@@ -252,10 +255,10 @@ def main():
                                ("C giant", step_c, get_ws_c)):
         if only and name[0] not in only:
             continue
-        fn = loop(step, get_ws())
+        fn, ws = loop(step), get_ws()
         x0 = jnp.asarray(r.randn(1, H).astype(np.float32))
         t0 = time.perf_counter()
-        _ = float(jnp.sum(fn(x0)))   # compile + warm
+        _ = float(jnp.sum(fn(x0, ws)))   # compile + warm
         print(f"{name:12s} compile+warm {time.perf_counter()-t0:.1f}s",
               flush=True)
         walls = []
@@ -263,7 +266,7 @@ def main():
             xi = x0 + (i + 1) * 1e-6  # vary input per call (tunnel memo);
             # i=0 must also differ from the warmup input x0
             t0 = time.perf_counter()
-            _ = float(jnp.sum(fn(xi)))  # host readback forces execution
+            _ = float(jnp.sum(fn(xi, ws)))  # host readback forces execution
             walls.append(time.perf_counter() - t0)
         w = float(np.median(walls))
         per_step = w / args.steps * 1e3
