@@ -100,6 +100,12 @@ def matmul_int8(x: jnp.ndarray, w_q: jnp.ndarray, scale: jnp.ndarray,
         M *= s
     xm = x.reshape(M, D).astype(jnp.bfloat16)
     bn = min(block_n, N)
+    # Keep the weight tile + its in-kernel bf16 convert inside scoped VMEM
+    # (16 MB): a [D, bn] tile costs D*bn int8 + 2*D*bn bf16 bytes.  At
+    # D=8192, bn=1024 that is 24 MB and Mosaic raises a vmem-stack OOM;
+    # 2M elements (6 MB/buffer) leaves room for double buffering.
+    while bn > 128 and D * bn > 2 * 1024 * 1024:
+        bn //= 2
     while N % bn:
         bn //= 2
     out = pl.pallas_call(
