@@ -141,14 +141,11 @@ def gated_mlp_int8(x: jnp.ndarray,
 # ---------------------------------------------------------------------------
 
 def _unpack_nibbles_bf16(wp):
-    """[Dh, n] uint8 -> (lo, hi) bf16 planes in [-8, 7] (exact; see
-    int4_matmul._kernel for the numerics argument)."""
-    f = wp.astype(jnp.bfloat16)
-    hi_u = jnp.floor(f * jnp.bfloat16(1.0 / 16.0))
-    lo_u = f - hi_u * jnp.bfloat16(16.0)
-    lo = jnp.where(lo_u >= 8, lo_u - 16, lo_u)
-    hi = jnp.where(hi_u >= 8, hi_u - 16, hi_u)
-    return lo, hi
+    """[Dh, n] uint8 -> (lo, hi) bf16 planes in [-8, 7] (exact; shared
+    i32 pure-shift formulation — see int4_matmul.unpack_nibbles_bf16 for
+    which ops this chip's Mosaic legalizes)."""
+    from taste_spokenlm_tpu.ops.pallas.int4_matmul import unpack_nibbles_bf16
+    return unpack_nibbles_bf16(wp)
 
 
 def _dot_int4(x, wp_ref, s_ref, group):
@@ -185,7 +182,9 @@ def _gated_kernel_i4(x_ref, wg_ref, sg_ref, wu_ref, su_ref, wd_ref, sd_ref,
     g = _dot_int4(x, wg_ref, sg_ref, group_in)
     u = _dot_int4(x, wu_ref, su_ref, group_in)
     a = (act(g) * u).astype(jnp.bfloat16)
-    out_ref[...] += _dot_int4(a, wd_ref, sd_ref, group_mid)
+    # sd block is [1, sc_pad, H] (tile-indexed, rows padded to a sublane
+    # multiple — see _tile_scales); [0] yields the tile's 2-D scale rows
+    out_ref[...] += _dot_int4(a, wd_ref, sd_ref[0], group_mid)
 
 
 def gated_mlp_int4(x: jnp.ndarray,
@@ -219,6 +218,7 @@ def gated_mlp_int4(x: jnp.ndarray,
     assert n_sc_mid % n_tiles == 0, (n_sc_mid, n_tiles)
     sc_per_tile = n_sc_mid // n_tiles
     group_mid = (bi // 2) // (sc_per_tile // 2)
+    sd3, sc_pad = _tile_scales(sd, n_tiles, sc_per_tile)
     out = pl.pallas_call(
         functools.partial(_gated_kernel_i4, act=_ACTS[activation],
                           group_in=group_in, group_mid=group_mid),
@@ -230,14 +230,30 @@ def gated_mlp_int4(x: jnp.ndarray,
             pl.BlockSpec((H // 2, bi), lambda i: (0, i)),
             pl.BlockSpec((n_sc_in, bi), lambda i: (0, i)),
             pl.BlockSpec((bi // 2, H), lambda i: (i, 0)),
-            pl.BlockSpec((sc_per_tile, H), lambda i: (i, 0)),
+            pl.BlockSpec((1, sc_pad, H), lambda i: (i, 0, 0)),
         ],
         out_specs=pl.BlockSpec((M, H), lambda i: (0, 0)),
         out_shape=jax.ShapeDtypeStruct((M, H), jnp.float32),
         interpret=interpret,
     )(xm, wg, sg.astype(jnp.float32), wu, su.astype(jnp.float32),
-      wd, sd.astype(jnp.float32))
+      wd, sd3)
     return out.reshape(*lead, H)
+
+
+def _tile_scales(s: jnp.ndarray, n_tiles: int, sc_per_tile: int):
+    """[n_tiles*sc_per_tile, H] -> ([n_tiles, sc_pad, H] f32, sc_pad).
+
+    Mosaic requires a block's last-two dims be (8k, 128k)-aligned; a flat
+    per-tile scale slice of e.g. 4 rows violates the sublane rule, so the
+    tile axis becomes a leading unit-blocked dim and the rows are
+    zero-padded up to a sublane multiple (padding rows are never indexed:
+    the kernel reads rows [0, sc_per_tile))."""
+    H = s.shape[-1]
+    s3 = s.astype(jnp.float32).reshape(n_tiles, sc_per_tile, H)
+    sc_pad = -(-sc_per_tile // 8) * 8
+    if sc_pad != sc_per_tile:
+        s3 = jnp.pad(s3, ((0, 0), (0, sc_pad - sc_per_tile), (0, 0)))
+    return s3, sc_pad
 
 
 def quantize_int4_tiled(w: jnp.ndarray, tile: int,
@@ -288,7 +304,7 @@ def _ffn_kernel_i4(x_ref, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref, b2_ref,
     x = x_ref[...]
     h = _dot_int4(x, w1_ref, s1_ref, group_in) + b1_ref[0, :][None, :]
     a = act(h).astype(jnp.bfloat16)
-    out_ref[...] += _dot_int4(a, w2_ref, s2_ref, group_mid)
+    out_ref[...] += _dot_int4(a, w2_ref, s2_ref[0], group_mid)
 
 
 def ffn_int4(x: jnp.ndarray,
@@ -314,6 +330,7 @@ def ffn_int4(x: jnp.ndarray,
     assert n_sc_mid % n_tiles == 0, (n_sc_mid, n_tiles)
     sc_per_tile = n_sc_mid // n_tiles
     group_mid = (bi // 2) // (sc_per_tile // 2)
+    s23, sc_pad = _tile_scales(s2, n_tiles, sc_per_tile)
     out = pl.pallas_call(
         functools.partial(_ffn_kernel_i4, act=_ACTS[activation],
                           group_in=group_in, group_mid=group_mid),
@@ -324,14 +341,14 @@ def ffn_int4(x: jnp.ndarray,
             pl.BlockSpec((n_sc_in, bi), lambda i: (0, i)),
             pl.BlockSpec((1, bi), lambda i: (0, i)),
             pl.BlockSpec((bi // 2, D), lambda i: (i, 0)),
-            pl.BlockSpec((sc_per_tile, D), lambda i: (i, 0)),
+            pl.BlockSpec((1, sc_pad, D), lambda i: (i, 0, 0)),
             pl.BlockSpec((1, D), lambda i: (0, 0)),
         ],
         out_specs=pl.BlockSpec((M, D), lambda i: (0, 0)),
         out_shape=jax.ShapeDtypeStruct((M, D), jnp.float32),
         interpret=interpret,
     )(xm, w1, s1.astype(jnp.float32), b1.reshape(1, I).astype(jnp.float32),
-      w2, s2.astype(jnp.float32), b2.reshape(1, D).astype(jnp.float32))
+      w2, s23, b2.reshape(1, D).astype(jnp.float32))
     return out.reshape(*lead, D)
 
 

@@ -10,11 +10,12 @@ MEASURED (v5e, Llama-1B decode, B=1): with the original int32
 mask/shift nibble unpack, int4 was SLOWER than the XLA int8 path
 (2.61 vs 2.35 ms/step full backbone loop) — at M=1 the per-call kernel
 overhead plus the VPU unpack across ~112 calls/step exceeded the
-bandwidth saved.  The unpack is now reformulated in bf16 (see _kernel)
-to cut the VPU op count ~40%; until that closes the gap on-chip the
-serving default remains int8, with int4 opt-in
-(`quantized_serving="int4"`) for HBM-capacity-constrained deployments
-(weights at half the int8 footprint).
+bandwidth saved.  The unpack is now a minimal pure-shift i32
+formulation (see unpack_nibbles_bf16; bf16 math is NOT available in
+this chip's Mosaic).  Until int4 measures faster on-chip the serving
+default remains int8, with int4 opt-in (`quantized_serving="int4"`)
+for HBM-capacity-constrained deployments (weights at half the int8
+footprint).
 
 Packing: the contraction dim D is split in halves; byte [d, n] of the
 packed [D//2, N] uint8 buffer holds w[d, n] in the LOW nibble and
@@ -68,20 +69,23 @@ def unpack_int4_ref(wp: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([lo, hi], axis=0)
 
 
+def unpack_nibbles_bf16(wp):
+    """uint8 bytes -> (lo, hi) sign-extended int4 planes as bf16, in-kernel.
+
+    Pure-shift formulation: 1 widening cast + 4 arithmetic shifts + 2
+    narrowing casts (~7 VPU ops/byte).  This is the leanest variant this
+    chip's Mosaic accepts: bf16 FORMULATIONS ARE NOT AVAILABLE — Mosaic
+    here has no u8->bf16/u8->f32 cast, no bf16 compare, no bf16 floor,
+    and no i16 shifts (all probed on-chip; only u8->i16/i32->bf16 casts
+    and i32 shifts legalize)."""
+    b = wp.astype(jnp.int32)
+    lo = ((b << 28) >> 28).astype(jnp.bfloat16)
+    hi = ((b << 24) >> 28).astype(jnp.bfloat16)
+    return lo, hi
+
+
 def _kernel(x_ref, wp_ref, s_ref, out_ref, *, group: int):
-    # Nibble split in bf16: uint8 bytes (0..255) convert exactly to bf16
-    # (8 significand bits), /16 is a power-of-two scale and floor recovers
-    # the high nibble, so hi*16+lo == byte holds EXACTLY in bf16.  The
-    # original int32 mask/shift formulation was VPU-bound: ~10 i32 ops per
-    # packed byte across the whole weight matrix cost more than the HBM
-    # bytes int4 saved (2.61 vs 2.35 ms/step at Llama-1B).  bf16 halves
-    # the register traffic and needs ~6 ops; two's-complement sign-extend
-    # becomes a compare+select (v in [0,15] -> v-16 when v>=8).
-    f = wp_ref[...].astype(jnp.bfloat16)
-    hi_u = jnp.floor(f * jnp.bfloat16(1.0 / 16.0))
-    lo_u = f - hi_u * jnp.bfloat16(16.0)
-    w_lo = jnp.where(lo_u >= 8, lo_u - 16, lo_u)
-    w_hi = jnp.where(hi_u >= 8, hi_u - 16, hi_u)
+    w_lo, w_hi = unpack_nibbles_bf16(wp_ref[...])
     x = x_ref[...]
     half = x.shape[-1] // 2
     n_g = half // group
