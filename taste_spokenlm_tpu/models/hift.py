@@ -175,32 +175,74 @@ def sine_source(rng, f0_up: jnp.ndarray, sampling_rate: int, harmonics: int,
     return sines * uv + noise                               # [B, H+1, T]
 
 
+def _dft_consts(n_fft: int):
+    """Size-n_fft real DFT / inverse-DFT as constant matmul operands.
+
+    At n_fft=16 the transform is a [16, 9]-shaped matmul — far cheaper on
+    TPU than dispatching XLA FFTs over ~230k frames, and it keeps the
+    whole head in real arithmetic (no complex dtype)."""
+    nf = n_fft // 2 + 1
+    eye = np.eye(n_fft)
+    fwd = np.fft.rfft(eye, axis=-1)                       # frames @ fwd
+    inv_r = np.fft.irfft(np.eye(nf), n=n_fft, axis=-1)    # real @ inv_r
+    inv_i = np.fft.irfft(1j * np.eye(nf), n=n_fft, axis=-1)
+    return (fwd.real.astype(np.float32), fwd.imag.astype(np.float32),
+            inv_r.astype(np.float32), inv_i.astype(np.float32))
+
+
+def _frame_hop_groups(xp: jnp.ndarray, n_fft: int, hop: int,
+                      nfrm: int) -> jnp.ndarray:
+    """[B, L] -> [B, nfrm, n_fft] frames WITHOUT a gather: hop | n_fft, so
+    tap group j of every frame is a strided reshape of a shifted slice
+    (TPU scatters/gathers with ~1e6 indices dominate the whole vocoder;
+    reshapes are free layout ops)."""
+    groups = [
+        xp[:, j * hop: j * hop + hop * nfrm].reshape(-1, nfrm, hop)
+        for j in range(n_fft // hop)
+    ]
+    return jnp.concatenate(groups, axis=-1)
+
+
 def stft_16(x: jnp.ndarray, n_fft: int, hop: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """torch.stft(center=True, reflect) real/imag, [B, F, TT]."""
+    assert n_fft % hop == 0, (n_fft, hop)
     win = jnp.asarray(np.hanning(n_fft + 1)[:-1].astype(np.float32))
+    fwd_r, fwd_i, _, _ = _dft_consts(n_fft)
     pad = n_fft // 2
     xp = jnp.pad(x, ((0, 0), (pad, pad)), mode="reflect")
     nfrm = 1 + (xp.shape[1] - n_fft) // hop
-    idx = (np.arange(nfrm)[:, None] * hop + np.arange(n_fft)[None, :])
-    frames = xp[:, idx] * win
-    spec = jnp.fft.rfft(frames, n=n_fft, axis=-1)           # [B, TT, F]
-    return spec.real.transpose(0, 2, 1), spec.imag.transpose(0, 2, 1)
+    frames = _frame_hop_groups(xp, n_fft, hop, nfrm) * win
+    real = frames @ jnp.asarray(fwd_r)                      # [B, TT, F]
+    imag = frames @ jnp.asarray(fwd_i)
+    return real.transpose(0, 2, 1), imag.transpose(0, 2, 1)
 
 
 def istft_16(mag: jnp.ndarray, phase: jnp.ndarray, n_fft: int, hop: int) -> jnp.ndarray:
-    """torch.istft(center=True) with hann window: [B, F, TT] -> [B, (TT-1)*hop]."""
-    win = jnp.asarray(np.hanning(n_fft + 1)[:-1].astype(np.float32))
-    real = mag * jnp.cos(phase)
-    imag = mag * jnp.sin(phase)
-    spec = (real + 1j * imag).transpose(0, 2, 1)            # [B, TT, F]
-    frames = jnp.fft.irfft(spec, n=n_fft, axis=-1) * win    # [B, TT, n_fft]
+    """torch.istft(center=True) with hann window: [B, F, TT] -> [B, (TT-1)*hop].
+
+    Overlap-add is a sum of n_fft/hop shifted strided reshapes (the exact
+    inverse of _frame_hop_groups) instead of a duplicate-index scatter-add
+    — XLA scatters with ~4M colliding indices serialize on TPU and were
+    the single largest cost of the vocoder stage.  The window-envelope
+    normalizer is a host-side numpy constant (static shapes under jit)."""
+    assert n_fft % hop == 0, (n_fft, hop)
+    win_np = np.hanning(n_fft + 1)[:-1].astype(np.float32)
+    _, _, inv_r, inv_i = _dft_consts(n_fft)
+    real = (mag * jnp.cos(phase)).transpose(0, 2, 1)        # [B, TT, F]
+    imag = (mag * jnp.sin(phase)).transpose(0, 2, 1)
+    frames = (real @ jnp.asarray(inv_r)
+              + imag @ jnp.asarray(inv_i)) * win_np         # [B, TT, n_fft]
     b, tt, _ = frames.shape
     out_len = n_fft + hop * (tt - 1)
+    sig = None
+    for j in range(n_fft // hop):
+        g = frames[:, :, j * hop:(j + 1) * hop].reshape(b, tt * hop)
+        part = jnp.pad(g, ((0, 0), (j * hop, out_len - j * hop - tt * hop)))
+        sig = part if sig is None else sig + part
     pos = (np.arange(tt)[:, None] * hop + np.arange(n_fft)[None, :]).reshape(-1)
-    sig = jnp.zeros((b, out_len)).at[:, pos].add(frames.reshape(b, -1))
-    wsum = jnp.zeros((out_len,)).at[pos].add(
-        jnp.tile(win ** 2, (tt,)))
-    sig = sig / jnp.maximum(wsum, 1e-8)
+    wsum = np.zeros((out_len,), np.float32)
+    np.add.at(wsum, pos, np.tile(win_np ** 2, tt))
+    sig = sig / jnp.asarray(np.maximum(wsum, 1e-8))
     pad = n_fft // 2
     return sig[:, pad:-pad] if pad else sig
 
