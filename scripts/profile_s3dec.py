@@ -47,10 +47,10 @@ def main():
     b, t_tok, steps = 1, 40, args.steps
     r = np.random.RandomState(0)
 
-    def build(n_blocks):
+    def build(n_blocks, qs="int8"):
         cfg = base.replace(
             llm=base.llm.replace(num_blocks=n_blocks,
-                                 quantized_serving="int8"))
+                                 quantized_serving=qs))
         return TasteSpeechDecoder(cfg, dtype=jnp.bfloat16)
 
     spk = jnp.asarray(r.randn(b, base.spk_embed_dim), jnp.float32)
@@ -61,8 +61,9 @@ def main():
                           jnp.int32)
     asr_lens = jnp.asarray([t_tok] * b)
 
-    for n_blocks, sampling_k in ((7, 25), (3, 25), (7, 0)):
-        model = build(n_blocks)
+    for n_blocks, sampling_k, qs in ((7, 25, "int8"), (7, 25, "int4"),
+                                     (3, 25, "int8"), (7, 0, "int8")):
+        model = build(n_blocks, qs)
         # init via the training forward (creates every param incl. the
         # llm_decoder head; generate's lifted while_loop cannot init)
         sp_ids = jnp.zeros((b, 8), jnp.int32)
@@ -89,7 +90,7 @@ def main():
             walls.append(time.perf_counter() - t0)
         w = min(walls)
         n = int(np.min(np.asarray(out["speech_token_lengths"])))
-        print(f"{n_blocks}L k={sampling_k} generate: {w*1e3:7.1f} ms  "
+        print(f"{n_blocks}L k={sampling_k} {qs} generate: {w*1e3:7.1f} ms  "
               f"{w/steps*1e3:6.3f} ms/step  (decoded>={n}, compile {comp:.0f}s)",
               flush=True)
 

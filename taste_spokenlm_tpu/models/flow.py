@@ -21,6 +21,7 @@ blocks, heads 8 x 64, 10 Euler steps, CFG rate 0.7, cosine t-schedule.
 from __future__ import annotations
 
 import math
+import os
 from typing import Any, Dict, Optional, Tuple
 
 import flax.linen as nn
@@ -30,7 +31,8 @@ import jax.numpy as jnp
 from taste_spokenlm_tpu.config import FlowConfig
 from taste_spokenlm_tpu.models.conformer import ConformerEncoder
 from taste_spokenlm_tpu.models.hift import WNConvTranspose
-from taste_spokenlm_tpu.ops.attention import multi_head_attention
+from taste_spokenlm_tpu.ops.attention import (multi_head_attention,
+                                              padded_flash_attention)
 from taste_spokenlm_tpu.ops.masking import length_mask
 
 
@@ -103,14 +105,22 @@ class ResnetBlock1D(nn.Module):
 
 
 class DiffusersAttention(nn.Module):
-    """diffusers-style self-attention (to_q/k/v no bias, to_out)."""
+    """diffusers-style self-attention (to_q/k/v no bias, to_out).
+
+    `key_valid` is the [B, T] frame-validity mask.  A Pallas flash route
+    (padded_flash_attention, mask as a free head-dim lane) exists behind
+    TASTE_FLOW_FLASH=1 but is OFF by default: measured on the v5e chip the
+    10-step CFM solve is 46 ms with the einsum path vs 58 ms with flash —
+    at U-Net shapes (T=904/452, B*H=16) the per-program kernel overhead
+    across ~68 attention blocks per eval swamps the saved [B,H,T,T] logit
+    traffic (scripts/profile_vocoder.py, 2026-08-19)."""
 
     heads: int
     head_dim: int
     out_dim: int
 
     @nn.compact
-    def __call__(self, x, mask=None):
+    def __call__(self, x, key_valid=None):
         b, t, _ = x.shape
         inner = self.heads * self.head_dim
         q = nn.Dense(inner, use_bias=False, name="to_q")(x)
@@ -119,7 +129,17 @@ class DiffusersAttention(nn.Module):
         q = q.reshape(b, t, self.heads, self.head_dim)
         k = k.reshape(b, t, self.heads, self.head_dim)
         v = v.reshape(b, t, self.heads, self.head_dim)
-        out = multi_head_attention(q, k, v, mask=mask)
+        from taste_spokenlm_tpu.ops.pallas.flash_attention import can_use_flash
+        if (key_valid is not None and can_use_flash(t, t)
+                and os.environ.get("TASTE_FLOW_FLASH") == "1"
+                and os.environ.get("TASTE_DISABLE_FLASH") != "1"
+                and jax.default_backend() in ("tpu", "axon")):
+            out = padded_flash_attention(q, k, v, key_valid)
+        else:
+            mask = None
+            if key_valid is not None:
+                mask = key_valid[:, None, None, :]  # [B, 1, 1, Tk]
+            out = multi_head_attention(q, k, v, mask=mask)
         return nn.Dense(self.out_dim, name="to_out")(out.reshape(b, t, inner))
 
 
@@ -129,10 +149,10 @@ class BasicTransformerBlock(nn.Module):
     head_dim: int
 
     @nn.compact
-    def __call__(self, x, mask=None):
+    def __call__(self, x, key_valid=None):
         h = nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
         x = x + DiffusersAttention(self.heads, self.head_dim, self.dim,
-                                   name="attn1")(h, mask=mask)
+                                   name="attn1")(h, key_valid=key_valid)
         h = nn.LayerNorm(epsilon=1e-5, name="norm3")(x)
         h = nn.Dense(self.dim * 4, name="ff_in")(h)
         h = nn.gelu(h, approximate=False)
@@ -148,9 +168,13 @@ def sinusoidal_time_emb(t: jnp.ndarray, dim: int, scale: float = 1000.0) -> jnp.
     return jnp.concatenate([jnp.sin(ang), jnp.cos(ang)], axis=-1)
 
 
-def _attn_mask(m):
-    """[B, T, 1] float mask -> bool [B, 1, T, T] pairwise mask."""
-    return (m[:, None, :, :] * m[:, None, None, :, 0]) > 0.5
+def _key_valid(m):
+    """[B, T, 1] float mask -> bool [B, T] key-validity mask.
+
+    Only KEY masking is needed for correctness: padded query rows produce
+    junk either way (all--inf softmax rows were uniform-junk too) and every
+    consumer multiplies by the frame mask before the next cross-position op."""
+    return m[:, :, 0] > 0.5
 
 
 class ConditionalDecoder(nn.Module):
@@ -185,11 +209,11 @@ class ConditionalDecoder(nn.Module):
         m0 = mask.astype(h.dtype)[:, :, None]
 
         def tf_stack(h, m, ch, name):
-            am = _attn_mask(m)
+            kv = _key_valid(m)
             for bi in range(cfg.estimator_n_blocks):
                 h = BasicTransformerBlock(ch, cfg.estimator_num_heads,
                                           cfg.estimator_attention_head_dim,
-                                          name=f"{name}_tf_{bi}")(h, am)
+                                          name=f"{name}_tf_{bi}")(h, kv)
             return h
 
         # ---- down path: skips captured BEFORE downsampling ----

@@ -79,15 +79,16 @@ class WhisperAttention(nn.Module):
             cache = {"k": k_cache, "v": v_cache}
 
         # Pallas flash attention on TPU for long unmasked self-attention
-        # (the whisper encoder's 1500-position hot path).  B=1 serving runs
-        # the XLA einsum path instead: measured at whisper-large shapes
-        # (T=1500, 20 heads) einsum is 1.50 ms/layer vs 2.09 for the flash
-        # kernel — the single-batch grid underfills the chip — while at the
-        # training batch (B=8) flash wins the full forward 446 ms vs 527.
+        # (the whisper encoder's 1500-position hot path).  Measured at
+        # whisper-large shapes (T=1500, 20 heads, 32L): flash wins at the
+        # training batch (B=8, full forward 446 ms vs 527) AND at B=1
+        # serving (59.7 ms vs 63.6, scripts/profile_tower.py 2026-08-19 —
+        # an earlier one-shot-kernel-less measurement had B=1 flash losing
+        # 2.09 vs 1.50 ms/layer, hence the historical b>=2 gate).
         from taste_spokenlm_tpu.ops.pallas.flash_attention import (
             can_use_flash, flash_attention)
         import os
-        if (mask is None and cache is None and b >= 2
+        if (mask is None and cache is None
                 and can_use_flash(tq, k.shape[1])
                 and os.environ.get("TASTE_DISABLE_FLASH") != "1"
                 and jax.default_backend() in ("tpu", "axon")):

@@ -44,6 +44,45 @@ def multi_head_attention(
     return out.astype(dtype)
 
 
+def padded_flash_attention(
+    q: jnp.ndarray,  # [B, Tq, H, D]
+    k: jnp.ndarray,  # [B, Tk, H, D]
+    v: jnp.ndarray,  # [B, Tk, H, D]
+    key_valid: jnp.ndarray,  # bool [B, Tk]
+    scale: Optional[float] = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Flash attention with a per-example key padding mask.
+
+    The Pallas kernel (ops/pallas/flash_attention.py) has no mask operand —
+    it zero-pads the head dim up to the 128-lane tile anyway, so the mask is
+    smuggled into the dot product through one of those free lanes: q gets a
+    constant-1 lane and k gets 0 (valid) / -30000/scale (padded), making the
+    padded keys' logits -30000 after the kernel's scale multiply — exp -> 0
+    in the kernel's f32 softmax.  Cost over unmasked flash: one extra lane
+    that was already being padded.
+
+    Rows whose keys are ALL padded get a uniform softmax over junk — callers
+    mask padded query positions downstream (the flow U-Net multiplies by the
+    frame mask before every conv), exactly as with the einsum path, whose
+    all--inf rows also produce junk."""
+    b, tq, h, d = q.shape
+    tk = k.shape[1]
+    if scale is None:
+        scale = d ** -0.5
+    from taste_spokenlm_tpu.ops.pallas.flash_attention import flash_attention
+    lane_q = jnp.ones((b, tq, h, 1), q.dtype)
+    lane_k = jnp.where(key_valid, 0.0, -30000.0 / scale).astype(k.dtype)
+    lane_k = jnp.broadcast_to(lane_k[:, :, None, None], (b, tk, h, 1))
+    lane_v = jnp.zeros((b, tk, h, 1), v.dtype)
+    out = flash_attention(
+        jnp.concatenate([q, lane_q], axis=-1),
+        jnp.concatenate([k, lane_k], axis=-1),
+        jnp.concatenate([v, lane_v], axis=-1),
+        scale=scale, interpret=interpret)
+    return out[..., :d]
+
+
 def gqa_attention(
     q: jnp.ndarray,  # [B, Tq, Hq, D]
     k: jnp.ndarray,  # [B, Tk, Hkv, D]

@@ -58,3 +58,42 @@ def test_flash_unaligned_length_padded():
     assert out.shape == (b, t, h, d)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-5, rtol=1e-4)
+
+
+def test_padded_flash_per_example_key_mask():
+    """padded_flash_attention: mask-as-a-free-lane == einsum with key mask.
+
+    Exercises the flow U-Net's serving configuration (per-example mel
+    lengths shorter than the padded buffer) at a length that pads up to
+    the kernel block grid."""
+    from taste_spokenlm_tpu.ops.attention import padded_flash_attention
+    rng = np.random.RandomState(5)
+    b, t, h, d = 2, 300, 4, 64
+    q = jnp.asarray(rng.randn(b, t, h, d), jnp.float32)
+    k = jnp.asarray(rng.randn(b, t, h, d), jnp.float32)
+    v = jnp.asarray(rng.randn(b, t, h, d), jnp.float32)
+    lens = jnp.asarray([300, 173])
+    key_valid = jnp.arange(t)[None, :] < lens[:, None]
+
+    out = padded_flash_attention(q, k, v, key_valid, interpret=True)
+    ref = multi_head_attention(q, k, v, mask=key_valid[:, None, None, :])
+    assert out.shape == (b, t, h, d)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_padded_flash_bf16_mask_lane():
+    """The -30000/scale mask-lane constant must survive bf16 casts."""
+    from taste_spokenlm_tpu.ops.attention import padded_flash_attention
+    rng = np.random.RandomState(6)
+    b, t, h, d = 1, 256, 2, 64
+    q = jnp.asarray(rng.randn(b, t, h, d), jnp.bfloat16)
+    k = jnp.asarray(rng.randn(b, t, h, d), jnp.bfloat16)
+    v = jnp.asarray(rng.randn(b, t, h, d), jnp.bfloat16)
+    key_valid = jnp.arange(t)[None, :] < 200
+
+    out = padded_flash_attention(q, k, v, key_valid, interpret=True)
+    ref = multi_head_attention(q, k, v, mask=key_valid[:, None, None, :])
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32),
+                               atol=3e-2, rtol=3e-2)
