@@ -40,6 +40,43 @@ def mish(x):
     return x * jnp.tanh(jax.nn.softplus(x))
 
 
+class TapConv(nn.Module):
+    """conv1d expressed as K shifted [B, T, Cin] @ [Cin, Cout] matmuls.
+
+    XLA's NHC conv lowering runs the U-Net's C=256 kernel-3 convs at
+    ~3-6 TF/s on v5e (MXU mostly idle — same pathology as the HiFT
+    ResBlocks, see ops/pallas/conv1d.py); K shifted slices of the padded
+    input feed plain MXU dots instead, and XLA fuses the K-1 adds.  Unlike
+    the Pallas kernel there is no per-call overhead, so it also wins at the
+    U-Net's short sequences (T=452..904) where the kernel loses.
+
+    Param layout and naming are identical to nn.Conv ([K, Cin, Cout]
+    `kernel` + `bias`), so checkpoint converters are unaffected."""
+
+    features: int
+    kernel: int = 3
+    stride: int = 1
+    padding: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        K = self.kernel
+        w = self.param("kernel", nn.initializers.lecun_normal(),
+                       (K, x.shape[-1], self.features))
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        x, w, b = nn.dtypes.promote_dtype(x, w, b, dtype=None)
+        pad = self.padding
+        xp = jnp.pad(x, ((0, 0), (pad, pad), (0, 0))) if pad else x
+        t_out = (x.shape[1] + 2 * pad - K) // self.stride + 1
+        out = None
+        for i in range(K):
+            xi = jax.lax.slice_in_dim(
+                xp, i, i + self.stride * (t_out - 1) + 1, self.stride, axis=1)
+            part = xi @ w[i]
+            out = part if out is None else out + part
+        return out + b
+
+
 def nearest_interpolate(x: jnp.ndarray, out_len: int,
                         in_lengths: Optional[jnp.ndarray] = None,
                         out_lengths: Optional[jnp.ndarray] = None) -> jnp.ndarray:
@@ -73,10 +110,10 @@ class InterpolateRegulator(nn.Module):
                  in_lengths: Optional[jnp.ndarray] = None):
         h = nearest_interpolate(x, out_len, in_lengths, out_lengths)
         for i in range(self.n_layers):
-            h = nn.Conv(self.channels, (3,), padding=1, name=f"conv_{i}")(h)
+            h = TapConv(self.channels, 3, padding=1, name=f"conv_{i}")(h)
             h = nn.GroupNorm(num_groups=1, epsilon=1e-5, name=f"norm_{i}")(h)
             h = mish(h)
-        h = nn.Conv(self.channels, (1,), name="proj")(h)
+        h = TapConv(self.channels, 1, padding=0, name="proj")(h)
         return h * length_mask(out_lengths, out_len)[:, :, None]
 
 
@@ -87,7 +124,7 @@ class Block1D(nn.Module):
     @nn.compact
     def __call__(self, x, mask):
         # x: [B, T, C]; mask: [B, T, 1]
-        h = nn.Conv(self.dim_out, (3,), padding=1, name="conv")(x * mask)
+        h = TapConv(self.dim_out, 3, padding=1, name="conv")(x * mask)
         h = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5, name="norm")(h)
         return mish(h) * mask
 
@@ -101,7 +138,8 @@ class ResnetBlock1D(nn.Module):
         h = Block1D(self.dim_out, self.groups, name="block1")(x, mask)
         h = h + nn.Dense(self.dim_out, name="mlp")(mish(t_emb))[:, None, :]
         h = Block1D(self.dim_out, self.groups, name="block2")(h, mask)
-        return h + nn.Conv(self.dim_out, (1,), name="res_conv")(x * mask)
+        return h + TapConv(self.dim_out, 1, padding=0,
+                           name="res_conv")(x * mask)
 
 
 class DiffusersAttention(nn.Module):
@@ -226,11 +264,11 @@ class ConditionalDecoder(nn.Module):
             h = tf_stack(h, m, ch, f"down_{i}")
             skips.append(h)
             if not is_last:
-                h = nn.Conv(ch, (3,), strides=(2,), padding=1,
+                h = TapConv(ch, 3, stride=2, padding=1,
                             name=f"down_{i}_downsample")(h * m)
                 masks.append(m[:, ::2])
             else:
-                h = nn.Conv(ch, (3,), padding=1,
+                h = TapConv(ch, 3, padding=1,
                             name=f"down_{i}_downsample")(h * m)
                 masks.append(m)
         masks = masks[:-1]
@@ -256,12 +294,13 @@ class ConditionalDecoder(nn.Module):
                 h = WNConvTranspose(out_ch, 4, 2, 1,
                                     name=f"up_{i}_upsample")(h * m)
             else:
-                h = nn.Conv(out_ch, (3,), padding=1, name=f"up_{i}_upsample")(h * m)
+                h = TapConv(out_ch, 3, padding=1,
+                            name=f"up_{i}_upsample")(h * m)
             m_final = m
 
         h = h[:, : m_final.shape[1]]
         h = Block1D(rev[-1], name="final_block")(h, m_final)
-        out = nn.Conv(n_mels, (1,), name="final_proj")(h * m_final)
+        out = TapConv(n_mels, 1, padding=0, name="final_proj")(h * m_final)
         return out * m_final
 
 
