@@ -26,6 +26,47 @@ def _pad_to(x: np.ndarray, n: int, value=0) -> np.ndarray:
     return np.pad(x, pad, constant_values=value)
 
 
+def build_instruct_ids(llm_tokenizer, system_prompt: Optional[str] = None):
+    """Chat-template wrapper ids for `conditional_mode='instruct'`.
+
+    The reference consumes caller-supplied `instruct_prefix_ids` /
+    `instruct_suffix_ids` around the fused audio prefix
+    (modeling_taste.py:1101-1124) plus a `stop_id` that ends generation
+    without being emitted (modules_taste/sampler.py:75-140).  Build them
+    from the tokenizer's own chat template: render a user turn whose
+    content is a sentinel, split the rendered text around it, and encode
+    the two halves — prefix = everything before the audio content
+    (template header), suffix = everything after (the assistant-generation
+    header).  stop_id = the template's end-of-turn/eos id.
+
+    Returns (prefix_ids [P] int32, suffix_ids [S] int32, stop_id int).
+    """
+    marker = "␟"  # SYMBOL FOR UNIT SEPARATOR: survives any template
+    msgs = []
+    if system_prompt:
+        msgs.append({"role": "system", "content": system_prompt})
+    msgs.append({"role": "user", "content": marker})
+    try:
+        text = llm_tokenizer.apply_chat_template(
+            msgs, tokenize=False, add_generation_prompt=True)
+    except Exception:
+        # tokenizer without a chat template: llama-2-instruct style wrapper
+        sys_part = f"<<SYS>>\n{system_prompt}\n<</SYS>>\n\n" \
+            if system_prompt else ""
+        text = f"[INST] {sys_part}{marker} [/INST]"
+    pre, _, post = text.partition(marker)
+    prefix = list(llm_tokenizer.encode(pre, add_special_tokens=False))
+    suffix = list(llm_tokenizer.encode(post, add_special_tokens=False))
+    if not prefix:  # generate() embeds the prefix; keep it non-empty
+        bos = getattr(llm_tokenizer, "bos_token_id", None)
+        prefix = [bos if bos is not None else 0]
+    if not suffix:
+        suffix = list(prefix[-1:])
+    stop_id = getattr(llm_tokenizer, "eos_token_id", None)
+    return (np.asarray(prefix, np.int32), np.asarray(suffix, np.int32),
+            int(stop_id) if stop_id is not None else -1)
+
+
 @dataclass
 class CompletionPipeline:
     model: TasteForCausalLM
@@ -63,16 +104,33 @@ class CompletionPipeline:
         repetition_penalty: float = 1.1,
         seed: int = 0,
         output_text_only: bool = False,
+        instruct_prefix_ids: Optional[np.ndarray] = None,
+        instruct_suffix_ids: Optional[np.ndarray] = None,
+        stop_id: int = -1,
+        system_prompt: Optional[str] = None,
     ) -> Dict[str, Any]:
         import jax
         import jax.numpy as jnp
 
         cfg = self.model.config
+        instruct_kwargs = {}
+        if conditional_mode == "instruct":
+            if instruct_prefix_ids is None:
+                instruct_prefix_ids, instruct_suffix_ids, tmpl_stop = \
+                    build_instruct_ids(self.llm_tokenizer, system_prompt)
+                if stop_id < 0:
+                    stop_id = tmpl_stop
+            instruct_kwargs = dict(
+                instruct_prefix_ids=jnp.asarray(instruct_prefix_ids,
+                                                jnp.int32),
+                instruct_suffix_ids=jnp.asarray(instruct_suffix_ids,
+                                                jnp.int32))
         scfg = SamplerConfig(
             delay=cfg.spoken_lm.delay, delay_level=cfg.spoken_lm.delay_level,
             extra_words=extra_words, text_top_p=text_top_p,
             taste_top_p=taste_top_p, text_temperature=temperature,
             repetition_penalty=repetition_penalty,
+            stop_id=stop_id if conditional_mode == "instruct" else -1,
             has_prefix=conditional_mode == "audio")
 
         t = llm_token_ids.shape[1]
@@ -80,7 +138,7 @@ class CompletionPipeline:
             self.variables, jax.random.PRNGKey(seed), scfg, self.tables,
             jnp.asarray(llm_indices), jnp.asarray(llm_token_ids),
             jnp.asarray([t], np.int32), jnp.asarray(llm_word_ids),
-            conditional_mode, self.max_decode_steps,
+            conditional_mode, self.max_decode_steps, **instruct_kwargs,
             method=TasteForCausalLM.generate_completion)
 
         n = int(gen["num_tokens"][0])

@@ -124,8 +124,11 @@ def _cap_updates(ref, max_calls):
     return calls
 
 
-@pytest.mark.parametrize("mode", ["audio", "text"])
+@pytest.mark.parametrize("mode", ["audio", "text", "instruct"])
 def test_generate_trajectory_matches_reference(gen_pair, mode):
+    """instruct: the fused audio+text prefix is wrapped in chat-template
+    prefix/suffix ids and generation stops (exclusively) at stop_id
+    (modeling_taste.py:1089-1107, modules_taste/sampler.py:75-140)."""
     ref, rvq, ours, variables, cb, tables = gen_pair
     rng = np.random.RandomState(11)
     t = 6
@@ -133,6 +136,20 @@ def test_generate_trajectory_matches_reference(gen_pair, mode):
     lengths = np.asarray([t], np.int32)
     word_ids = np.asarray([[0, 0, 1, 1, 2, 2]], np.int32)
     indices = rng.randint(0, K, (1, t, Q))
+
+    ref_kwargs, our_kwargs = {}, {}
+    stop_id = -1
+    if mode == "instruct":
+        prefix = np.asarray([101, 102, 103], np.int64)
+        suffix = np.asarray([104, 105], np.int64)
+        stop_id = 128001
+        ref_kwargs = dict(
+            instruct_prefix_ids=torch.from_numpy(prefix),
+            instruct_suffix_ids=torch.from_numpy(suffix),
+            stop_id=stop_id)
+        our_kwargs = dict(
+            instruct_prefix_ids=jnp.asarray(prefix, jnp.int32),
+            instruct_suffix_ids=jnp.asarray(suffix, jnp.int32))
 
     calls = _cap_updates(ref, MAX_STEPS)
     with torch.no_grad():
@@ -142,18 +159,18 @@ def test_generate_trajectory_matches_reference(gen_pair, mode):
             llm_token_ids=torch.from_numpy(token_ids.astype(np.int64)),
             llm_token_lengths=torch.from_numpy(lengths.astype(np.int64)),
             llm_word_ids=torch.from_numpy(word_ids.astype(np.int64)),
-            extra_words=3)
+            extra_words=3, **ref_kwargs)
     ref.taste_sampler.update = ref.taste_sampler.update  # leave wrapped; reset next call
     capped = calls["n"] > MAX_STEPS
 
     scfg = SamplerConfig(delay=1, delay_level="word", extra_words=3,
-                         max_words_factor=3,
+                         max_words_factor=3, stop_id=stop_id,
                          has_prefix=(mode == "audio"))
     out = ours.apply(
         variables, jax.random.PRNGKey(0), cb, scfg, tables,
         jnp.asarray(indices), jnp.asarray(token_ids), jnp.asarray(lengths),
         jnp.asarray(word_ids), conditional_mode=mode, max_steps=MAX_STEPS,
-        method=ours.generate)
+        **our_kwargs, method=ours.generate)
 
     n_ref = int(g_len[0, 0]) if g_len is not None else 0
     n_ours = int(out["num_tokens"][0])
