@@ -24,6 +24,10 @@ import pytest
 
 datasets = pytest.importorskip("datasets")
 
+# every test here drives real CLI subprocesses end to end (minutes each
+# on a cold compile cache) — the fast tier deselects with -m "not slow"
+pytestmark = pytest.mark.slow
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 TEXTS = [
@@ -169,6 +173,155 @@ def test_cli_pipeline_stage1_extract_stage2(arrow_shard, tokenizer_dir,
           "--stage2-data", shards[0], "--steps", "2", "--token-budget", "96",
           "--log-every", "1", "--save-every", "2", "--warmup", "1",
           "--workdir", str(w2)])
+
+def test_cli_eval_real_data_artifact(arrow_shard, tokenizer_dir, seed_model,
+                                     tmp_path):
+    """scripts/eval.py end-to-end on the real-data path, regression-anchored
+    to the committed artifact tests/fixtures/eval_tiny_real.json (the
+    reference commits eval.json outputs, scripts/run.py:503-506): same
+    metric keys, values finite and in-protocol ranges."""
+    out = tmp_path / "eval.json"
+    _run(["scripts/eval.py", "--platform", "cpu", "--seed-model", seed_model,
+          "--data", arrow_shard, "--asr-tokenizer", tokenizer_dir,
+          "--llm-tokenizer", tokenizer_dir, "--num-batches", "0",
+          "--token-budget", "256", "--output", str(out)])
+    metrics = json.load(open(out))
+    anchor = json.load(open(os.path.join(REPO, "tests", "fixtures",
+                                         "eval_tiny_real.json")))
+    assert set(metrics) == set(anchor["metrics"]), (
+        set(metrics) ^ set(anchor["metrics"]))
+    for k, v in metrics.items():
+        assert np.isfinite(v), (k, v)
+    assert metrics["loss"] > 0
+    for k in ("speech_token_accuracy", "text_accuracy", "a0_accuracy",
+              "a1_accuracy", "a2_accuracy", "a3_accuracy"):
+        assert 0.0 <= metrics[k] <= 1.0, (k, metrics[k])
+    # selection-protocol scores: log-likelihoods are negative; a random-init
+    # model has no order preference, so |forward - reversed| stays small
+    assert metrics["loglikelihood"] < 0
+    assert metrics["reversed_loglikelihood"] < 0
+
+
+def test_cli_flow_training_real_data(arrow_shard, tmp_path):
+    """Flow-matching trainer on real (synthesized) arrow shards: audio ->
+    22.05 kHz resample -> CosyVoice mel targets, s3 tokens, x-vectors
+    (scripts/train.py --model flow; reference trains flow through
+    cosyvoice/bin/train.py:87-151)."""
+    w = tmp_path / "flow"
+    r = _run(["scripts/train.py", "--platform", "cpu", "--tiny",
+              "--model", "flow", "--data", arrow_shard, "--steps", "2",
+              "--token-budget", "64", "--log-every", "1", "--save-every", "2",
+              "--warmup", "1", "--workdir", str(w)])
+    assert "loss" in (r.stdout + r.stderr)
+    assert (w / "ckpt" / "2").is_dir()
+
+
+@pytest.fixture(scope="module")
+def input_wav(tmp_path_factory):
+    """Real wav on disk: 1.2 s of a two-tone chirp at 24 kHz (the CLI must
+    resample to the frontend's 16 kHz)."""
+    import wave as wave_mod
+    d = tmp_path_factory.mktemp("wavs")
+    path = str(d / "utt0.wav")
+    sr = 24000
+    t = np.arange(int(sr * 1.2)) / sr
+    wav = 0.3 * np.sin(2 * np.pi * 220.0 * t) \
+        + 0.2 * np.sin(2 * np.pi * (440.0 + 80.0 * t) * t)
+    pcm = (np.clip(wav, -1, 1) * 32767.0).astype("<i2")
+    with wave_mod.open(path, "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(2)
+        f.setframerate(sr)
+        f.writeframes(pcm.tobytes())
+    return path
+
+
+@pytest.fixture(scope="module")
+def campplus_onnx(tmp_path_factory):
+    """CAM++-shaped speaker-embedding graph ([B,T,80] fbank -> x-vector),
+    written with the repo's own protobuf writer and run by the JAX ONNX
+    executor — the same machinery real campplus.onnx weights would use."""
+    from taste_spokenlm_tpu.config import TasteConfig
+    from taste_spokenlm_tpu.frontend import onnx_build as B
+    spk = TasteConfig.tiny().speech_decoder.spk_embed_dim
+    rng = np.random.RandomState(7)
+    w = (rng.randn(80, spk) * 0.1).astype(np.float32)
+    nodes = [
+        B.node("ReduceMean", ["feats"], ["pooled"], axes=[1], keepdims=0),
+        B.node("MatMul", ["pooled", "w"], ["xvector"]),
+    ]
+    blob = B.build(nodes, ["feats"], ["xvector"], {"w": w})
+    d = tmp_path_factory.mktemp("onnx")
+    path = str(d / "campplus.onnx")
+    with open(path, "wb") as f:
+        f.write(blob)
+    return path
+
+
+@pytest.fixture(scope="module")
+def seed_model(tmp_path_factory):
+    d = tmp_path_factory.mktemp("seed") / "model"
+    _run(["scripts/create_seed_model.py", "--platform", "cpu", "--tiny",
+          "--output", str(d)])
+    return str(d)
+
+
+GEN_FAST = ["--max-speech-steps", "12", "--mel-len-max", "32",
+            "--max-decode-steps", "12", "--extra-words", "2"]
+
+
+def test_cli_wav_to_wav_reconstruction(input_wav, campplus_onnx, seed_model,
+                                       tokenizer_dir, tmp_path):
+    """The flagship journey, task 1: real wav in -> processor (resample,
+    128-mel, CAM++ x-vector via ONNX-exec, forced text, dual tokenization)
+    -> SpeechAutoEncoder reconstruction -> wav + meta JSON out
+    (reference scripts/generate_audio.py:85-130)."""
+    out = tmp_path / "gen_recon"
+    _run(["scripts/generate_audio.py", "--platform", "cpu",
+          "--seed-model", seed_model, "--task", "reconstruction",
+          "--input-wav", input_wav, "--campplus-onnx", campplus_onnx,
+          "--asr-tokenizer", tokenizer_dir, "--llm-tokenizer", tokenizer_dir,
+          "--text", "the cat sat on the mat",
+          "--output-dir", str(out)] + GEN_FAST)
+    import wave as wave_mod
+    wavs = sorted(glob.glob(str(out / "*.wav")))
+    metas = sorted(glob.glob(str(out / "*.json")))
+    assert len(wavs) == 1 and len(metas) == 1
+    meta = json.load(open(metas[0]))
+    assert meta["orig_text"] == "the cat sat on the mat"
+    assert meta["samples"] > 0
+    assert meta["input_wav"] == input_wav
+    with wave_mod.open(wavs[0], "rb") as f:
+        assert f.getnframes() == meta["samples"]
+        assert f.getframerate() == meta["sample_rate"]
+
+
+@pytest.mark.parametrize("mode", ["audio", "instruct"])
+def test_cli_wav_to_wav_completion(input_wav, campplus_onnx, seed_model,
+                                   tokenizer_dir, tmp_path, mode):
+    """The flagship journey, task 2: real wav in -> processor with WHISPER
+    ASR TRANSCRIPTION (no forced text; the transcriber shares the seed
+    model's tower weights) -> extract_vq -> CompletionPipeline (joint
+    decode, tokenizer round trip, synthesis) -> wav + meta JSON.
+    `instruct` wraps the audio prefix in chat-template ids built from the
+    llm tokenizer (frontend.api.build_instruct_ids)."""
+    out = tmp_path / f"gen_compl_{mode}"
+    _run(["scripts/generate_audio.py", "--platform", "cpu",
+          "--seed-model", seed_model, "--task", "completion",
+          "--conditional-mode", mode,
+          "--input-wav", input_wav, "--campplus-onnx", campplus_onnx,
+          "--asr-tokenizer", tokenizer_dir, "--llm-tokenizer", tokenizer_dir,
+          "--output-dir", str(out)] + GEN_FAST)
+    wavs = sorted(glob.glob(str(out / "*.wav")))
+    metas = sorted(glob.glob(str(out / "*.json")))
+    assert len(wavs) == 1 and len(metas) == 1
+    meta = json.load(open(metas[0]))
+    assert "generated_text" in meta
+    assert "orig_text" in meta          # the ASR transcript
+    assert meta["conditional_mode"] == mode
+    assert meta["samples"] > 0
+    assert meta["speech_tokens"] > 0
+
 
 def test_preemption_resume_drill(tmp_path):
     """Fault-tolerance drill: a killed-and-relaunched run resumes from the
