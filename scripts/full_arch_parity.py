@@ -193,8 +193,16 @@ def run_tower(tmpdir):
 
     def run_ours(dtype):
         import jax.numpy as jnp
-        model = (ours if dtype == "float32"
-                 else TasteForCausalLM(ours.config, dtype=jnp.bfloat16))
+        if dtype == "float32":
+            model = ours
+        elif dtype == "served":
+            # the production serving layout (bench.py): bf16 AR decoders /
+            # flow / vocoder, f32 tokenizer tower — the taste indices must
+            # hold the >99.9% agreement gate in the SHIPPED configuration
+            model = TasteForCausalLM(ours.config, dtype=jnp.bfloat16,
+                                     tower_dtype=jnp.float32)
+        else:
+            model = TasteForCausalLM(ours.config, dtype=jnp.bfloat16)
         out = model.apply(
             variables, jnp.asarray(spk),
             jnp.asarray(asr.astype(np.int32)),
@@ -254,6 +262,23 @@ def run_tower(tmpdir):
         rep16["rvq_index_agreement_vs_ref"] = float(
             (ref_indices[:, :tt] == idx_bf16[:, :tt]).mean())
     _report("tower_bf16", rep16)
+
+    # the SHIPPED serving layout: f32 tower + bf16 decoders — the taste
+    # indices (the tokenizer-parity gate) must agree >=99.9%
+    t0 = time.perf_counter()
+    idx_served, logits_served, _ = run_ours("served")
+    print(f"ours served-layout forward: {time.perf_counter()-t0:.0f}s",
+          file=sys.stderr)
+    rep_served = dict(
+        rvq_index_agreement_vs_f32=float((idx_served == idx_f32).mean()),
+        speech_argmax_agreement_vs_ref=float(
+            (am_ref[:, :sl]
+             == logits_served.argmax(-1)[:, :sl])[vmask].mean()))
+    if ref_indices is not None:
+        rep_served["rvq_index_agreement_vs_ref"] = float(
+            (ref_indices[:, :tt] == idx_served[:, :tt]).mean())
+    _report("tower_served", rep_served)
+    assert rep_served["rvq_index_agreement_vs_f32"] >= 0.999, rep_served
 
 
 def run_slm(tmpdir):

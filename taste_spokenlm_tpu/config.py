@@ -202,6 +202,12 @@ class AudioTowerConfig(_Base):
     fuse_forward_type: str = "asr_attn_pooling"  # or "add_and_norm"
     audio_dropout_ratio: float = 0.0
     make_v_proj_identity: bool = True
+    # bf16 serving layout: keep the segmenter decoder + pooling + RVQ in
+    # f32 (the encoder stays in the tower dtype) so the emitted taste
+    # indices hold the BASELINE >99.9% agreement gate — RVQ argmin over
+    # 512 codes flips on bf16-scale drift (docs/FULL_ARCH_PARITY.md).
+    # No effect when the tower itself runs f32.
+    segmenter_f32: bool = True
 
     @classmethod
     def tiny(cls) -> "AudioTowerConfig":

@@ -39,11 +39,18 @@ class TasteAudioTower(nn.Module):
 
     def setup(self):
         cfg = self.config
+        # bf16 serving layout: the ENCODER keeps bf16 (the bulk of tower
+        # FLOPs), but the segmenter decoder + pooling + RVQ run in f32 so
+        # the emitted taste indices stay on the f32 decision boundaries —
+        # the BASELINE >99.9% index-agreement gate binds the tokenizer
+        # output, and argmin over 512 codes flips on bf16-scale drift
+        # (docs/FULL_ARCH_PARITY.md "tower_bf16").
+        self._seg_dtype = (jnp.float32 if cfg.segmenter_f32 else self.dtype)
         self.encoder = WhisperEncoder(cfg.whisper, dtype=self.dtype,
                                       remat=cfg.whisper.remat,
                                       name="encoder")
         self.decoder = WhisperDecoder(
-            cfg.whisper, dtype=self.dtype,
+            cfg.whisper, dtype=self._seg_dtype,
             cross_v_identity_init=cfg.make_v_proj_identity, name="decoder")
         if cfg.quantization_on:
             self.vq = ResidualVQ(cfg.quantizer, name="vq")
@@ -51,7 +58,7 @@ class TasteAudioTower(nn.Module):
             # legacy path: truncated-encoder feats -> alignment pooling ->
             # affine to encoder_input_size (modeling_taste.py:64-74)
             self.audio_affine_layer = nn.Dense(cfg.encoder_input_size,
-                                               dtype=self.dtype)
+                                               dtype=self._seg_dtype)
 
     def _segment(self, mel: jnp.ndarray, asr_token_ids: jnp.ndarray,
                  asr_token_lengths: jnp.ndarray,
@@ -71,11 +78,13 @@ class TasteAudioTower(nn.Module):
             key_src, val_src = enc["last_hidden"], enc["target_hidden"]
         elif cfg.fuse_forward_type == "add_and_norm":
             fused = enc["last_hidden"] + enc["target_hidden"]
-            fused = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
+            fused = nn.LayerNorm(epsilon=1e-5, dtype=self._seg_dtype,
                                  name="early_exit_layer_norm")(fused)
             key_src = val_src = fused
         else:
             raise ValueError(cfg.fuse_forward_type)
+        key_src = key_src.astype(self._seg_dtype)
+        val_src = val_src.astype(self._seg_dtype)
 
         dec_out, _ = self.decoder(
             tokens, key_src, val_src,
@@ -108,8 +117,8 @@ class TasteAudioTower(nn.Module):
             if mel_lengths is None:
                 mel_lengths = jnp.full((mel.shape[0],), mel.shape[-1], jnp.int32)
             feats = alignment_mean_pool(
-                enc["target_hidden"], mel_lengths // 2,
-                asr_token_alignments, asr_token_lengths)
+                enc["target_hidden"].astype(self._seg_dtype),
+                mel_lengths // 2, asr_token_alignments, asr_token_lengths)
             feats = self.audio_affine_layer(feats)
 
         result: Dict[str, jnp.ndarray] = {

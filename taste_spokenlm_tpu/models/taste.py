@@ -39,10 +39,20 @@ class TasteForCausalLM(nn.Module):
     config: TasteConfig
     weight_commit_loss: float = 1.0
     dtype: Any = jnp.float32
+    # serving layout override for the AUDIO TOWER only (None = `dtype`).
+    # The BASELINE >99.9% taste-index agreement gate binds the tokenizer:
+    # a bf16 whisper ENCODER alone drifts RVQ argmin decisions ~2.3%
+    # (docs/FULL_ARCH_PARITY.md), so production serving keeps the tower
+    # f32 (it is ~6% of the serving wall, rtf 0.006) while the AR
+    # decoders / flow / vocoder — where the time goes — stay bf16.
+    tower_dtype: Any = None
 
     def setup(self):
         cfg = self.config
-        self.audio_tower = TasteAudioTower(cfg.audio_tower, dtype=self.dtype)
+        self.audio_tower = TasteAudioTower(
+            cfg.audio_tower,
+            dtype=self.tower_dtype if self.tower_dtype is not None
+            else self.dtype)
         self.speech_decoder = TasteSpeechDecoder(cfg.speech_decoder,
                                                  dtype=self.dtype)
         self.spoken_lm = TasteSpokenLM(
