@@ -65,6 +65,43 @@ def synthetic_batches(cfg, batch_size, stage):
             }
 
 
+def synthetic_flow_batches(cfg, batch_size):
+    """Endless random flow-matching batches (dev/CI): S3 tokens + CosyVoice
+    mel targets + x-vectors, shaped like data.dataset.FlowDataset output."""
+    import numpy as np
+    rng = np.random.RandomState(0)
+    fc = cfg.flow
+    t_tok, t_mel = 16, 24
+    while True:
+        yield {
+            "speech_token_ids": rng.randint(
+                0, fc.vocab_size, (batch_size, t_tok)).astype("i4"),
+            "speech_token_lengths": np.full((batch_size,), t_tok, "i4"),
+            "feat": rng.randn(batch_size, t_mel, fc.output_size).astype("f4"),
+            "feat_lengths": np.full((batch_size,), t_mel, "i4"),
+            "embedding": rng.randn(
+                batch_size, fc.spk_embed_dim).astype("f4"),
+        }
+
+
+def flow_batches(args, cfg):
+    """Endless epochs of flow-matching batches from TASTE-Dump arrow shards
+    (audio -> 22.05 kHz resample -> CosyVoice mel; s3_token; spk_emb)."""
+    import jax
+    from taste_spokenlm_tpu.data.dataset import FlowDataset
+
+    if not args.data:
+        raise SystemExit("--data <arrow shards> is required without --synthetic")
+    ds = FlowDataset(
+        _expand_globs(args.data),
+        host_index=jax.process_index(), host_count=jax.process_count(),
+        seed=args.seed, token_budget=args.token_budget,
+        n_mels=cfg.flow.output_size,
+        token_frame_rate=cfg.flow.input_frame_rate)
+    for epoch in itertools.count():
+        yield from ds.batches(epoch)
+
+
 def _expand_globs(patterns):
     import glob
     files = []
@@ -120,6 +157,12 @@ def stage2_batches(args):
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--stage", type=int, default=1, choices=[1, 2])
+    p.add_argument("--model", default="taste", choices=["taste", "flow"],
+                   help="taste: the stage-1/2 composite (default). "
+                        "flow: the token->mel flow-matching acoustic model "
+                        "(OT-CFM loss; the executor generality of "
+                        "cosyvoice/bin/train.py:87-151 + "
+                        "flow/flow_matching.py:99-138)")
     p.add_argument("--phase", default="rvq",
                    choices=["text_only", "no_vq", "rvq"])
     p.add_argument("--tiny", action="store_true")
@@ -190,60 +233,85 @@ def main():
         # outputs instead of recomputing everything (ops/remat.py)
         from taste_spokenlm_tpu.ops.remat import apply_remat, parse_remat
         cfg = apply_remat(cfg, parse_remat(args.remat))
-    model = TasteForCausalLM(cfg)
     mesh = mesh_lib.make_mesh(data=args.data_parallel,
                               model=args.model_parallel)
-
-    if args.synthetic:
-        batches = synthetic_batches(cfg, args.batch_size, args.stage)
-    elif args.stage == 1:
-        batches = stage1_batches(args, cfg)
-    else:
-        batches = stage2_batches(args)
-
-    first = next(batches)
-    if args.init:
-        variables = load_params(os.path.join(args.init, "params"))
-    else:
-        b = jax.tree_util.tree_map(jnp.asarray, first)
-        if args.stage == 1:
-            variables = model.init(
-                jax.random.PRNGKey(0), b["speaker_embeds"],
-                b["asr_token_ids"], b["asr_token_lengths"],
-                b["asr_word_ids"], b["audio_features"],
-                b["speech_token_ids"], b["speech_token_lengths"],
-                method=TasteForCausalLM.forward_speech_autoencoder)
-        else:
-            variables = model.init(
-                jax.random.PRNGKey(0), b["llm_indices"], b["llm_token_ids"],
-                b["llm_token_lengths"], b["llm_word_ids"],
-                method=TasteForCausalLM.forward_spoken_llm)
-
     schedule = optim.warmup_lr(args.lr, args.warmup)
-    if args.stage == 1:
-        patterns = {"text_only": [r"speech_decoder"],
-                    "no_vq": [r"audio_tower/decoder", r"speech_decoder"],
-                    "rvq": [r"audio_tower/decoder", r"audio_tower/vq",
-                            r"speech_decoder"]}[args.phase]
-        mask = optim.trainable_mask(variables["params"],
-                                    unfreeze_patterns=patterns)
-    else:
-        mask = optim.lora_only_mask(variables["params"])
-    tx = optim.make_optimizer(schedule, mask=mask, grad_clip=args.grad_clip)
 
-    state = train_step.init_state(jax.random.PRNGKey(0), variables["params"],
-                                  variables.get("quantizer"), tx)
-    state = jax.device_put(state, train_step.state_shardings(mesh, state))
-    if args.stage == 1:
-        step = train_step.make_stage1_step(
-            model, tx, mesh=mesh,
-            skip_vq=args.phase in ("text_only", "no_vq"),
-            skip_audio_in_decoder=args.phase == "text_only",
-            trainable_mask=mask)
+    if args.model == "flow":
+        from taste_spokenlm_tpu.models.flow import MaskedDiffWithXvec
+        fmodel = MaskedDiffWithXvec(cfg.flow)
+        batches = (synthetic_flow_batches(cfg, args.batch_size)
+                   if args.synthetic else flow_batches(args, cfg))
+        first = next(batches)
+        b = jax.tree_util.tree_map(jnp.asarray, first)
+        if args.init:
+            variables = load_params(os.path.join(args.init, "params"))
+        else:
+            variables = fmodel.init(
+                jax.random.PRNGKey(0), jax.random.PRNGKey(1),
+                b["speech_token_ids"], b["speech_token_lengths"],
+                b["feat"], b["feat_lengths"], b["embedding"])
+        tx = optim.make_optimizer(schedule, grad_clip=args.grad_clip)
+        state = train_step.init_state(jax.random.PRNGKey(0),
+                                      variables["params"], None, tx)
+        state = jax.device_put(state,
+                               train_step.state_shardings(mesh, state))
+        step = train_step.make_flow_step(fmodel, tx, mesh=mesh)
     else:
-        step = train_step.make_stage2_step(model, tx, mesh=mesh,
-                                           use_ref_kl=args.ref_kl,
-                                           trainable_mask=mask)
+        model = TasteForCausalLM(cfg)
+        if args.synthetic:
+            batches = synthetic_batches(cfg, args.batch_size, args.stage)
+        elif args.stage == 1:
+            batches = stage1_batches(args, cfg)
+        else:
+            batches = stage2_batches(args)
+
+        first = next(batches)
+        if args.init:
+            variables = load_params(os.path.join(args.init, "params"))
+        else:
+            b = jax.tree_util.tree_map(jnp.asarray, first)
+            if args.stage == 1:
+                variables = model.init(
+                    jax.random.PRNGKey(0), b["speaker_embeds"],
+                    b["asr_token_ids"], b["asr_token_lengths"],
+                    b["asr_word_ids"], b["audio_features"],
+                    b["speech_token_ids"], b["speech_token_lengths"],
+                    method=TasteForCausalLM.forward_speech_autoencoder)
+            else:
+                variables = model.init(
+                    jax.random.PRNGKey(0), b["llm_indices"],
+                    b["llm_token_ids"], b["llm_token_lengths"],
+                    b["llm_word_ids"],
+                    method=TasteForCausalLM.forward_spoken_llm)
+
+        if args.stage == 1:
+            patterns = {"text_only": [r"speech_decoder"],
+                        "no_vq": [r"audio_tower/decoder", r"speech_decoder"],
+                        "rvq": [r"audio_tower/decoder", r"audio_tower/vq",
+                                r"speech_decoder"]}[args.phase]
+            mask = optim.trainable_mask(variables["params"],
+                                        unfreeze_patterns=patterns)
+        else:
+            mask = optim.lora_only_mask(variables["params"])
+        tx = optim.make_optimizer(schedule, mask=mask,
+                                  grad_clip=args.grad_clip)
+
+        state = train_step.init_state(jax.random.PRNGKey(0),
+                                      variables["params"],
+                                      variables.get("quantizer"), tx)
+        state = jax.device_put(state,
+                               train_step.state_shardings(mesh, state))
+        if args.stage == 1:
+            step = train_step.make_stage1_step(
+                model, tx, mesh=mesh,
+                skip_vq=args.phase in ("text_only", "no_vq"),
+                skip_audio_in_decoder=args.phase == "text_only",
+                trainable_mask=mask)
+        else:
+            step = train_step.make_stage2_step(model, tx, mesh=mesh,
+                                               use_ref_kl=args.ref_kl,
+                                               trainable_mask=mask)
 
     n_data = mesh.shape["data"]
 
@@ -263,16 +331,29 @@ def main():
                     v[n:] = 0
         return {k: jnp.asarray(v) for k, v in b.items()}
 
-    def sharded_batches():
-        for b in itertools.chain([first], batches):
-            b = _pad_batch(b)
-            yield jax.device_put(b, mesh_lib.batch_specs(mesh, b))
-
     trainer = Trainer(
         TrainerConfig(total_steps=args.steps, log_every=args.log_every,
                       save_every=args.save_every, workdir=args.workdir),
         step, schedule=schedule)
     state = trainer.maybe_resume(state)
+
+    # Deterministic preemption recovery: the data stream is a pure function
+    # of (seed, epoch), so replaying it to the resume step makes a
+    # killed-and-relaunched run feed the SAME batch at every step as an
+    # uninterrupted one — with the rng/EMA state restored from orbax, the
+    # whole trajectory is bitwise reproducible (the reference relies on HF
+    # Trainer dataloader fast-forward + torchrun @record for this,
+    # train_utils.py:156-175).  Skipping happens before device_put, so
+    # replay costs host-side batch assembly only.
+    raw = itertools.chain([first], batches)
+    resume_step = int(jax.device_get(state.step))
+    for _ in range(resume_step):
+        next(raw)
+
+    def sharded_batches():
+        for b in raw:
+            b = _pad_batch(b)
+            yield jax.device_put(b, mesh_lib.batch_specs(mesh, b))
     with mesh:
         trainer.fit(state, sharded_batches())
     print("done")

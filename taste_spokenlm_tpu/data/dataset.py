@@ -218,6 +218,103 @@ class Stage1Dataset:
             yield collate(group, bucket, self.n_mels, self.mel_frames)
 
 
+class FlowDataset:
+    """Flow-matching training stream: TASTE-Dump arrow shards ->
+    (S3 tokens, 22.05 kHz CosyVoice mel targets, x-vector) batches.
+
+    The reference trains flow through the hyperpyyaml data chain
+    (cosyvoice/dataset/processor.py compute_fbank with
+    matcha.utils.audio.mel_spectrogram + parse_embedding(normalize=True),
+    dynamic max_frames_in_batch batching); here the mel comes from the
+    jitted ops.audio.flow_mel and batches land in static (token, frame)
+    buckets so XLA compiles once per bucket.
+    """
+
+    def __init__(self, files: Sequence[str], host_index: int = 0,
+                 host_count: int = 1, seed: int = 0,
+                 token_buckets: Sequence[int] = (64, 128, 256),
+                 token_budget: int = 2048, n_mels: int = 80,
+                 sample_rate: int = 22050, hop: int = 256,
+                 token_frame_rate: int = 25):
+        self.files = shard_files(files, host_index, host_count)
+        self.seed = seed
+        self.token_buckets = tuple(sorted(token_buckets))
+        # mel frames per token: (1/token_rate) s * sample_rate / hop
+        fpt = sample_rate / (hop * token_frame_rate)
+        self.frame_buckets = [int(np.ceil(t * fpt)) for t in self.token_buckets]
+        self.batch_sizes = [max(1, token_budget // t)
+                            for t in self.token_buckets]
+        self.n_mels = n_mels
+        self.sample_rate = sample_rate
+        self.hop = hop
+        self.n_dropped = 0
+
+    def _iter_raw(self, epoch: int) -> Iterator[Dict]:
+        import datasets
+        rng = np.random.RandomState(self.seed + epoch)
+        files = list(self.files)
+        rng.shuffle(files)
+        for f in files:
+            ds = datasets.Dataset.from_file(f)
+            for i in rng.permutation(len(ds)):
+                yield ds[int(i)]
+
+    def _prepare(self, raw: Dict) -> Dict:
+        from taste_spokenlm_tpu.ops import audio as audio_ops
+        import jax.numpy as jnp
+        wav = np.asarray(raw["mp3"]["array"], np.float32)
+        sr = int(raw["mp3"]["sampling_rate"])
+        if wav.ndim > 1:
+            wav = wav.mean(0)
+        wav22 = np.asarray(audio_ops.resample(
+            jnp.asarray(wav[None]), sr, self.sample_rate))[0]
+        feat = np.asarray(audio_ops.flow_mel(
+            jnp.asarray(wav22[None]), sr=self.sample_rate, hop=self.hop,
+            n_mels=self.n_mels))[0]
+        emb = np.asarray(raw["spk_emb"], np.float32)
+        emb = emb / max(np.linalg.norm(emb), 1e-8)  # parse_embedding
+        return {
+            "speech_token_ids": np.asarray(raw["s3_token"], np.int32),
+            "feat": feat,
+            "embedding": emb,
+        }
+
+    def _collate(self, rows: List[Dict], slot: int) -> Dict[str, np.ndarray]:
+        nt, nf = self.token_buckets[slot], self.frame_buckets[slot]
+        feats, feat_lens = [], []
+        for r in rows:
+            f = r["feat"][:nf]
+            feat_lens.append(f.shape[0])
+            feats.append(np.pad(f, ((0, nf - f.shape[0]), (0, 0))))
+        return {
+            "speech_token_ids": np.stack([
+                _pad_to(r["speech_token_ids"][:nt], nt) for r in rows]),
+            "speech_token_lengths": np.asarray(
+                [min(len(r["speech_token_ids"]), nt) for r in rows], np.int32),
+            "feat": np.stack(feats).astype(np.float32),
+            "feat_lengths": np.asarray(feat_lens, np.int32),
+            "embedding": np.stack([r["embedding"] for r in rows]),
+        }
+
+    def batches(self, epoch: int = 0) -> Iterator[Dict[str, np.ndarray]]:
+        pending: List[List[Dict]] = [[] for _ in self.token_buckets]
+        for raw in self._iter_raw(epoch):
+            ex = self._prepare(raw)
+            t = len(ex["speech_token_ids"])
+            slot = next((i for i, n in enumerate(self.token_buckets)
+                         if t <= n), None)
+            if slot is None:
+                self.n_dropped += 1
+                continue
+            pending[slot].append(ex)
+            if len(pending[slot]) >= self.batch_sizes[slot]:
+                yield self._collate(pending[slot], slot)
+                pending[slot] = []
+        for slot, group in enumerate(pending):
+            if group:
+                yield self._collate(group, slot)
+
+
 class Stage2JsonlDataset:
     """Streams stage-2 SLM batches from the VQ-extraction jsonl shards
     (scripts/extract_vq.py output; the reference equivalent is the HF

@@ -210,6 +210,32 @@ def mel_frame_length(sample_length: jnp.ndarray, hop: int = 160) -> jnp.ndarray:
     return sample_length // hop
 
 
+def flow_mel(audio: jnp.ndarray, sr: int = 22050, n_fft: int = 1024,
+             hop: int = 256, n_mels: int = 80, fmin: float = 0.0,
+             fmax: float = 8000.0) -> jnp.ndarray:
+    """CosyVoice/Matcha mel for flow-matching training targets.
+
+    audio: [B, T] float32 in [-1, 1] at 22.05 kHz -> [B, T//hop, n_mels]
+    (time-major, the layout MaskedDiffWithXvec consumes).  Matches
+    matcha.utils.audio.mel_spectrogram with the CosyVoice train config
+    (n_fft 1024, hop 256, win 1024, 80 mels, fmax 8000, center=False after
+    an (n_fft-hop)/2 reflect pad; sqrt(power + 1e-9) magnitude; slaney
+    filterbank; log(clamp(., 1e-5)) dynamic-range compression) —
+    third_party/Matcha-TTS/matcha/utils/audio.py:44-80,
+    cosyvoice/dataset/.local/config_for_test.yaml:32-40."""
+    if audio.ndim == 1:
+        audio = audio[None]
+    pad = (n_fft - hop) // 2
+    xp = jnp.pad(audio.astype(jnp.float32), [(0, 0), (pad, pad)],
+                 mode="reflect")
+    frames = frame_signal(xp, n_fft, hop) * hann_window(n_fft)
+    spec = jnp.fft.rfft(frames, n=n_fft, axis=-1)
+    mag = jnp.sqrt(spec.real ** 2 + spec.imag ** 2 + 1e-9)
+    fb = jnp.asarray(mel_filterbank_slaney(sr, n_fft, n_mels, fmin, fmax))
+    mel = jnp.einsum("mf,btf->btm", fb, mag)
+    return jnp.log(jnp.maximum(mel, 1e-5))
+
+
 # ---------------------------------------------------------------------------
 # Kaldi fbank (speaker-embedding path)
 # ---------------------------------------------------------------------------

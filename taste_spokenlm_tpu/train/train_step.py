@@ -153,6 +153,37 @@ def make_stage2_step(model: TasteForCausalLM, tx,
     return _maybe_jit(step, mesh, donate)
 
 
+def make_flow_step(model, tx, mesh: Optional[Mesh] = None,
+                   donate: bool = True,
+                   trainable_mask: Optional[Any] = None) -> Callable:
+    """Flow-matching (OT-CFM) training step over MaskedDiffWithXvec —
+    the executor generality the reference gets from hyperpyyaml-driven
+    cosyvoice/bin/train.py:87-151 training any model incl. flow, with the
+    loss of flow/flow_matching.py:99-138.  Batch keys: speech_token_ids,
+    speech_token_lengths, feat [B,Tm,M] (ops.audio.flow_mel targets),
+    feat_lengths, embedding [B, spk]."""
+
+    def loss_fn(params, batch, rng):
+        params = _with_frozen_stopped(params, trainable_mask)
+        out = model.apply(
+            {"params": params}, rng, batch["speech_token_ids"],
+            batch["speech_token_lengths"], batch["feat"],
+            batch["feat_lengths"], batch["embedding"])
+        return out["loss"], {"loss": out["loss"]}
+
+    def step(state: TrainState, batch) -> Tuple[TrainState, Dict]:
+        rng, sub = jax.random.split(state.rng)
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (_, metrics), grads = grad_fn(state.params, batch, sub)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return TrainState(state.step + 1, new_params, new_opt,
+                          state.quantizer, rng), metrics
+
+    return _maybe_jit(step, mesh, donate)
+
+
 def _maybe_jit(step, mesh: Optional[Mesh], donate: bool):
     if mesh is None:
         return jax.jit(step, donate_argnums=(0,) if donate else ())

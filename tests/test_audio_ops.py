@@ -138,3 +138,29 @@ def test_pad_or_trim():
     padded = A.pad_or_trim(x, 200)
     assert padded.shape == (2, 200)
     assert float(padded[:, 100:].sum()) == 0.0
+
+
+def test_flow_mel_matches_torch_matcha_recipe():
+    """flow_mel vs a torch re-statement of matcha.utils.audio.mel_spectrogram
+    (reflect pad (n_fft-hop)/2, torch.stft center=False, sqrt(pow+1e-9),
+    slaney mel, log(clamp 1e-5)) — the CosyVoice flow training target
+    (third_party/Matcha-TTS/matcha/utils/audio.py:44-80)."""
+    torch = pytest.importorskip("torch")
+    n_fft, hop, n_mels, sr = 1024, 256, 80, 22050
+    x = _rand_audio(2, sr, seed=3)
+
+    y = torch.from_numpy(x)
+    pad = (n_fft - hop) // 2
+    y = torch.nn.functional.pad(y.unsqueeze(1), (pad, pad),
+                                mode="reflect").squeeze(1)
+    spec = torch.stft(y, n_fft, hop_length=hop, win_length=n_fft,
+                      window=torch.hann_window(n_fft), center=False,
+                      normalized=False, onesided=True, return_complex=True)
+    spec = torch.sqrt(spec.abs().pow(2) + 1e-9)
+    fb = torch.from_numpy(A.mel_filterbank_slaney(sr, n_fft, n_mels,
+                                                  0.0, 8000.0))
+    ref = torch.log(torch.clamp(fb @ spec, min=1e-5)).transpose(1, 2).numpy()
+
+    ours = np.asarray(A.flow_mel(jnp.asarray(x)))
+    assert ours.shape == ref.shape == (2, sr // hop, n_mels)
+    np.testing.assert_allclose(ours, ref, atol=2e-3, rtol=1e-4)
