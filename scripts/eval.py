@@ -46,7 +46,8 @@ def main():
     import jax
     import jax.numpy as jnp
     from taste_spokenlm_tpu.models.taste import TasteForCausalLM
-    from taste_spokenlm_tpu.ops.losses import masked_accuracy
+    from taste_spokenlm_tpu.ops.losses import (masked_accuracy,
+                                               masked_log_likelihood)
     from taste_spokenlm_tpu.pretrained import from_pretrained
     from taste_spokenlm_tpu.train.train_step import eval_metrics_stage2
 
@@ -79,7 +80,13 @@ def main():
             batch["llm_token_lengths"], batch["llm_word_ids"],
             method=TasteForCausalLM.forward_spoken_llm)
         m = eval_metrics_stage2(out, cfg.audio_tower.quantizer.num_quantizers)
-        m["loglikelihood"] = -out["text_loss"]  # per-token text LL (scoring)
+        # the reference per-utterance selection protocol
+        # (taslm/modeling_taslm.py:324-352): mean log p over valid labels,
+        # plus the flipped-labels control score
+        ll, rll = masked_log_likelihood(out["text_logits"],
+                                        out["text_labels"])
+        m["loglikelihood"] = ll
+        m["reversed_loglikelihood"] = rll
         return m
 
     def real_batches():
@@ -101,7 +108,9 @@ def main():
         ds = Stage1Dataset(
             files, tokenize_fn=lambda text: proc.process_text(text=text),
             host_index=jax.process_index(), host_count=jax.process_count(),
-            seed=args.seed, token_budget=args.token_budget)
+            seed=args.seed, token_budget=args.token_budget,
+            n_mels=cfg.audio_tower.whisper.n_mels,
+            mel_frames=2 * cfg.audio_tower.whisper.max_source_positions)
         for b in itertools.islice(ds.batches(epoch=0),
                                   args.num_batches or None):
             yield {k: jnp.asarray(v) for k, v in b.items()}

@@ -284,6 +284,40 @@ class TaslmForCausalLM(nn.Module):
         result["loss"] = 0.5 * total_text + 0.5 * total_speech
         return result
 
+    def calculate_log_likelihood(
+        self,
+        cb: Optional[Codebook],
+        text_input_ids: jnp.ndarray,            # [B, T]
+        speech_input_ids: jnp.ndarray,          # [B, T, C] or [B, T]
+        text_labels: jnp.ndarray,               # [B, T]
+        speech_labels: jnp.ndarray,             # [B, T, C]
+        attention_lengths: Optional[jnp.ndarray] = None,
+    ) -> Dict[str, jnp.ndarray]:
+        """The reference's per-utterance selection protocol
+        (modeling_taslm.py:324-377, eval_taslm_loglikelihood.py:24-60): one
+        teacher-forced forward, then mean text log-likelihood and
+        per-channel speech log-likelihood over the valid (shifted) labels,
+        each paired with a flipped-labels 'reversed_*' control."""
+        from taste_spokenlm_tpu.ops.losses import masked_log_likelihood
+        cfg = self.config
+        out = self(cb, text_input_ids, speech_input_ids,
+                   attention_lengths=attention_lengths)
+        res: Dict[str, jnp.ndarray] = {}
+        ll, rll = masked_log_likelihood(out["text_logits"][:, :-1],
+                                        text_labels[:, 1:])
+        res["text_log_likelihood"] = ll
+        res["reversed_text_log_likelihood"] = rll
+        if not cfg.speech_token_adopt_latent_sampling:
+            sp = out["speech_logits"]           # [B, T, C, H]
+            for c in range(cfg.speech_num_channels):
+                sl = (speech_labels[:, 1:, c] if speech_labels.ndim == 3
+                      else speech_labels[:, 1:])
+                ll, rll = masked_log_likelihood(
+                    sp[:, :-1, c], sl, head_size=self.speech_head_size)
+                res[f"speech_log_likelihood.{c}"] = ll
+                res[f"reversed_speech_log_likelihood.{c}"] = rll
+        return res
+
     # ------------------------------------------------------------------
     # dual-stream AR generation (modeling_taslm.py:739-990 _baseline_generate)
     # ------------------------------------------------------------------

@@ -63,6 +63,44 @@ def masked_accuracy(logits: jnp.ndarray, targets: jnp.ndarray,
     return correct / jnp.maximum(jnp.sum(valid), 1)
 
 
+def masked_log_likelihood(logits: jnp.ndarray, targets: jnp.ndarray,
+                          ignore_id: int = IGNORE_ID,
+                          head_size: int = 0):
+    """(mean log-likelihood, flipped-labels control) over valid targets —
+    the per-utterance selection protocol of the reference taslm scorer
+    (STAGE1_TRAIN/SpokenLM/taslm/modeling_taslm.py:324-377): score = mean
+    log p(label) over non-ignored positions; the control re-scores the SAME
+    logits against the valid-label sequence reversed in time, so a model
+    that merely matches the label marginals scores equally on both.
+
+    logits [..., T, V], targets [..., T] (leading dims are flattened — the
+    reference runs B=1).  head_size > 0 additionally masks labels >= it.
+    Fixed-shape jittable: the reverse is a gather through the cumulative
+    valid-position index.
+    """
+    v = logits.shape[-1]
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), -1).reshape(-1, v)
+    labels = targets.reshape(-1)
+    valid = labels != ignore_id
+    if head_size > 0:
+        valid = valid & (labels < head_size)
+    n = jnp.sum(valid)
+    t = labels.shape[0]
+    # compact the valid labels to the front (scatter by valid-rank), then
+    # read them back reversed: valid position j pairs with compact[n-1-j]
+    pos = jnp.cumsum(valid) - 1
+    compact = jnp.zeros((t + 1,), labels.dtype).at[
+        jnp.where(valid, pos, t)].set(labels)[:t]
+    rev_labels = compact[jnp.clip(n - 1 - pos, 0, t - 1)]
+    ll_at = jnp.take_along_axis(
+        logp, jnp.maximum(labels, 0)[:, None], -1)[:, 0]
+    rll_at = jnp.take_along_axis(
+        logp, jnp.maximum(rev_labels, 0)[:, None], -1)[:, 0]
+    denom = jnp.maximum(n, 1)
+    return (jnp.sum(jnp.where(valid, ll_at, 0.0)) / denom,
+            jnp.sum(jnp.where(valid, rll_at, 0.0)) / denom)
+
+
 def kl_to_reference(
     student_logits: jnp.ndarray,  # [B, T, V]
     teacher_logits: jnp.ndarray,  # [B, T, V] (stop-gradient applied inside)

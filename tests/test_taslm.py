@@ -226,3 +226,43 @@ def test_in_graph_ref_kl(setup):
                                float(out_pre["text_kl_loss"]), rtol=1e-6)
     np.testing.assert_allclose(float(out_in["loss"]), float(out_pre["loss"]),
                                rtol=1e-6)
+
+
+def test_calculate_log_likelihood_protocol(setup):
+    """calculate_log_likelihood mirrors the reference selection protocol
+    (modeling_taslm.py:324-377): text + per-channel speech mean LL with
+    flipped-labels controls, cross-checked against numpy on the model's
+    own logits."""
+    cfg, model, variables, cb, text, speech = setup
+    tl = jnp.where(jnp.arange(10)[None, :] < 8, text, IGNORE_ID)
+    sl = jnp.where((jnp.arange(10)[None, :, None] < 8), speech, IGNORE_ID)
+    res = model.apply(variables, cb, text, speech, tl, sl,
+                      jnp.asarray([10, 10]),
+                      method=TaslmForCausalLM.calculate_log_likelihood)
+    keys = {"text_log_likelihood", "reversed_text_log_likelihood"}
+    for c in range(cfg.speech_num_channels):
+        keys |= {f"speech_log_likelihood.{c}",
+                 f"reversed_speech_log_likelihood.{c}"}
+    assert set(res) == keys
+    for k, v in res.items():
+        assert np.isfinite(float(v)), (k, v)
+
+    # numpy cross-check of the text score from the same forward
+    out = model.apply(variables, cb, text, speech,
+                      attention_lengths=jnp.asarray([10, 10]))
+    logits = np.asarray(out["text_logits"], np.float64)[:, :-1]
+    labels = np.asarray(tl)[:, 1:]
+    logp = logits - np.log(np.exp(logits - logits.max(-1, keepdims=True)
+                                  ).sum(-1, keepdims=True)) \
+        - logits.max(-1, keepdims=True)
+    flat_lab = labels.reshape(-1)
+    flat_lp = logp.reshape(-1, logp.shape[-1])
+    valid = flat_lab != IGNORE_ID
+    lab = flat_lab[valid]
+    lp = flat_lp[valid]
+    np.testing.assert_allclose(
+        float(res["text_log_likelihood"]),
+        np.mean(lp[np.arange(len(lab)), lab]), rtol=2e-4)
+    np.testing.assert_allclose(
+        float(res["reversed_text_log_likelihood"]),
+        np.mean(lp[np.arange(len(lab)), lab[::-1]]), rtol=2e-4)
