@@ -628,7 +628,15 @@ def serve_main():
     # opts out)
     if os.environ.get("BENCH_PALLAS_CONV", "1") == "1" and not tiny:
         cfg = cfg.replace(hift=cfg.hift.replace(pallas_conv=True))
-    model = TasteForCausalLM(cfg, dtype=dtype)
+    # serving layout: the tokenizer tower runs f32 so the emitted taste
+    # indices hold the BASELINE >99.9% agreement gate (bf16 encoder drift
+    # flips ~2.3% of RVQ argmins, docs/FULL_ARCH_PARITY.md); the AR
+    # decoders / flow / vocoder — the serving wall — stay bf16.
+    # BENCH_TOWER_F32=0 opts back into the all-bf16 tower.
+    tower_dtype = (jnp.float32
+                   if os.environ.get("BENCH_TOWER_F32", "1") == "1"
+                   else None)
+    model = TasteForCausalLM(cfg, dtype=dtype, tower_dtype=tower_dtype)
 
     # ~14 s of source audio -> ~40 asr tokens; decode up to 512 S3 tokens
     # (~10.2 s at 50 Hz) and vocode them.
@@ -1003,11 +1011,16 @@ def serve_main():
     fc = int(os.environ.get("BENCH_FIRST_CHUNK", "4" if tiny else "16"))
     jfc = int(os.environ.get("BENCH_JD_FIRST_CHUNK", "4" if tiny else "16"))
     jch = int(os.environ.get("BENCH_JD_CHUNK", "8" if tiny else "24"))
+    # adaptive chunk growth: each flow/HiFT window pays fixed U-Net latency
+    # (single-digit MFU), so later chunks grow — fewer windows, same TTFA
+    sched_env = os.environ.get("BENCH_CHUNK_SCHEDULE",
+                               "" if tiny else "50,100,170,170")
+    sched = tuple(int(x) for x in sched_env.split(",") if x) or None
     streamer = StreamingSynthesizer(
         model, variables, chunk_tokens=ct, left_ctx_tokens=lc,
         # small first chunk (~0.32 s of audio): fewer AR steps + a smaller
         # first flow/HiFT window ahead of the first byte
-        first_chunk_tokens=fc,
+        first_chunk_tokens=fc, chunk_schedule=sched,
         max_speech_steps=max_speech)
     syn_lens = jnp.asarray([gen_asr_len] * b)
     taste_j = jnp.asarray(taste_dense)
@@ -1040,7 +1053,7 @@ def serve_main():
     cstreamer = CompletionStreamer(
         model, variables, scfg, tables,
         chunk_tokens=ct, left_ctx_tokens=lc, first_chunk_tokens=fc,
-        jd_first_chunk=jfc, jd_chunk=jch,
+        chunk_schedule=sched, jd_first_chunk=jfc, jd_chunk=jch,
         min_start_words=2, max_speech_steps=max_speech)
 
     def pipelined_first(i, key):

@@ -100,17 +100,36 @@ class _StreamBase:
             self._jits[name] = jax.jit(fn)
         return self._jits[name]
 
+    def _sched(self):
+        """Steady-state chunk sizes.  `chunk_schedule` enables ADAPTIVE
+        CHUNK GROWTH: chunk k (after the first) is schedule[min(k, last)],
+        so the stream starts with small windows (low TTFA) and grows them
+        once audio is already playing — each flow/HiFT window carries fixed
+        U-Net latency (single-digit MFU at these shapes, BENCH stage
+        report), so fewer+bigger windows cut e2e wall without touching
+        first-audio latency.  One compiled program per distinct size."""
+        if getattr(self, "chunk_schedule", None):
+            return tuple(int(c) for c in self.chunk_schedule)
+        return (self.chunk_tokens,)
+
+    def _chunk_for(self, j: int) -> int:
+        """Chunk size for steady-state chunk index j (0-based)."""
+        s = self._sched()
+        return s[min(j, len(s) - 1)]
+
     def _geometry(self, fc: int):
-        """(chunk, left_ctx, window, mel-per-token, max mel window,
-        first mel window).  The first window has no left context (ws = 0),
-        so it only needs to cover the first chunk itself — a small fc
-        shrinks both the AR step count and the first flow/HiFT window."""
-        ct, lc = self.chunk_tokens, self.left_ctx_tokens
-        window = ct + lc
+        """(first chunk, left_ctx, mel-per-token, first mel window,
+        max schedule chunk).  The first window has no left context
+        (ws = 0), so it only needs to cover the first chunk itself — a
+        small fc shrinks both the AR step count and the first flow/HiFT
+        window."""
+        lc = self.left_ctx_tokens
         mpt = mel_per_token(self.model.config.flow)
-        mel_window_max = int(np.ceil(window * mpt)) + 4
         mel_window_first = int(np.ceil(fc * mpt)) + 4
-        return ct, lc, window, mpt, mel_window_max, mel_window_first
+        return fc, lc, mpt, mel_window_first, max(self._sched())
+
+    def _mel_window(self, chunk: int, mpt: float) -> int:
+        return int(np.ceil((chunk + self.left_ctx_tokens) * mpt)) + 4
 
     def synthesize(self, rng, speaker_embeds, *args, **kwargs
                    ) -> Tuple[np.ndarray, float]:
@@ -143,6 +162,9 @@ class StreamingSynthesizer(_StreamBase):
     first_chunk_tokens: Optional[int] = None   # smaller first chunk (fewer
                                     # AR steps + a smaller first flow/HiFT
                                     # window) cuts TTFA; None = chunk_tokens
+    chunk_schedule: Optional[Tuple[int, ...]] = None  # adaptive growth:
+                                    # chunk k uses schedule[min(k, last)];
+                                    # None = constant chunk_tokens
     max_speech_steps: int = 512
     _jits: Dict = field(default_factory=dict)
 
@@ -159,40 +181,47 @@ class StreamingSynthesizer(_StreamBase):
         from taste_spokenlm_tpu.models.taste import TasteForCausalLM
 
         model, variables = self.model, self.variables
-        fc = min(self.first_chunk_tokens or self.chunk_tokens,
-                 self.chunk_tokens)
-        (ct, lc, window, mpt,
-         mel_window_max, mel_window_first) = self._geometry(fc)
+        sched = self._sched()
+        fc = min(self.first_chunk_tokens or sched[0], sched[0])
+        fc, lc, mpt, mel_window_first, max_chunk = self._geometry(fc)
 
-        # two compiled programs, ONE dispatch per chunk: the first fuses
-        # init + decode chunk + window vocode (TTFA = a single launch), the
-        # steady-state one fuses decode chunk + window vocode with the token
-        # history carried on-device.  ALL key derivation (the vocoder
-        # stream rng_voc = fold_in(rng, 7919), folded per chunk) happens
-        # INSIDE the compiled programs: an eager split/fold_in outside
-        # would each dispatch a tiny program over the remote tunnel
-        # (~30 ms apiece, CLAUDE.md) — several of them cost more than the
-        # fused chunk itself.  Derivation mirrors the host math exactly,
-        # so trajectories are unchanged.
+        # a handful of compiled programs, ONE dispatch per chunk: the first
+        # fuses init + decode chunk + window vocode (TTFA = a single
+        # launch), the steady-state ones (one per schedule size) fuse
+        # decode chunk + window vocode with the token history carried
+        # on-device.  ALL key derivation (the vocoder stream rng_voc =
+        # fold_in(rng, 7919), folded per chunk) happens INSIDE the
+        # compiled programs: an eager split/fold_in outside would each
+        # dispatch a tiny program over the remote tunnel (~30 ms apiece,
+        # CLAUDE.md) — several of them cost more than the fused chunk
+        # itself.  Derivation mirrors the host math exactly, so
+        # trajectories are unchanged.
         start = self._jit(
             "start", lambda v, r, spk, taste, ids, lens, words:
             model.apply(v, r,
                         jax.random.fold_in(jax.random.fold_in(r, 7919), 0),
                         spk, taste, ids, lens, words,
                         self.max_speech_steps, fc, fc, mel_window_first,
-                        ct,
+                        max_chunk,
                         method=TasteForCausalLM.stream_start_step))
-        step = self._jit(
-            "step", lambda v, st, r, k, spk, hist, hl:
-            model.apply(v, st,
-                        jax.random.fold_in(jax.random.fold_in(r, 7919), k),
-                        spk, hist, hl, ct, window, mel_window_max,
-                        method=TasteForCausalLM.stream_step))
+
+        def make_step(c):
+            mw = self._mel_window(c, mpt)
+            return self._jit(
+                f"step:{c}", lambda v, st, r, k, spk, hist, hl:
+                model.apply(v, st,
+                            jax.random.fold_in(jax.random.fold_in(r, 7919),
+                                               k),
+                            spk, hist, hl, c, c + lc, mw,
+                            method=TasteForCausalLM.stream_step))
 
         rng = jax.random.PRNGKey(0) if rng is None else rng
 
         emitter = _SeamEmitter(mpt, lc, self.crossfade_tokens)
-        n_chunks = 1 + int(np.ceil(max(0, self.max_speech_steps - fc) / ct))
+        chunks = [fc]
+        while sum(chunks) < self.max_speech_steps:
+            chunks.append(self._chunk_for(len(chunks) - 1))
+        n_chunks = len(chunks)
         out_k = state = None
         for k in range(n_chunks):
             if k == 0:
@@ -200,8 +229,9 @@ class StreamingSynthesizer(_StreamBase):
                               taste_indices_per_word,
                               asr_token_ids, asr_token_lengths, asr_word_ids)
             else:
-                out_k = step(variables, state, rng, k, speaker_embeds,
-                             out_k["token_hist"], out_k["hist_len"])
+                out_k = make_step(chunks[k])(
+                    variables, state, rng, k, speaker_embeds,
+                    out_k["token_hist"], out_k["hist_len"])
             state = out_k["state"]
             # ONE host transfer for every per-chunk output: separate
             # np.asarray/int()/bool() readbacks each pay the remote-tunnel
@@ -222,9 +252,10 @@ class StreamingSynthesizer(_StreamBase):
                     break
                 continue
             wav = np.asarray(host["wav"], np.float32)
-            out = emitter.emit(wav, n_new,
-                               mel_window_first if k == 0 else mel_window_max,
-                               last)
+            out = emitter.emit(
+                wav, n_new,
+                mel_window_first if k == 0
+                else self._mel_window(chunks[k], mpt), last)
             yield {"wav": out, "tokens": tokens, "n_new": n_new,
                    "is_last": last}
             if last:
@@ -269,6 +300,7 @@ class CompletionStreamer(_StreamBase):
     left_ctx_tokens: int = 25
     crossfade_tokens: int = 2
     first_chunk_tokens: int = 16
+    chunk_schedule: Optional[Tuple[int, ...]] = None  # adaptive growth
     jd_first_chunk: int = 16        # joint-decode steps before first audio
     jd_chunk: int = 24              # joint-decode steps per later phase
     min_start_words: int = 2        # words needed before synthesis starts
@@ -292,9 +324,9 @@ class CompletionStreamer(_StreamBase):
 
         model, variables = self.model, self.variables
         scfg, tables = self.sampler_cfg, self.tables
+        sched = self._sched()
         fc = self.first_chunk_tokens
-        (ct, lc, window, mpt,
-         mel_window_max, mel_window_first) = self._geometry(fc)
+        fc, lc, mpt, mel_window_first, max_chunk = self._geometry(fc)
 
         # ALL key derivation (rng_jd/rng_syn = split(rng); rng_voc =
         # fold_in(rng_syn, 7919), folded per chunk) happens INSIDE the
@@ -317,25 +349,32 @@ class CompletionStreamer(_StreamBase):
             return model.apply(v, rs, jax.random.fold_in(rv, 0), spk, taste,
                                ids, lens, words,
                                self.max_speech_steps, fc, fc,
-                               mel_window_first, ct,
+                               mel_window_first, max_chunk,
                                method=TasteForCausalLM.stream_start_step)
 
-        def _syn_extend(v, r, k, spk, taste, ids, lens, words, hist, hl):
-            _, rs, rv = _keys(r)
-            return model.apply(v, rs, jax.random.fold_in(rv, k), spk, taste,
-                               ids, lens, words, hist, hl,
-                               self.max_speech_steps, ct, window,
-                               mel_window_max,
-                               method=TasteForCausalLM.stream_extend_step)
-
-        def _syn_step(v, st, r, k, spk, hist, hl):
-            return model.apply(v, st, jax.random.fold_in(_keys(r)[2], k),
-                               spk, hist, hl, ct, window, mel_window_max,
-                               method=TasteForCausalLM.stream_step)
-
         syn_start = self._jit("syn_start", _syn_start)
-        syn_extend = self._jit("syn_extend", _syn_extend)
-        syn_step = self._jit("syn_step", _syn_step)
+
+        def make_syn_extend(c):
+            mw = self._mel_window(c, mpt)
+
+            def _syn_extend(v, r, k, spk, taste, ids, lens, words, hist, hl):
+                _, rs, rv = _keys(r)
+                return model.apply(v, rs, jax.random.fold_in(rv, k), spk,
+                                   taste, ids, lens, words, hist, hl,
+                                   self.max_speech_steps, c, c + lc, mw,
+                                   method=TasteForCausalLM.stream_extend_step)
+
+            return self._jit(f"syn_extend:{c}", _syn_extend)
+
+        def make_syn_step(c):
+            mw = self._mel_window(c, mpt)
+
+            def _syn_step(v, st, r, k, spk, hist, hl):
+                return model.apply(v, st, jax.random.fold_in(_keys(r)[2], k),
+                                   spk, hist, hl, c, c + lc, mw,
+                                   method=TasteForCausalLM.stream_step)
+
+            return self._jit(f"syn_step:{c}", _syn_step)
 
         # phases 1+2 in ONE dispatch (jd prefill + first jd chunk + S3
         # prefill + first AR chunk + first vocode window): the TTFA path
@@ -347,7 +386,8 @@ class CompletionStreamer(_StreamBase):
             model.apply(v, r, scfg, tables, ind, ids, lens, words, spk,
                         aids, awords, avalid, self.conditional_mode,
                         max_steps, self.jd_first_chunk,
-                        self.max_speech_steps, fc, mel_window_first, ct,
+                        self.max_speech_steps, fc, mel_window_first,
+                        max_chunk,
                         method=TasteForCausalLM.completion_first_audio))
 
         rng = jax.random.PRNGKey(0) if rng is None else rng
@@ -409,8 +449,10 @@ class CompletionStreamer(_StreamBase):
         emitter = _SeamEmitter(mpt, lc, self.crossfade_tokens)
         words_synth = n_words   # words the current S3 prefill has seen
 
-        max_chunks = 2 + int(np.ceil(self.max_speech_steps / ct)) \
+        max_chunks = 2 + int(np.ceil(self.max_speech_steps / min(sched))) \
             + int(np.ceil(max_steps / self.jd_chunk))
+        cur_mel_window = mel_window_first   # window of the chunk being read
+        j = 0                               # steady-state chunks issued
         for k in range(max_chunks):
             if pending_host is not None:
                 host, pending_host = pending_host, None
@@ -423,9 +465,7 @@ class CompletionStreamer(_StreamBase):
                 emitter.s + n_new >= self.max_speech_steps
             if n_new > 0:
                 wav = np.asarray(host["wav"], np.float32)
-                out = emitter.emit(
-                    wav, n_new,
-                    mel_window_first if k == 0 else mel_window_max, last)
+                out = emitter.emit(wav, n_new, cur_mel_window, last)
                 yield {"wav": out, "tokens": host["tokens"], "n_new": n_new,
                        "is_last": last, "jd_done": jd_done,
                        "n_words": n_words}
@@ -443,13 +483,16 @@ class CompletionStreamer(_StreamBase):
             if not jd_done:
                 jd_state = jd_step(variables, jd_state)
                 n_words, jd_done, taste = jd_read(jd_state)
+            c_next = self._chunk_for(j)
             if n_words > words_synth:
                 # new words: re-contextualize (extend prefill + replay)
-                out_k = syn_extend(
+                out_k = make_syn_extend(c_next)(
                     variables, rng, k + 1, speaker_embeds, taste,
                     asr_token_ids, asr_lens(n_words), asr_word_ids,
                     out_k["token_hist"], out_k["hist_len"])
                 words_synth = n_words
+                cur_mel_window = self._mel_window(c_next, mpt)
+                j += 1
             elif syn_done:
                 # S3 decode drained the committed text and no new words
                 # arrived this poll: only the joint decode advances — a
@@ -459,7 +502,9 @@ class CompletionStreamer(_StreamBase):
                 # chunk is not re-emitted at the next top-of-loop read.
                 out_k = dict(out_k, n_new=np.int32(0))
             else:
-                out_k = syn_step(variables, out_k["state"], rng, k + 1,
-                                 speaker_embeds, out_k["token_hist"],
-                                 out_k["hist_len"])
+                out_k = make_syn_step(c_next)(
+                    variables, out_k["state"], rng, k + 1, speaker_embeds,
+                    out_k["token_hist"], out_k["hist_len"])
+                cur_mel_window = self._mel_window(c_next, mpt)
+                j += 1
 

@@ -237,6 +237,43 @@ def test_streaming_small_first_chunk_same_tokens(taste_setup):
     assert abs(n_b - n_s) <= 2 * spf_est * (len(chunks_s) + len(chunks_b))
 
 
+def test_streaming_chunk_schedule_same_tokens(taste_setup):
+    """Adaptive chunk growth (chunk_schedule) must not change the decoded
+    token stream — only the window partitioning — and the emitted duration
+    must match uniform chunking within seam quantization."""
+    cfg, model, variables, a = taste_setup
+    from taste_spokenlm_tpu.frontend.streaming import StreamingSynthesizer
+    key = jax.random.PRNGKey(3)
+    max_steps = 16
+    base = StreamingSynthesizer(model, variables, chunk_tokens=5,
+                                left_ctx_tokens=3, crossfade_tokens=1,
+                                max_speech_steps=max_steps)
+    grown = StreamingSynthesizer(model, variables, chunk_tokens=3,
+                                 left_ctx_tokens=3, crossfade_tokens=1,
+                                 first_chunk_tokens=2,
+                                 chunk_schedule=(3, 6, 9),
+                                 max_speech_steps=max_steps)
+    args = (key, a["speaker_embeds"], a["taste"], a["asr_ids"],
+            a["asr_lens"], a["asr_words"])
+    chunks_b = list(base.stream(*args))
+    chunks_g = list(grown.stream(*args))
+    tok_b = np.concatenate([c["tokens"] for c in chunks_b], axis=1)
+    tok_g = np.concatenate([c["tokens"] for c in chunks_g], axis=1)
+    np.testing.assert_array_equal(tok_b[tok_b >= 0], tok_g[tok_g >= 0])
+    # growth really happened: later chunks carry more new tokens than the
+    # first, and fewer windows were paid overall
+    n_new = [c["n_new"] for c in chunks_g]
+    assert n_new[0] <= 2 and max(n_new) > n_new[0]
+    assert chunks_g[-1]["is_last"]
+    for c in chunks_g:
+        assert np.isfinite(c["wav"]).all()
+    n_b = sum(c["wav"].shape[1] for c in chunks_b)
+    n_g = sum(c["wav"].shape[1] for c in chunks_g)
+    keep = tok_b[tok_b >= 0]
+    spf_est = max(n_b // max(len(keep), 1), 1)
+    assert abs(n_b - n_g) <= 2 * spf_est * (len(chunks_g) + len(chunks_b))
+
+
 def test_streaming_synthesize_reports_ttfa(taste_setup):
     cfg, model, variables, a = taste_setup
     from taste_spokenlm_tpu.frontend.streaming import StreamingSynthesizer
