@@ -136,6 +136,7 @@ class RelPositionAttention(nn.Module):
         cache: Optional[Dict[str, jnp.ndarray]] = None,
         cache_index: Optional[jnp.ndarray] = None,
         pos_proj: Optional[jnp.ndarray] = None,  # [P, C] pre-projected
+        causal_scores: bool = False,  # STATIC: mask ⊆ strict causal
     ):
         b, t, _ = x.shape
         h, dk = self.num_heads, self.d_model // self.num_heads
@@ -157,21 +158,40 @@ class RelPositionAttention(nn.Module):
         q_v = q + self.pos_bias_v[None, None]
         ac = jnp.einsum("bqhd,bkhd->bhqk", q_u, k,
                         preferred_element_type=jnp.float32)
-        bd = jnp.einsum("bqhd,phd->bhqp", q_v, p,
-                        preferred_element_type=jnp.float32)
         # pos_emb must have P = Tq + Tk - 1 entries where entry p encodes
         # rel = (Tq - 1) - p + (key offset); align so bd[i, j] picks
         # p = (Tq-1-i) + j.
         tk = k.shape[1]
         tq = t
         assert p.shape[0] == tq + tk - 1, (p.shape, tq, tk)
-        if tq == tk:
+        if causal_scores and cache is None and tq == tk and tq > 1:
+            # causal scores never read the future half of the rel table
+            # (cols 0..T-1 = rel -(T-1)..0), so compute q_v @ p[:T]^T —
+            # [T, T] instead of [T, 2T-1] — and apply the pad-left-1
+            # "music-transformer" skew: y[i, j] = x[i, (T-1)-i+j].  The
+            # j > i wrap-around entries land under the causal mask.  At
+            # training shapes (B=8, T~1640) this halves the dominant
+            # HBM tensor of the layer: the full-width bd path is ~75% of
+            # the stack's fwd+bwd wall (scripts/profile_s3attn.py).
+            bd = jnp.einsum("bqhd,phd->bhqp", q_v, p[:tq],
+                            preferred_element_type=jnp.float32)
+            bd = jnp.pad(bd, ((0, 0), (0, 0), (0, 0), (1, 0)))
+            bd = bd.reshape(b, h, tq * (tq + 1)) \
+                   .reshape(b, h, tq + 1, tq)[:, :, 1:]
+        elif tq == tk:
+            bd = jnp.einsum("bqhd,phd->bhqp", q_v, p,
+                            preferred_element_type=jnp.float32)
             bd = _rel_shift(bd)          # pad/reshape trick, pure data movement
         elif tq > 1:
+            bd = jnp.einsum("bqhd,phd->bhqp", q_v, p,
+                            preferred_element_type=jnp.float32)
             idx = (tq - 1 - jnp.arange(tq))[:, None] + jnp.arange(tk)[None, :]
             bd = jnp.take_along_axis(
                 bd, jnp.broadcast_to(idx[None, None], (b, h, tq, tk)), axis=-1)
-        # tq == 1: bd is already [B, H, 1, Tk], aligned
+        else:
+            # tq == 1: [B, H, 1, Tk] is already aligned
+            bd = jnp.einsum("bqhd,phd->bhqp", q_v, p,
+                            preferred_element_type=jnp.float32)
         scores = (ac + bd) * jnp.asarray(1.0 / math.sqrt(dk), jnp.float32)
         if mask is not None:
             scores = jnp.where(mask, scores,
@@ -316,12 +336,14 @@ class EncoderLayer(nn.Module):
                                            name="norm_final")
 
     def __call__(self, x, pos_emb, mask=None, cache=None, cache_index=None,
-                 pad_mask=None, train: bool = False, pos_proj=None):
+                 pad_mask=None, train: bool = False, pos_proj=None,
+                 causal_scores: bool = False):
         if self.macaron_style:
             x = x + self.ff_scale * self.ffn_macaron(self.macaron_norm(x))
         h, new_cache = self.attn(self.attn_norm(x), pos_emb, mask=mask,
                                  cache=cache, cache_index=cache_index,
-                                 pos_proj=pos_proj)
+                                 pos_proj=pos_proj,
+                                 causal_scores=causal_scores)
         x = x + h
         if self.use_cnn_module:
             x = x + self.conv_module(self.conv_norm(x), pad_mask, train=train)
@@ -383,7 +405,9 @@ class ConformerEncoder(nn.Module):
             raise ValueError(f"unknown input_layer {cfg.input_layer!r}")
         conformer_names = cfg.input_layer != "linear_legacy"
         act = cfg.activation_type if conformer_names else "relu"
-        layer_cls = (nn.remat(EncoderLayer, static_argnums=(7,),
+        # static args: train (7) and causal_scores (9) — both select code
+        # paths and must stay Python bools under the remat wrapper
+        layer_cls = (nn.remat(EncoderLayer, static_argnums=(7, 9),
                               policy=_remat_policy(self.remat))
                      if self.remat else EncoderLayer)
         self.encoders = [
@@ -467,6 +491,9 @@ class ConformerEncoder(nn.Module):
         if causal is None:
             causal = cfg.static_chunk_size > 0
         mask = chunk_causal_mask(t, cfg.static_chunk_size if causal else 0)[None, None]
+        # strict-causal masks never expose the j > i half of the scores, so
+        # the attention can use the [T, T] truncated-rel-table skew path
+        sc = bool(causal) and cfg.static_chunk_size == 1
         pad_mask = None
         if lengths is not None:
             lengths = self._subsample_lengths(lengths, t_in, t)
@@ -474,7 +501,7 @@ class ConformerEncoder(nn.Module):
             mask = jnp.logical_and(mask, valid[:, None, None, :])
             pad_mask = valid if cfg.use_cnn_module else None
         for layer in self.encoders:
-            x, _ = layer(x, pe, mask, None, None, pad_mask, train)
+            x, _ = layer(x, pe, mask, None, None, pad_mask, train, None, sc)
         return self.after_norm(x)
 
     # ---------------- incremental decode ----------------
