@@ -353,6 +353,12 @@ def main():
     def sharded_batches():
         for b in raw:
             b = _pad_batch(b)
+            if os.environ.get("TASTE_DEBUG_BATCH_HASH"):
+                import hashlib
+                h = hashlib.md5(b"".join(
+                    np.ascontiguousarray(v).tobytes()
+                    for _, v in sorted(b.items()))).hexdigest()
+                print(f"batch_hash {h}", file=sys.stderr, flush=True)
             yield jax.device_put(b, mesh_lib.batch_specs(mesh, b))
     with mesh:
         trainer.fit(state, sharded_batches())
