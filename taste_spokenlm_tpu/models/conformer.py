@@ -173,8 +173,13 @@ class RelPositionAttention(nn.Module):
             # training shapes (B=8, T~1640) this halves the dominant
             # HBM tensor of the layer: the full-width bd path is ~75% of
             # the stack's fwd+bwd wall (scripts/profile_s3attn.py).
+            # accumulate on the MXU in f32, but STORE the tensor that the
+            # pad/reshape skew streams through HBM in the model dtype —
+            # the strided skew copy is traffic-bound, and for f32 models
+            # the cast is the identity (parity paths unchanged)
             bd = jnp.einsum("bqhd,phd->bhqp", q_v, p[:tq],
-                            preferred_element_type=jnp.float32)
+                            preferred_element_type=jnp.float32
+                            ).astype(self.dtype)
             bd = jnp.pad(bd, ((0, 0), (0, 0), (0, 0), (1, 0)))
             bd = bd.reshape(b, h, tq * (tq + 1)) \
                    .reshape(b, h, tq + 1, tq)[:, :, 1:]
