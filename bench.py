@@ -561,6 +561,7 @@ def main():
                                    "BENCH_LAST_GOOD.json"), "w") as f:
                 json.dump({**merged, "measured_at": time.strftime(
                     "%Y-%m-%d %H:%M UTC", time.gmtime())}, f, indent=1)
+                f.write("\n")
         except Exception:
             pass
     print(json.dumps(merged))
@@ -1010,11 +1011,14 @@ def serve_main():
     lc = int(os.environ.get("BENCH_LEFT_CTX", "8" if tiny else "25"))
     fc = int(os.environ.get("BENCH_FIRST_CHUNK", "4" if tiny else "16"))
     jfc = int(os.environ.get("BENCH_JD_FIRST_CHUNK", "4" if tiny else "16"))
-    jch = int(os.environ.get("BENCH_JD_CHUNK", "8" if tiny else "24"))
-    # adaptive chunk growth: each flow/HiFT window pays fixed U-Net latency
-    # (single-digit MFU), so later chunks grow — fewer windows, same TTFA
+    jch = int(os.environ.get("BENCH_JD_CHUNK", "8" if tiny else "48"))
+    # adaptive chunk growth: each flow/HiFT window pays ~50 ms of fixed
+    # flow-solve + HiFT launch cost regardless of size, so the schedule is
+    # bridge-then-bulk — one small chunk keeps audio flowing while the
+    # joint decode finishes (one big jd poll), then the remainder vocodes
+    # as a single near-batch-sized window
     sched_env = os.environ.get("BENCH_CHUNK_SCHEDULE",
-                               "" if tiny else "50,100,170,170")
+                               "" if tiny else "50,446")
     sched = tuple(int(x) for x in sched_env.split(",") if x) or None
     streamer = StreamingSynthesizer(
         model, variables, chunk_tokens=ct, left_ctx_tokens=lc,
