@@ -165,6 +165,30 @@ class RelPositionAttention(nn.Module):
         tq = t
         assert p.shape[0] == tq + tk - 1, (p.shape, tq, tk)
         if causal_scores and cache is None and tq == tk and tq > 1:
+            # Pallas flash path: fuses ac + skewed-bd + softmax + pv in
+            # VMEM — no [B, H, T, T] HBM tensors at all (the remaining
+            # traffic of the skew path below).  Training-shape win measured
+            # in scripts/profile_s3attn.py; numerics match the XLA path to
+            # matmul-tiling tolerance (tests/test_relpos_flash.py).
+            import os
+            from taste_spokenlm_tpu.ops.pallas.relpos_attention import (
+                can_use_relpos_flash, relpos_causal_attention)
+            if (can_use_relpos_flash(tq, dk)
+                    and os.environ.get("TASTE_DISABLE_FLASH") != "1"
+                    and (jax.default_backend() in ("tpu", "axon")
+                         or os.environ.get("TASTE_FORCE_RELPOS_FLASH")
+                         == "1")):
+                if mask is not None:
+                    # causal_scores contract: mask = strict-causal ∧
+                    # key-valid, so the last row carries key validity
+                    lengths = jnp.broadcast_to(
+                        jnp.sum(mask[:, 0, -1, :].astype(jnp.int32), -1),
+                        (b,))
+                else:
+                    lengths = None
+                out = relpos_causal_attention(q_u, q_v, k, v, p, lengths)
+                return (self.linear_out(out.reshape(b, t, self.d_model)),
+                        cache)
             # causal scores never read the future half of the rel table
             # (cols 0..T-1 = rel -(T-1)..0), so compute q_v @ p[:T]^T —
             # [T, T] instead of [T, 2T-1] — and apply the pad-left-1
