@@ -629,6 +629,11 @@ def serve_main():
     # opts out)
     if os.environ.get("BENCH_PALLAS_CONV", "1") == "1" and not tiny:
         cfg = cfg.replace(hift=cfg.hift.replace(pallas_conv=True))
+    # fused U-Net transformer blocks for the CFM estimator (one Pallas call
+    # per block; ~10% per-eval, parity 1.5e-5 bf16) — BENCH_FUSED_DIT=0
+    # opts out
+    if os.environ.get("BENCH_FUSED_DIT", "1") == "1" and not tiny:
+        cfg = cfg.replace(flow=cfg.flow.replace(fused_dit_serving=True))
     # serving layout: the tokenizer tower runs f32 so the emitted taste
     # indices hold the BASELINE >99.9% agreement gate (bf16 encoder drift
     # flips ~2.3% of RVQ argmins, docs/FULL_ARCH_PARITY.md); the AR

@@ -459,6 +459,10 @@ class FlowConfig(_Base):
     estimator_n_blocks: int = 4
     estimator_num_mid_blocks: int = 12
     estimator_num_heads: int = 8
+    # serving-only: each U-Net transformer block as ONE Pallas call
+    # (ops/pallas/fused_dit.py) — the stacks are op-latency bound at
+    # estimator shapes; the training path keeps the XLA blocks
+    fused_dit_serving: bool = False
 
     @classmethod
     def tiny(cls) -> "FlowConfig":

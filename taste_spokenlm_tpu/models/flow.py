@@ -185,9 +185,27 @@ class BasicTransformerBlock(nn.Module):
     dim: int
     heads: int
     head_dim: int
+    # serving-only fused Pallas path (FlowConfig.fused_dit_serving): the
+    # whole block in ONE kernel call — the U-Net stacks are op-latency
+    # bound at [2B, T<=904, 256] (ops/pallas/fused_dit.py).  No VJP; the
+    # flow training path keeps the XLA blocks (same convention as
+    # quantized_serving).
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x, key_valid=None):
+        from taste_spokenlm_tpu.ops.pallas.fused_dit import (
+            can_use_fused_dit, fused_dit_block)
+        if (self.fused and not self.is_initializing()
+                and key_valid is not None
+                and can_use_fused_dit(x.shape[1], self.dim,
+                                      self.heads * self.head_dim)
+                and os.environ.get("TASTE_DISABLE_FLASH") != "1"
+                and (jax.default_backend() in ("tpu", "axon")
+                     or os.environ.get("TASTE_FORCE_FUSED_DIT") == "1")):
+            lengths = jnp.sum(key_valid.astype(jnp.int32), axis=-1)
+            return fused_dit_block(x, lengths, self.variables["params"],
+                                   heads=self.heads, head_dim=self.head_dim)
         h = nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
         x = x + DiffusersAttention(self.heads, self.head_dim, self.dim,
                                    name="attn1")(h, key_valid=key_valid)
@@ -251,6 +269,7 @@ class ConditionalDecoder(nn.Module):
             for bi in range(cfg.estimator_n_blocks):
                 h = BasicTransformerBlock(ch, cfg.estimator_num_heads,
                                           cfg.estimator_attention_head_dim,
+                                          fused=cfg.fused_dit_serving,
                                           name=f"{name}_tf_{bi}")(h, kv)
             return h
 
