@@ -156,8 +156,6 @@ class RelPositionAttention(nn.Module):
 
         q_u = q + self.pos_bias_u[None, None]
         q_v = q + self.pos_bias_v[None, None]
-        ac = jnp.einsum("bqhd,bkhd->bhqk", q_u, k,
-                        preferred_element_type=jnp.float32)
         # pos_emb must have P = Tq + Tk - 1 entries where entry p encodes
         # rel = (Tq - 1) - p + (key offset); align so bd[i, j] picks
         # p = (Tq-1-i) + j.
@@ -221,6 +219,11 @@ class RelPositionAttention(nn.Module):
             # tq == 1: [B, H, 1, Tk] is already aligned
             bd = jnp.einsum("bqhd,phd->bhqp", q_v, p,
                             preferred_element_type=jnp.float32)
+        # computed AFTER the flash-path early return: in eager/interpret
+        # execution (TASTE_FORCE_RELPOS_FLASH debugging) this [B,H,T,T]
+        # tensor would otherwise materialize even when the kernel handles it
+        ac = jnp.einsum("bqhd,bkhd->bhqk", q_u, k,
+                        preferred_element_type=jnp.float32)
         scores = (ac + bd) * jnp.asarray(1.0 / math.sqrt(dk), jnp.float32)
         if mask is not None:
             scores = jnp.where(mask, scores,

@@ -160,5 +160,13 @@ def fused_dit_block(x, lengths, params, *, heads: int, head_dim: int):
 
 
 def can_use_fused_dit(t: int, c: int, inner: int) -> bool:
-    """VMEM-budget + lane-alignment eligibility."""
-    return t <= 2048 and c % 128 == 0 and inner % 128 == 0
+    """VMEM-budget + lane-alignment eligibility.
+
+    The kernel keeps per-head [Tp,Tp] f32 score tensors plus a [Tp,Tp] int32
+    iota mask resident in a single VMEM program: ~4.2 MB each at T=1024 vs
+    ~16 MB at T=2048, which would blow the ~128 MB v5e VMEM budget once the
+    x/qkv/mlp operands are added. Serving shapes are T<=904; bound at 1024 so
+    eligibility guarantees Mosaic compilability rather than merely admitting
+    the shapes we happen to use.
+    """
+    return t <= 1024 and c % 128 == 0 and inner % 128 == 0

@@ -39,7 +39,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
 BQ = 128           # q rows per block; also the skew-shift range (power of 2)
-_N_SHIFT_BITS = 7  # log2(BQ)
+_N_SHIFT_BITS = BQ.bit_length() - 1  # log2(BQ); binary-decomposition skew depth
+assert (1 << _N_SHIFT_BITS) == BQ, "BQ must be a power of two"
 
 # tests force interpret; otherwise auto-interpret when not on real TPU
 _INTERPRET = [False]
