@@ -49,23 +49,16 @@ def write_wav(path, wav: np.ndarray, sr: int):
 def load_audio(path: str, target_sr: int) -> np.ndarray:
     """Decode + resample one file to mono float32 at `target_sr`.
 
-    Native C++ reader/resampler first (csrc/audio_io.cpp); stdlib `wave` +
-    the JAX resampler as fallback."""
+    Native C++ reader/resampler first (csrc/audio_io.cpp); the pure-python
+    RIFF parser (PCM16/24/32 + float32/64, data/native.py py_wav_read) +
+    the JAX resampler as fallback.  mp3/flac corpora enter via the
+    pre-decoded arrow shards (data/dataset.py) — the reference decodes
+    them through torchaudio (processing_taste.py:25-31)."""
     from taste_spokenlm_tpu.data import native
     try:
         audio, sr = native.wav_read(path)
     except Exception:
-        with wave.open(path, "rb") as f:
-            sr = f.getframerate()
-            n = f.getnframes()
-            width = f.getsampwidth()
-            raw = f.readframes(n)
-        if width != 2:
-            raise ValueError(f"{path}: only PCM16 supported by the fallback")
-        audio = np.frombuffer(raw, "<i2").astype(np.float32) / 32768.0
-        with wave.open(path, "rb") as f:
-            if f.getnchannels() > 1:
-                audio = audio.reshape(-1, f.getnchannels()).mean(axis=1)
+        audio, sr = native.py_wav_read(path)
     if sr != target_sr:
         try:
             audio = native.resample(audio, sr, target_sr)

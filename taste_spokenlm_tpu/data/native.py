@@ -85,6 +85,63 @@ def resample_batch(signals: List[np.ndarray], orig_freq: int, new_freq: int,
     return outs
 
 
+def py_wav_read(path: str) -> Tuple[np.ndarray, int]:
+    """Pure-python RIFF/WAV reader: PCM16/24/32, IEEE float32/64 (and
+    WAVE_FORMAT_EXTENSIBLE wrappers of those), mono mixdown.  The no-g++
+    fallback of `wav_read` — the reference rides torchaudio's native decode
+    (processing_taste.py:25-31); this keeps the CLI dependency-free.
+
+    mp3/flac are NOT decoded here (no codec under zero egress) — compressed
+    corpora enter via the pre-decoded arrow shards (data/dataset.py)."""
+    import struct
+    with open(path, "rb") as f:
+        head = f.read(12)
+        if len(head) < 12 or head[:4] != b"RIFF" or head[8:12] != b"WAVE":
+            raise ValueError(f"{path}: not a RIFF/WAVE file")
+        fmt = channels = bits = 0
+        sr = 0
+        data = None
+        while True:
+            hdr = f.read(8)
+            if len(hdr) < 8:
+                break
+            tag, size = hdr[:4], struct.unpack("<I", hdr[4:])[0]
+            if tag == b"fmt ":
+                blob = f.read(size)
+                fmt, channels, sr, _, _, bits = struct.unpack(
+                    "<HHIIHH", blob[:16])
+                if fmt == 0xFFFE and size >= 40:   # EXTENSIBLE: sub-format
+                    fmt = struct.unpack("<H", blob[24:26])[0]
+            elif tag == b"data":
+                data = f.read(size)
+            else:
+                f.seek(size + (size & 1), 1)
+        if not channels or not sr or data is None:
+            raise ValueError(f"{path}: missing fmt/data chunk")
+    if fmt == 3 and bits == 32:
+        x = np.frombuffer(data, "<f4").astype(np.float32)
+    elif fmt == 3 and bits == 64:
+        x = np.frombuffer(data, "<f8").astype(np.float32)
+    elif fmt == 1 and bits == 16:
+        x = np.frombuffer(data, "<i2").astype(np.float32) / 32768.0
+    elif fmt == 1 and bits == 24:
+        raw = np.frombuffer(data, np.uint8).reshape(-1, 3)
+        s = (raw[:, 0].astype(np.int32) | (raw[:, 1].astype(np.int32) << 8)
+             | (raw[:, 2].astype(np.int32) << 16))
+        s = np.where(s & 0x800000, s | ~0xFFFFFF, s)
+        x = s.astype(np.float32) / 8388608.0
+    elif fmt == 1 and bits == 32:
+        x = np.frombuffer(data, "<i4").astype(np.float32) / 2147483648.0
+    else:
+        raise ValueError(f"{path}: unsupported wav format "
+                         f"(fmt={fmt}, bits={bits}); mp3/flac corpora enter "
+                         "via the arrow shards (data/dataset.py)")
+    if channels > 1:
+        x = x[: (len(x) // channels) * channels]
+        x = x.reshape(-1, channels).mean(axis=1)
+    return np.ascontiguousarray(x, np.float32), int(sr)
+
+
 def wav_read(path: str) -> Tuple[np.ndarray, int]:
     """Decode a WAV file to mono float32 (PCM16/24/32 or float32)."""
     lib = load()
