@@ -359,7 +359,9 @@ def main():
                     np.ascontiguousarray(v).tobytes()
                     for _, v in sorted(b.items()))).hexdigest()
                 print(f"batch_hash {h}", file=sys.stderr, flush=True)
-            yield jax.device_put(b, mesh_lib.batch_specs(mesh, b))
+            # multihost-correct sharded transfer (each process contributes
+            # its local shards; single-process = plain device_put)
+            yield mesh_lib.global_batch(mesh, b)
     with mesh:
         trainer.fit(state, sharded_batches())
     print("done")

@@ -48,6 +48,34 @@ def batch_specs(mesh: Mesh, batch: Any) -> Any:
     return jax.tree_util.tree_map(lambda _: batch_sharding(mesh), batch)
 
 
+def global_batch(mesh: Mesh, batch: Any) -> Any:
+    """Host batch -> device batch sharded over the "data" axis, correct in
+    BOTH launch modes (the torchrun/accelerate-launch equivalent,
+    reference train_utils.py:40-51):
+
+    * single-process (1 host, N local devices): plain sharded device_put —
+      byte-identical to the historical path;
+    * multi-process (`jax.distributed.initialize`, N hosts x M devices):
+      every process holds the FULL global batch (the data stream is a pure
+      function of (seed, step), so each host rebuilds it identically —
+      preserving the bitwise preemption-resume contract), and each process
+      contributes only the shards its local devices own via
+      `make_array_from_callback`.  A 2-host x 4-device run therefore feeds
+      bit-identical global batches to a 1-host x 8-device run
+      (tests/test_multihost.py asserts the loss equivalence).
+    """
+    if jax.process_count() == 1:
+        return jax.device_put(batch, batch_specs(mesh, batch))
+    sh = batch_sharding(mesh)
+
+    def one(x):
+        x = np.asarray(x)
+        return jax.make_array_from_callback(x.shape, sh,
+                                            lambda idx: x[idx])
+
+    return jax.tree_util.tree_map(one, batch)
+
+
 # ---------------------------------------------------------------------------
 # parameter sharding (tensor parallel over "model")
 # ---------------------------------------------------------------------------

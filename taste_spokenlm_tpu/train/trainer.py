@@ -72,28 +72,40 @@ class Trainer:
             window.append(metrics)
 
             if (step_idx + 1) % cfg.log_every == 0:
-                avg = {k: float(np.mean([float(jax.device_get(m[k]))
-                                         for m in window]))
-                       for k in window[0]}
-                if self.schedule is not None:
-                    avg["lr"] = float(self.schedule(step_idx))
-                avg["steps_per_s"] = len(window) / (time.perf_counter() - t0)
-                self.writer.write(step_idx + 1, avg)
-                self.logger.info("step %d: %s", step_idx + 1,
-                                 {k: round(v, 4) for k, v in avg.items()})
+                # rank-0 metric writing (the reference's rank==0 TB guard,
+                # train_utils.py executor); every process still runs the
+                # same jitted steps and checkpoint saves
+                if jax.process_index() == 0:
+                    avg = {k: float(np.mean([float(jax.device_get(m[k]))
+                                             for m in window]))
+                           for k in window[0]}
+                    if self.schedule is not None:
+                        avg["lr"] = float(self.schedule(step_idx))
+                    avg["steps_per_s"] = (len(window)
+                                          / (time.perf_counter() - t0))
+                    self.writer.write(step_idx + 1, avg)
+                    self.logger.info("step %d: %s", step_idx + 1,
+                                     {k: round(v, 4) for k, v in avg.items()})
                 window, t0 = [], time.perf_counter()
 
             if self.eval_fn and eval_batches and \
                     (step_idx + 1) % cfg.eval_every == 0:
                 eval_metrics = self.evaluate(state, eval_batches())
-                self.writer.write(step_idx + 1,
-                                  {f"eval/{k}": v for k, v in eval_metrics.items()})
-                self.logger.info("eval @%d: %s", step_idx + 1, eval_metrics)
+                if jax.process_index() == 0:
+                    self.writer.write(
+                        step_idx + 1,
+                        {f"eval/{k}": v for k, v in eval_metrics.items()})
+                    self.logger.info("eval @%d: %s", step_idx + 1,
+                                     eval_metrics)
 
             if (step_idx + 1) % cfg.save_every == 0:
                 save_metrics = {"loss": float(jax.device_get(metrics["loss"]))}
-                self.ckpt.save(step_idx + 1, jax.device_get(state),
-                               metrics=save_metrics)
+                # pass DEVICE arrays: orbax copies device->host synchronously
+                # before its async write, and in multi-process runs each
+                # process writes exactly the shards it owns (ZeRO opt state
+                # included) — a host device_get here would crash on
+                # non-addressable multihost arrays
+                self.ckpt.save(step_idx + 1, state, metrics=save_metrics)
         self.ckpt.wait()
         return state
 
