@@ -36,6 +36,14 @@ def main():
     p.add_argument("--asr-tokenizer", default=None)
     p.add_argument("--llm-tokenizer", default=None)
     p.add_argument("--token-budget", type=int, default=2048)
+    p.add_argument("--selection-data", default=None,
+                   help="selection-pair jsonl from "
+                        "scripts/prepare_baseline_data.py --selection-out: "
+                        "score real vs distractor continuations with the "
+                        "spoken LM and report choose-the-real accuracy "
+                        "(the reference calculate_log_likelihood protocol, "
+                        "taslm/modeling_taslm.py:324-377, closed into a "
+                        "round-trip metric)")
     p.add_argument("--platform", default=None,
                    help="cpu | tpu | default (sitecustomize-proof)")
     args = p.parse_args()
@@ -143,6 +151,54 @@ def main():
                 (np.arange(t_tok) // 2)[None], (args.batch_size, 1))),
         }
 
+    def selection_eval(path):
+        """Per-pair: mean log p per CONTINUATION token (empty taste channel)
+        for the real and the distractor continuation; accuracy = fraction
+        where the real one scores higher."""
+        import functools
+        pairs = [json.loads(line) for line in open(path) if line.strip()]
+        L = cfg.audio_tower.quantizer.num_quantizers
+        slot = 16
+        lens = [len(p["prefix"]) + max(len(p["real"]), len(p["distractor"]))
+                for p in pairs]
+        T = -(-max(lens) // slot) * slot   # one static bucket for all pairs
+
+        @functools.partial(jax.jit, static_argnames=())
+        def fwd(ids, n):
+            idx = jnp.full((1, T, L), -1, jnp.int32)
+            out = model.apply(
+                variables, idx, ids[None], jnp.asarray([n], jnp.int32),
+                jnp.arange(T, dtype=jnp.int32)[None],
+                method=TasteForCausalLM.forward_spoken_llm)
+            return out["text_logits"], out["text_labels"]
+
+        def cont_ll(prefix, cont):
+            ids = np.zeros((T,), np.int32)
+            seq = (prefix + cont)[:T]
+            ids[:len(seq)] = seq
+            logits, labels = fwd(jnp.asarray(ids), len(seq))
+            logits = np.asarray(logits, np.float32)[0]
+            labels = np.asarray(labels)[0]
+            lse = logits.max(-1) + np.log(
+                np.exp(logits - logits.max(-1, keepdims=True)).sum(-1))
+            valid = np.flatnonzero(labels != -1)
+            # continuation tokens are the LAST len(cont) valid label slots
+            keep = valid[-min(len(cont), len(valid)):]
+            lp = logits[keep, labels[keep]] - lse[keep]
+            return float(lp.mean())
+
+        n_correct, ll_r, ll_d = 0, [], []
+        for pr in pairs:
+            a = cont_ll(pr["prefix"], pr["real"])
+            b = cont_ll(pr["prefix"], pr["distractor"])
+            n_correct += a > b
+            ll_r.append(a)
+            ll_d.append(b)
+        return {"selection_accuracy": round(n_correct / max(len(pairs), 1), 5),
+                "selection_pairs": len(pairs),
+                "selection_ll_real": round(float(np.mean(ll_r)), 5),
+                "selection_ll_distractor": round(float(np.mean(ll_d)), 5)}
+
     sums, n = {}, 0
     batches = synthetic_batches() if args.synthetic else real_batches()
     for batch in batches:
@@ -152,6 +208,8 @@ def main():
         n += 1
 
     metrics = {k: round(v / n, 5) for k, v in sums.items()}
+    if args.selection_data:
+        metrics.update(selection_eval(args.selection_data))
     with open(args.output, "w") as f:
         json.dump(metrics, f, indent=2)
     print(json.dumps(metrics))
