@@ -323,6 +323,19 @@ def train_main():
     if hbm1 is not None:
         results["train_stage1_peak_hbm_gb"] = hbm1
     _checkpoint_partial("train", results)
+    # ---------------- real input pipeline (VERDICT r4 #3) ----------------
+    # Stage1Dataset end-to-end: arrow decode -> native C++ resample ->
+    # tokenize -> bucket/collate on a host prefetch thread, mel IN-GRAPH
+    # (mel_on_device), driving real train steps — reports the sustained
+    # host pipeline rate and the input-stall fraction of the train loop.
+    if not tiny and os.environ.get("BENCH_INPUT_PIPE", "1") == "1":
+        try:
+            _input_pipeline_bench(model, tx, mask, cfg, results)
+        except Exception as e:
+            import traceback
+            traceback.print_exc()
+            results["train_stage1_input_error"] = str(e)[:300]
+        _checkpoint_partial("train", results)
     # release stage-1 HBM before stage 2 (rebinding drops the refs;
     # locals().pop would not)
     variables = state = step = batch = batches = metrics = None
@@ -406,6 +419,159 @@ def train_main():
     if hbm2 is not None:
         results["train_stage2_peak_hbm_gb"] = hbm2
     print(json.dumps(results))
+
+
+def _input_pipeline_bench(model, tx, mask, cfg, results):
+    """Feed real stage-1 train steps from Stage1Dataset over a synthesized
+    TASTE-Dump arrow shard (VERDICT r4 #3): host prefetch thread (arrow
+    decode + native resample + tokenize + collate), whisper mel IN-GRAPH
+    (mel_on_device), 3-deep rolling buffer.  Reports:
+
+      train_stage1_input_frames_per_sec  sustained host pipeline rate alone
+      train_stage1_input_stall           stalled fraction of the train loop
+    """
+    import queue
+    import tempfile
+    import threading
+    import jax
+    import jax.numpy as jnp
+    from taste_spokenlm_tpu.data.dataset import BucketSpec, Stage1Dataset
+    from taste_spokenlm_tpu.train import train_step
+
+    n_utts = int(os.environ.get("BENCH_INPUT_UTTS", "56"))
+    rows = 8
+    bucket = BucketSpec(96, 144, 768)   # ~30 s rows: matches the 8x30s bench
+    sp_vocab = cfg.speech_decoder.speech_token_size
+    asr_vocab = cfg.audio_tower.whisper.vocab_size
+    llm_vocab = cfg.spoken_lm.llama.vocab_size
+    mel_frames = 3000
+
+    # ---- synthesize the shard: 24 kHz audio (the emilia rate — the native
+    # resampler is part of what's being measured), ~29 s per row ----
+    import datasets
+    shard_dir = os.path.join(tempfile.gettempdir(),
+                             f"bench_input_shard_{n_utts}")
+    marker = os.path.join(shard_dir, "done")
+    if not os.path.exists(marker):
+        r = np.random.RandomState(7)
+        data = {"mp3": [], "json": [], "s3_token": [], "spk_emb": []}
+        t = np.arange(int(24000 * 29.0), dtype=np.float32) / 24000.0
+        for i in range(n_utts):
+            wav = 0.1 * np.sin(2 * np.pi * (180.0 + 3.0 * i) * t)
+            data["mp3"].append({"array": wav.astype(np.float32),
+                                "sampling_rate": 24000})
+            data["json"].append({"text": " ".join(
+                f"w{r.randint(1000)}" for _ in range(46))})
+            data["s3_token"].append(
+                r.randint(0, sp_vocab, 725).tolist())
+            data["spk_emb"].append(
+                r.randn(cfg.speech_decoder.spk_embed_dim
+                        ).astype(np.float32).tolist())
+        datasets.Dataset.from_dict(data).save_to_disk(shard_dir)
+        open(marker, "w").close()
+    import glob as globlib
+    shard_files = sorted(f for f in globlib.glob(
+        os.path.join(shard_dir, "*.arrow")))
+
+    def tokenize_fn(text):
+        words = text.split()
+        asr_ids, llm_ids, asr_w, llm_w = [], [], [], []
+        for w, word in enumerate(words):
+            h = abs(hash(word))
+            asr_ids += [100 + h % 20000, 100 + (h // 7) % 20000]
+            asr_w += [w, w]
+            llm_ids += [100 + h % 100000, 100 + (h // 11) % 100000,
+                        100 + (h // 13) % 100000]
+            llm_w += [w, w, w]
+        return {"asr_token_ids": np.asarray(asr_ids, np.int32) % asr_vocab,
+                "asr_word_ids": np.asarray(asr_w, np.int32),
+                "llm_token_ids": np.asarray(llm_ids, np.int32) % llm_vocab,
+                "llm_word_ids": np.asarray(llm_w, np.int32)}
+
+    ds = Stage1Dataset(shard_files, tokenize_fn, buckets=(bucket,),
+                       token_budget=rows * bucket.speech_tokens,
+                       mel_on_device=True, mel_frames=mel_frames)
+
+    def full_batches(epochs):
+        for ep in range(epochs):
+            for b in ds.batches(epoch=ep):
+                if b["asr_token_ids"].shape[0] == rows:
+                    yield b
+
+    # ---- sustained host pipeline rate (no training) ----
+    t0 = time.perf_counter()
+    n_b = 0
+    for b in full_batches(1):
+        n_b += 1
+    pipe_wall = time.perf_counter() - t0
+    frames = n_b * rows * mel_frames
+    input_fps = frames / pipe_wall
+    print(f"input pipeline alone: {n_b} batches in {pipe_wall:.1f}s = "
+          f"{input_fps:.0f} frames/s", file=sys.stderr)
+
+    # ---- train loop fed by a 3-deep prefetch thread ----
+    q = queue.Queue(maxsize=3)
+
+    def producer():
+        for b in full_batches(3):
+            q.put(b)
+        q.put(None)
+
+    threading.Thread(target=producer, daemon=True).start()
+    first = q.get()
+    batch = {k: jnp.asarray(v) for k, v in first.items()}
+    from taste_spokenlm_tpu.models.taste import TasteForCausalLM
+    shapes = jax.eval_shape(
+        functools.partial(
+            model.init,
+            method=TasteForCausalLM.forward_speech_autoencoder),
+        {"params": jax.random.PRNGKey(0)}, batch["speaker_embeds"],
+        batch["asr_token_ids"], batch["asr_token_lengths"],
+        batch["asr_word_ids"],
+        jnp.zeros((rows, cfg.audio_tower.whisper.n_mels, mel_frames),
+                  jnp.float32),
+        batch["speech_token_ids"], batch["speech_token_lengths"])
+    variables = _fill_variables(shapes, jnp.bfloat16)
+    state = train_step.init_state(jax.random.PRNGKey(0),
+                                  variables["params"],
+                                  variables.get("quantizer"), tx)
+    step = train_step.make_stage1_step(model, tx, mesh=None, donate=False,
+                                       trainable_mask=mask,
+                                       on_device_mel=True)
+    drop = [k for k in batch if k in ("llm_token_ids", "llm_word_ids",
+                                      "llm_token_lengths")]
+    for k in drop:
+        batch.pop(k)
+    t0 = time.perf_counter()
+    state, metrics = step(state, batch)
+    _ = float(metrics["loss"])
+    print(f"input-pipe stage1 compile+first step: "
+          f"{time.perf_counter()-t0:.1f}s", file=sys.stderr)
+
+    stall_s, busy_s, n_steps = 0.0, 0.0, 0
+    while True:
+        t0 = time.perf_counter()
+        nb = q.get()
+        stall_s += time.perf_counter() - t0
+        if nb is None:
+            break
+        nb = {k: jnp.asarray(v) for k, v in nb.items()
+              if k not in ("llm_token_ids", "llm_word_ids",
+                           "llm_token_lengths")}
+        t0 = time.perf_counter()
+        state, metrics = step(state, nb)
+        _ = float(metrics["loss"])
+        busy_s += time.perf_counter() - t0
+        n_steps += 1
+    stall = stall_s / max(stall_s + busy_s, 1e-9)
+    print(f"input-pipe: {n_steps} steps, stall={stall*100:.1f}% "
+          f"(wait {stall_s:.2f}s / compute {busy_s:.2f}s), "
+          f"step={busy_s/max(n_steps,1)*1e3:.0f}ms", file=sys.stderr)
+    results.update({
+        "train_stage1_input_frames_per_sec": round(input_fps),
+        "train_stage1_input_stall": round(stall, 4),
+        "train_stage1_input_steps": n_steps,
+    })
 
 
 def _wait_for_backend():
@@ -503,7 +669,7 @@ def main():
     train_metrics, serve_metrics = {}, None
     if os.environ.get("BENCH_TRAIN", "1") == "1":
         print("=== training benchmark (subprocess) ===", file=sys.stderr)
-        t_timeout = int(os.environ.get("BENCH_TRAIN_TIMEOUT", "3000"))
+        t_timeout = int(os.environ.get("BENCH_TRAIN_TIMEOUT", "4200"))
         for _ in range(2):
             if not tiny:
                 _wait_for_backend()
@@ -922,12 +1088,43 @@ def serve_main():
     dec_wall = min(dec_walls)
     syn_wall = min(syn_walls)
     toks_per_sec = n_tokens / dec_wall if dec_wall > 0 else 0.0
+    # ---- decode roofline (VERDICT r4 #2): the AR stages are HBM-bound, so
+    # report bytes-read-per-step from the ACTUAL serving param tree and the
+    # achieved fraction of v5e HBM bandwidth (TPU_HBM_BW overrides)
+    from taste_spokenlm_tpu.utils.profiling import (HBM_BW_V5E,
+                                                    joint_decode_step_bytes,
+                                                    s3_decode_step_bytes)
+    hbm_bw = float(os.environ.get("TPU_HBM_BW", HBM_BW_V5E))
+    jd_bytes = joint_decode_step_bytes(
+        variables["params"]["spoken_lm"], cfg,
+        ctx_len=t_tok + decode_steps)
+    s3_bytes = s3_decode_step_bytes(
+        variables["params"]["speech_decoder"], cfg,
+        ctx_len=2 * t_tok + max_speech // 2)
+    decode_hbm_util = toks_per_sec * jd_bytes["total"] / hbm_bw
+    s3_toks_per_sec = (max_speech / timer.stages["decoder"]
+                       if timer.stages.get("decoder") else 0.0)
+    s3_hbm_util = s3_toks_per_sec * s3_bytes["total"] / hbm_bw
+    print(f"roofline: jd {jd_bytes['total']/2**20:.0f} MB/step "
+          f"(w {jd_bytes['weights']/2**20:.0f} + head "
+          f"{jd_bytes['head']/2**20:.0f} + bridges "
+          f"{jd_bytes['bridges']/2**20:.1f} + kv {jd_bytes['kv']/2**20:.1f})"
+          f" -> bound {hbm_bw/jd_bytes['total']:.0f} tok/s, measured "
+          f"{toks_per_sec:.1f} = {decode_hbm_util*100:.0f}% of HBM bw; "
+          f"s3 {s3_bytes['total']/2**20:.1f} MB/step -> bound "
+          f"{hbm_bw/s3_bytes['total']:.0f} tok/s, measured "
+          f"{s3_toks_per_sec:.0f} = {s3_hbm_util*100:.0f}%",
+          file=sys.stderr)
     serve_partial.update({
         "metric": "completion_rtf",
         "value": round((dec_wall + syn_wall) / audio_sec, 4),
         "unit": "wall_s_per_audio_s",
         "vs_baseline": round(0.1 * audio_sec / (dec_wall + syn_wall), 3),
         "decode_tokens_per_sec": round(toks_per_sec, 1),
+        "decode_bytes_per_step_mb": round(jd_bytes["total"] / 2 ** 20, 1),
+        "decode_hbm_util": round(decode_hbm_util, 4),
+        "s3_decode_tokens_per_sec": round(s3_toks_per_sec, 1),
+        "s3_decode_hbm_util": round(s3_hbm_util, 4),
     })
     _checkpoint_partial("serving", serve_partial)
 
@@ -1145,6 +1342,10 @@ def serve_main():
         "vs_baseline": round(0.1 / completion_rtf, 3),
         "reconstruction_rtf": round(recon_rtf, 4),
         "decode_tokens_per_sec": round(toks_per_sec, 1),
+        "decode_bytes_per_step_mb": round(jd_bytes["total"] / 2 ** 20, 1),
+        "decode_hbm_util": round(decode_hbm_util, 4),
+        "s3_decode_tokens_per_sec": round(s3_toks_per_sec, 1),
+        "s3_decode_hbm_util": round(s3_hbm_util, 4),
         "decode_tokens_per_sec_b4": round(toks_per_sec_b4, 1),
         "completion_pipelined_rtf": round(pipelined_rtf, 4),
         "ttfa_p50_s": round(ttfa_p50, 4),

@@ -97,6 +97,18 @@ def collate(examples: List[Dict[str, Any]], bucket: BucketSpec,
         out[key] = np.asarray([len(e[src]) for e in examples], np.int32)
     feats = []
     feat_lens = []
+    if examples and "audio_samples" in examples[0]:
+        # mel_on_device stream: raw 16 kHz samples padded to the mel window
+        # (the whisper_log_mel runs IN-GRAPH on the accelerator — the host
+        # pipeline stays IO + tokenize + collate only)
+        n_samp = mel_frames * 160
+        for e in examples:
+            w = np.asarray(e["audio_samples"], np.float32)[:n_samp]
+            feats.append(_pad_to(w, n_samp))
+            feat_lens.append(int(e["audio_feature_lengths"]))
+        out["audio_samples"] = np.stack(feats)
+        out["audio_feature_lengths"] = np.asarray(feat_lens, np.int32)
+        return out
     for e in examples:
         f = np.asarray(e["audio_features"], np.float32)
         if f.shape[-1] < mel_frames:
@@ -157,16 +169,25 @@ class Stage1Dataset:
                  host_index: int = 0, host_count: int = 1,
                  seed: int = 0, buckets=DEFAULT_BUCKETS,
                  token_budget: int = 2048,
-                 n_mels: int = 128, mel_frames: int = 3000):
+                 n_mels: int = 128, mel_frames: int = 3000,
+                 mel_on_device: bool = False):
         # n_mels/mel_frames default to the whisper-large 30 s window; pass
         # the model's (whisper.n_mels, 2*whisper.max_source_positions) so
-        # smaller configs (e.g. TasteConfig.tiny) can train on real shards
+        # smaller configs (e.g. TasteConfig.tiny) can train on real shards.
+        #
+        # mel_on_device=True is the TPU-first input layout (VERDICT r4 #3):
+        # the host emits raw 16 kHz samples (resampled by the native C++
+        # polyphase resampler, csrc/audio_io.cpp) and the whisper_log_mel
+        # runs IN-GRAPH inside the jitted train step
+        # (train_step.with_on_device_mel) — on a 1-core host the mel FFTs
+        # are exactly the work that starves the chip.
         self.files = shard_files(files, host_index, host_count)
         self.tokenize_fn = tokenize_fn
         self.seed = seed
         self.batcher = BucketBatcher(buckets, token_budget)
         self.n_mels = n_mels
         self.mel_frames = mel_frames
+        self.mel_on_device = mel_on_device
 
     def _iter_raw(self, epoch: int) -> Iterator[Dict]:
         import datasets  # lazy: offline unit tests use synthetic examples
@@ -179,17 +200,29 @@ class Stage1Dataset:
             for i in order:
                 yield ds[int(i)]
 
-    def _prepare(self, raw: Dict) -> Optional[Dict]:
+    def _resample16(self, wav: np.ndarray, sr: int) -> np.ndarray:
+        if sr == 16000:
+            return wav
+        if self.mel_on_device:
+            # host-light path: the native C++ polyphase resampler (threads,
+            # no jax dispatch — the prefetch thread must not contend with
+            # the train step for the device)
+            try:
+                from taste_spokenlm_tpu.data import native
+                return native.resample(wav, sr, 16000)
+            except Exception:
+                pass
         from taste_spokenlm_tpu.ops import audio as audio_ops
         import jax.numpy as jnp
+        return np.asarray(audio_ops.resample(jnp.asarray(wav[None]),
+                                             sr, 16000))[0]
+
+    def _prepare(self, raw: Dict) -> Optional[Dict]:
         wav = np.asarray(raw["mp3"]["array"], np.float32)
         sr = int(raw["mp3"]["sampling_rate"])
         if wav.ndim > 1:
             wav = wav.mean(0)
-        wav16 = np.asarray(audio_ops.resample(jnp.asarray(wav[None]), sr, 16000))[0]
-        mel = np.asarray(audio_ops.whisper_log_mel(
-            jnp.asarray(wav16[None]), n_mels=self.n_mels,
-            n_samples=self.mel_frames * 160))[0]
+        wav16 = self._resample16(wav, sr)
         tok = self.tokenize_fn(raw["json"]["text"])
         if tok is None:
             return None
@@ -197,13 +230,21 @@ class Stage1Dataset:
         # drop *_lengths (collate re-derives them from the flat arrays)
         tok = {k: (np.asarray(v)[0] if np.asarray(v).ndim > 1 else np.asarray(v))
                for k, v in tok.items() if not k.endswith("lengths")}
-        return {
+        ex = {
             "speaker_embeds": np.asarray(raw["spk_emb"], np.float32),
-            "audio_features": mel,
             "audio_feature_lengths": min(len(wav16) // 160, self.mel_frames),
             "speech_token_ids": np.asarray(raw["s3_token"], np.int32),
             **tok,
         }
+        if self.mel_on_device:
+            ex["audio_samples"] = wav16
+            return ex
+        from taste_spokenlm_tpu.ops import audio as audio_ops
+        import jax.numpy as jnp
+        ex["audio_features"] = np.asarray(audio_ops.whisper_log_mel(
+            jnp.asarray(wav16[None]), n_mels=self.n_mels,
+            n_samples=self.mel_frames * 160))[0]
+        return ex
 
     def batches(self, epoch: int = 0) -> Iterator[Dict[str, np.ndarray]]:
         def gen():

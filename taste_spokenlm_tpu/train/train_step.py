@@ -70,12 +70,27 @@ def make_stage1_step(model: TasteForCausalLM, tx,
                      skip_vq: bool = False,
                      skip_audio_in_decoder: bool = False,
                      donate: bool = True,
-                     trainable_mask: Optional[Any] = None) -> Callable:
+                     trainable_mask: Optional[Any] = None,
+                     on_device_mel: bool = False) -> Callable:
     """Stage-1 speech-autoencoder step (decoder CE + commit loss; VQ EMA
     updates applied; curriculum: text_only phase sets skip_audio_in_decoder,
     no-vq phase sets skip_vq — run_train_taste.sh phases).  Pass the
     optimizer's `trainable_mask` so frozen subtrees (the whisper encoder)
-    are excluded from the backward pass entirely."""
+    are excluded from the backward pass entirely.
+
+    on_device_mel: the batch carries raw 16 kHz `audio_samples` (the
+    Stage1Dataset mel_on_device layout) and the whisper 128-mel runs
+    IN-GRAPH here — the mel FFTs are negligible FLOPs for the chip but are
+    exactly what starves a 1-core host pipeline (VERDICT r4 #3)."""
+
+    def _features(batch):
+        if not on_device_mel:
+            return batch["audio_features"]
+        from taste_spokenlm_tpu.ops.audio import whisper_log_mel
+        n_samples = batch["audio_samples"].shape[-1]
+        return whisper_log_mel(batch["audio_samples"],
+                               n_mels=model.config.audio_tower.whisper.n_mels,
+                               n_samples=n_samples)
 
     def loss_fn(params, quantizer, batch, rng):
         params = _with_frozen_stopped(params, trainable_mask)
@@ -83,7 +98,7 @@ def make_stage1_step(model: TasteForCausalLM, tx,
         out, mutated = model.apply(
             variables, batch["speaker_embeds"], batch["asr_token_ids"],
             batch["asr_token_lengths"], batch["asr_word_ids"],
-            batch["audio_features"], batch["speech_token_ids"],
+            _features(batch), batch["speech_token_ids"],
             batch["speech_token_lengths"], train=True, dropout_rng=rng,
             skip_vq=skip_vq, skip_audio_in_decoder=skip_audio_in_decoder,
             method=TasteForCausalLM.forward_speech_autoencoder,
