@@ -21,6 +21,8 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+
+from taste_spokenlm_tpu.ops.pallas._precision import pallas_call as _pcall
 from jax.experimental.pallas import tpu as pltpu
 
 
@@ -70,7 +72,7 @@ def _conv1d_same(x, w, b, *, dilation, tile, interpret):
     xp = jnp.pad(x, ((0, 0),
                      (pad // 2, (halo - pad // 2) + (T_pad - T)), (0, 0)))
 
-    run = pl.pallas_call(
+    run = _pcall(
         functools.partial(_kernel, tile=tile, K=K, D=D, out_dtype=x.dtype),
         grid=(n_tiles,),
         in_specs=[

@@ -28,6 +28,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
+
+from taste_spokenlm_tpu.ops.pallas._precision import pallas_call as _pcall
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
@@ -155,7 +157,7 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         kernel = functools.partial(
             _block_attn_kernel, scale=scale, causal=causal, block_q=bq1,
             seq_len=tk, valid_len=tk_in)
-        out = pl.pallas_call(
+        out = _pcall(
             kernel,
             grid=(b * h, tq // bq1),
             in_specs=[
@@ -177,7 +179,7 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 
     kernel = functools.partial(_flash_kernel, scale=scale, causal=causal,
                                block_k=block_k, seq_len=tk, valid_len=tk_in)
-    out = pl.pallas_call(
+    out = _pcall(
         kernel,
         grid=(b * h, tq // block_q),
         in_specs=[

@@ -25,6 +25,8 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+
+from taste_spokenlm_tpu.ops.pallas._precision import pallas_call as _pcall
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
@@ -150,7 +152,7 @@ def fused_dit_block(x, lengths, params, *, heads: int, head_dim: int):
         out_specs=pl.BlockSpec((1, tp, c), lambda i, *_: (i, 0, 0)),
     )
     kern = functools.partial(_kernel, heads=heads, head_dim=head_dim, tp=tp)
-    out = pl.pallas_call(
+    out = _pcall(
         kern,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, tp, c), x.dtype),

@@ -42,6 +42,8 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
+from taste_spokenlm_tpu.ops.pallas._precision import pallas_call as _pcall
+
 _ACTS: dict = {
     "silu": jax.nn.silu,
     "swish": jax.nn.silu,
@@ -115,7 +117,7 @@ def gated_mlp_int8(x: jnp.ndarray,
         M *= s
     xm = x.reshape(M, H).astype(jnp.bfloat16)
     bi = _pick_block(I, block_i)
-    out = pl.pallas_call(
+    out = _pcall(
         functools.partial(_gated_kernel_i8, act=_ACTS[activation]),
         grid=(I // bi,),
         in_specs=[
@@ -219,7 +221,7 @@ def gated_mlp_int4(x: jnp.ndarray,
     sc_per_tile = n_sc_mid // n_tiles
     group_mid = (bi // 2) // (sc_per_tile // 2)
     sd3, sc_pad = _tile_scales(sd, n_tiles, sc_per_tile)
-    out = pl.pallas_call(
+    out = _pcall(
         functools.partial(_gated_kernel_i4, act=_ACTS[activation],
                           group_in=group_in, group_mid=group_mid),
         grid=(n_tiles,),
@@ -331,7 +333,7 @@ def ffn_int4(x: jnp.ndarray,
     sc_per_tile = n_sc_mid // n_tiles
     group_mid = (bi // 2) // (sc_per_tile // 2)
     s23, sc_pad = _tile_scales(s2, n_tiles, sc_per_tile)
-    out = pl.pallas_call(
+    out = _pcall(
         functools.partial(_ffn_kernel_i4, act=_ACTS[activation],
                           group_in=group_in, group_mid=group_mid),
         grid=(n_tiles,),
@@ -395,7 +397,7 @@ def ffn_int8(x: jnp.ndarray,
         M *= s
     xm = x.reshape(M, D).astype(jnp.bfloat16)
     bi = _pick_block(I, block_i)
-    out = pl.pallas_call(
+    out = _pcall(
         functools.partial(_ffn_kernel_i8, act=_ACTS[activation]),
         grid=(I // bi,),
         in_specs=[

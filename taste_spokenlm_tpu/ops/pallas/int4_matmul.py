@@ -97,6 +97,12 @@ def _kernel(x_ref, wp_ref, s_ref, out_ref, *, group: int):
                 x[:, plane * half + r0: plane * half + r0 + group],
                 w_pl[r0: r0 + group, :],
                 (((1,), (0,)), ((), ())),
+                # pin DEFAULT precision: a global
+                # jax_default_matmul_precision=highest would request an
+                # fp32-contract bf16 matmul, which Mosaic rejects
+                # ("Bad lhs type") — bf16 inputs with f32 accumulation is
+                # already the exact semantics this kernel wants
+                precision=jax.lax.Precision.DEFAULT,
                 preferred_element_type=jnp.float32)
             part = part * s_ref[plane * n_g + g, :].astype(jnp.float32)
             acc = part if acc is None else acc + part
@@ -137,7 +143,7 @@ def matmul_int4(x: jnp.ndarray, w_packed: jnp.ndarray, scale: jnp.ndarray,
         N_out, N = N, Np
     else:
         N_out = N
-    out = pl.pallas_call(
+    out = _pcall(
         functools.partial(_kernel, group=group),
         grid=(N // bn,),
         in_specs=[

@@ -31,6 +31,8 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
+from taste_spokenlm_tpu.ops.pallas._precision import pallas_call as _pcall
+
 
 def _logits_kernel(x_ref, w_ref, s_ref, out_ref):
     # x: [M, D] bf16; w: [bv, D] int8; s: [1, bv] f32 -> out [M, bv] f32
@@ -61,7 +63,7 @@ def logits_int8(x: jnp.ndarray, w_q: jnp.ndarray, scale: jnp.ndarray,
     bv = min(block_v, V)
     while V % bv:
         bv //= 2
-    out = pl.pallas_call(
+    out = _pcall(
         _logits_kernel,
         grid=(V // bv,),
         in_specs=[
@@ -108,7 +110,7 @@ def matmul_int8(x: jnp.ndarray, w_q: jnp.ndarray, scale: jnp.ndarray,
         bn //= 2
     while N % bn:
         bn //= 2
-    out = pl.pallas_call(
+    out = _pcall(
         _matmul_kernel,
         grid=(N // bn,),
         in_specs=[

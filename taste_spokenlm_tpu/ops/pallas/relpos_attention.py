@@ -35,6 +35,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
+
+from taste_spokenlm_tpu.ops.pallas._precision import pallas_call as _pcall
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
@@ -225,7 +227,7 @@ def _fwd_call(q_u, q_v, k, v, p, lengths):
         ],
         out_specs=pl.BlockSpec((1, BQ, dk), lambda i, j, *_: (i, j, 0)),
     )
-    out = pl.pallas_call(
+    out = _pcall(
         kern,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((bh, tp, dk), q_u.dtype),
@@ -295,7 +297,7 @@ def _vjp_bwd(res, do):
             pl.BlockSpec((1, 2 * tp, dk), lambda i, j, *_: (i, 0, 0)),
         ],
     )
-    dqu, dqv, dk_, dv_, dp_ = pl.pallas_call(
+    dqu, dqv, dk_, dv_, dp_ = _pcall(
         kern,
         grid_spec=grid_spec,
         out_shape=[
