@@ -38,6 +38,8 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+
+from taste_spokenlm_tpu.ops.pallas._precision import pallas_call as _pcall
 from jax.experimental.pallas import tpu as pltpu
 
 DEFAULT_GROUP = 128
