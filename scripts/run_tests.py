@@ -37,6 +37,9 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # Compile-heavy end-to-end files: each runs alone so its big XLA-CPU graphs
 # can neither crash other files' runs nor inherit a poisoned compiler state.
 ISOLATED = [
+    "tests/test_multihost.py",      # 2-process runs: must own the CPU
+                                    # (concurrent load can blow the 30 s
+                                    # Gloo rendezvous deadline)
     "tests/test_streaming.py",      # the observed rc=139 crash site
     "tests/test_golden_e2e.py",
     "tests/test_integration_real_data.py",

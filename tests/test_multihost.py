@@ -125,14 +125,19 @@ def test_multihost_matches_single_host_and_resumes(tmp_path):
     else:
         raise AssertionError(f"killdrill pair kept dying: {failed}")
     assert os.path.isdir(ckpt_dir), "no step-2 checkpoint appeared"
-    time.sleep(5.0)          # let the async save finalize
     for p in procs:          # exact-pid kill — the preemption
         p.send_signal(signal.SIGKILL)
     for p in procs:
         p.wait(timeout=60)
 
+    # the pair kept training (and checkpointing) until the kill landed —
+    # resume from whatever the LAST committed checkpoint is and run two
+    # more steps past it
+    done = [int(d) for d in os.listdir(os.path.join(wd3, "ckpt"))
+            if d.isdigit()]
+    k = max(done)
     for attempt in range(3):
-        relaunch = _launch_pair(wd3, steps=4, save_every=100,
+        relaunch = _launch_pair(wd3, steps=k + 2, save_every=100,
                                 port=PORT + 9 + attempt)
         outs = [p.communicate(timeout=1800)[0] for p in relaunch]
         if all(p.returncode == 0 for p in relaunch):
@@ -140,7 +145,9 @@ def test_multihost_matches_single_host_and_resumes(tmp_path):
         assert any("Gloo" in o for o in outs), outs[0][-3000:]
     for p, o in zip(relaunch, outs):
         assert p.returncode == 0, o[-3000:]
-    assert any("resuming from step" in o for o in outs), outs[0][-2000:]
+    assert any(f"resuming from step {k}" in o for o in outs), \
+        (k, outs[0][-2000:])
     # the resumed steps land after the checkpoint step
     resumed = _losses(wd3)
-    assert max(resumed) == 4 and np.isfinite(resumed[4])
+    assert max(resumed) == k + 2 and np.isfinite(resumed[k + 2]), \
+        (k, sorted(resumed))
