@@ -19,6 +19,7 @@ Recorded output: docs/FULL_ARCH_PARITY.md
 """
 
 import argparse
+import functools
 import json
 import os
 import sys
@@ -420,15 +421,415 @@ def run_slm(tmpdir):
         shape=f"{lc.num_hidden_layers}L/{lc.hidden_size}d T={t}"))
 
 
+def run_serving(assert_floors: bool = True):
+    """Fidelity of the SHIPPED serving tiers vs the float model (VERDICT r4
+    #1): bench.py defaults to int8 weights + int4 lm_head + merged LoRA +
+    fused qkv/gateup + fused DiT + Pallas HiFT convs, a numerically
+    different configuration from the f32/bf16 rows above — this part puts a
+    trajectory-agreement number on it at production shapes and GATES it.
+
+    Torch-free (the f32 JAX model — itself reference-gated by the tower/slm
+    parts — is the ground truth), so it runs on the real TPU chip where the
+    Pallas serving kernels are native.  Rows:
+
+      f32          unmerged-LoRA float model (ground truth)
+      served_bf16  merged LoRA, bf16 decoders (r4 gated layout)
+      served_int8  the bench DEFAULT tier (int8+int4head+fused qkv+DiT)
+      served_int4  the int4 weight tier (BENCH_QUANT=4)
+
+    Per row vs f32: greedy joint-decode trajectory agreement (text + taste),
+    teacher-forced stepwise argmax agreement (margin-aware, as the slm part
+    — random weights flatten logits), greedy S3 AR-decode trajectory
+    agreement, and flow-mel relative error on a fixed token stream.
+    Reference counterpart being replaced: unmerged peft adapters + fp16
+    (modeling_taste.py:1030-1206,1559-1624) — the reference ships NO
+    quantized tier and so has no fidelity number to match; the gate here is
+    against our own float model."""
+    import jax
+    import jax.numpy as jnp
+    from taste_spokenlm_tpu.config import TasteConfig
+    from taste_spokenlm_tpu.models.sampler import (SamplerConfig,
+                                                   build_sampler_tables)
+    from taste_spokenlm_tpu.models.taste import TasteForCausalLM
+    from taste_spokenlm_tpu.utils.quant import (_quantize_dense_leaf,
+                                                merge_lora_params,
+                                                quantize_encoder_params,
+                                                quantize_llama_params)
+
+    tiny = os.environ.get("TASTE_SERVING_PARITY_TINY", "") == "1"
+    if tiny:                       # script-logic smoke (tests, CPU)
+        cfg = TasteConfig.tiny()
+        b, t_tok, decode_steps = 1, 8, 8
+        max_speech, mel_len_max = 64, 128
+        mel_frames = cfg.audio_tower.whisper.max_source_positions * 2
+    else:
+        cfg = TasteConfig.full()
+        b, t_tok, decode_steps = 1, 40, 64
+        max_speech, mel_len_max = 512, 904
+        mel_frames = 3000
+    lora = cfg.spoken_lm.lora
+
+    # ---- shared float weights (decode path only: the whisper encoder /
+    # segmenter never run here, so prune everything under audio_tower except
+    # the RVQ the codebook reads — saves ~2.5 GB of f32 HBM) ----
+    model_f32 = TasteForCausalLM(cfg)
+    rng_np = np.random.RandomState(0)
+    word_ids_np = np.minimum(np.arange(t_tok) // 2, t_tok - 1)
+    asr_vocab = cfg.audio_tower.whisper.vocab_size
+    llm_vocab = cfg.spoken_lm.llama.vocab_size
+    L = cfg.audio_tower.quantizer.num_quantizers
+    K = cfg.audio_tower.quantizer.codebook_size
+    dummy = dict(
+        speaker_embeds=jnp.zeros((b, cfg.speech_decoder.spk_embed_dim),
+                                 jnp.float32),
+        asr_token_ids=jnp.zeros((b, t_tok), jnp.int32),
+        asr_token_lengths=jnp.full((b,), t_tok, jnp.int32),
+        asr_word_ids=jnp.asarray(word_ids_np[None]),
+        audio_features=jnp.zeros((b, cfg.audio_tower.whisper.n_mels,
+                                  mel_frames), jnp.float32))
+    t0 = time.perf_counter()
+    shapes = jax.eval_shape(
+        functools.partial(model_f32.init, method=TasteForCausalLM.init_all),
+        {"params": jax.random.PRNGKey(0)}, jax.random.PRNGKey(1),
+        dummy["speaker_embeds"], dummy["asr_token_ids"],
+        dummy["asr_token_lengths"], dummy["asr_word_ids"],
+        dummy["audio_features"],
+        jnp.zeros((b, 8), jnp.int32), jnp.full((b,), 8, jnp.int32),
+        dummy["asr_token_ids"] % llm_vocab, dummy["asr_token_lengths"],
+        dummy["asr_word_ids"])
+    shapes = dict(shapes)
+    shapes["params"] = dict(shapes["params"],
+                            audio_tower={"vq": shapes["params"]
+                                         ["audio_tower"]["vq"]})
+    shapes["quantizer"] = {"audio_tower":
+                           shapes["quantizer"]["audio_tower"]}
+    base = _fill_variables_f32(shapes)
+    n_params = sum(x.size for x in jax.tree_util.tree_leaves(base["params"]))
+    print(f"float weights: {n_params/1e6:.0f}M in "
+          f"{time.perf_counter()-t0:.1f}s", file=sys.stderr)
+
+    # ---- shared inputs (mirror bench.py serve_main) ----
+    llm_ids = jnp.asarray(
+        (rng_np.randint(100, 120000, (b, t_tok)) % llm_vocab), jnp.int32)
+    llm_indices_np = np.full((b, t_tok, L), -1, np.int32)
+    starts = np.flatnonzero(np.diff(word_ids_np, prepend=-1) != 0)
+    llm_indices_np[:, starts] = rng_np.randint(0, K, (b, len(starts), L))
+    llm_indices = jnp.asarray(llm_indices_np)
+    lens = jnp.full((b,), t_tok, jnp.int32)
+    words = jnp.asarray(word_ids_np[None])
+    spk = jnp.asarray(rng_np.randn(b, cfg.speech_decoder.spk_embed_dim),
+                      jnp.float32)
+    tables = {k: jnp.asarray(v) for k, v in
+              build_sampler_tables(_VocabStub(), llm_vocab).items()}
+    # GREEDY sampler (top_p == 0.0 -> argmax in models/sampler.py): the
+    # trajectory is deterministic, so disagreement measures numerics only
+    scfg = SamplerConfig(
+        delay=cfg.spoken_lm.delay, delay_level=cfg.spoken_lm.delay_level,
+        extra_words=decode_steps, text_top_p=0.0, taste_top_p=0.0,
+        text_temperature=1.0, repetition_penalty=1.1, has_prefix=True)
+    gen_asr_len = 2 * decode_steps
+    syn_asr_ids = jnp.asarray(
+        rng_np.randint(100, 20000, (b, gen_asr_len)) % asr_vocab, jnp.int32)
+    syn_asr_words = jnp.asarray(
+        np.minimum(np.arange(gen_asr_len) // 2, decode_steps - 1)[None])
+    syn_lens = jnp.full((b,), gen_asr_len, jnp.int32)
+
+    def row_fns(model):
+        jd = jax.jit(lambda v: model.apply(
+            v, jax.random.PRNGKey(5), scfg, tables, llm_indices, llm_ids,
+            lens, words, "audio", decode_steps,
+            method=TasteForCausalLM.generate_completion))
+        tf = jax.jit(lambda v: model.apply(
+            v, llm_indices, llm_ids, lens, words,
+            method=TasteForCausalLM.forward_spoken_llm))
+        syn = jax.jit(lambda v, taste: model.apply(
+            v, jax.random.PRNGKey(6), spk, taste, syn_asr_ids, syn_lens,
+            syn_asr_words, max_speech_steps=max_speech,
+            mel_len_max=mel_len_max, sampling_k=1,
+            method=TasteForCausalLM.synthesize_from_taste))
+        mel = jax.jit(lambda v, tokens, tok_lens: model.apply(
+            v, jax.random.PRNGKey(7), tokens, tok_lens, spk, mel_len_max,
+            method=lambda m, *a: m.voice_generator.flow.inference(*a)))
+        return jd, tf, syn, mel
+
+    def run_row(name, model, variables, ref=None, taste_ref=None,
+                mel_tokens=None, mel_tok_lens=None):
+        jd_f, tf_f, syn_f, mel_f = row_fns(model)
+        t0 = time.perf_counter()
+        jd = jax.device_get(jd_f(variables))
+        tf = tf_f(variables)
+        tf = {k: np.asarray(tf[k], np.float32) for k in
+              ("text_logits", "taste_logits", "text_labels", "taste_labels")}
+        taste_in = (taste_ref if taste_ref is not None
+                    else _dense_taste(jd, decode_steps, L))
+        syn = jax.device_get(syn_f(variables, jnp.asarray(taste_in)))
+        if mel_tokens is None:
+            mel_tokens = np.maximum(syn["speech_token_ids"], 0)
+            mel_tok_lens = syn["speech_token_lengths"]
+        mel, mel_lens = mel_f(variables, jnp.asarray(mel_tokens),
+                              jnp.asarray(mel_tok_lens))
+        mel = np.asarray(mel, np.float32)
+        print(f"{name}: forward walls {time.perf_counter()-t0:.1f}s",
+              file=sys.stderr)
+        out = dict(jd=jd, tf=tf, syn=syn, mel=mel,
+                   mel_tokens=mel_tokens, mel_tok_lens=mel_tok_lens,
+                   taste_in=taste_in)
+        if ref is None:
+            n_jd = int(jd["num_tokens"][0])
+            n_s3 = int(syn["speech_token_lengths"][0])
+            assert n_jd >= decode_steps // 2, f"degenerate jd: {n_jd}"
+            assert n_s3 >= min(64, max_speech // 2), \
+                f"degenerate s3 decode: {n_s3}"
+            _report(f"serving_{name}", dict(
+                jd_tokens=n_jd, s3_tokens=n_s3,
+                mel_frames=int(mel_lens[0])))
+            return out
+        rep = _serving_agreement(ref, out, decode_steps, L)
+        _report(f"serving_{name}", rep)
+        return out, rep
+
+    # ---- row 1: f32 ground truth ----
+    ref = run_row("f32", model_f32, base)
+
+    # ---- row 2: merged LoRA + bf16 decoders (r4 gated layout) ----
+    # production serving STORES params in bf16 (bench.py param_dtype), so
+    # every row below gets the float leaves cast to bf16 — modules that
+    # promote to the widest input dtype (e.g. the flow TapConvs) must see
+    # bf16 weights, exactly as deployed, or the mel/flow drift reads ~0
+    def to_bf16(tree):
+        return jax.tree_util.tree_map(
+            lambda x: (x.astype(jnp.bfloat16)
+                       if hasattr(x, "dtype")
+                       and jnp.issubdtype(x.dtype, jnp.floating)
+                       and x.dtype == jnp.float32 else x), tree)
+
+    merged = dict(base["params"])
+    sl = dict(merged["spoken_lm"])
+    sl["language_model"] = merge_lora_params(
+        sl["language_model"], lora.alpha, lora.r)
+    merged["spoken_lm"] = sl
+    cfg_m = cfg.replace(spoken_lm=cfg.spoken_lm.replace(use_lora=False))
+    q_bf16 = to_bf16(base["quantizer"])
+    vars_m = {"params": to_bf16(merged), "quantizer": q_bf16}
+    model_bf16 = TasteForCausalLM(cfg_m, dtype=jnp.bfloat16,
+                                  tower_dtype=jnp.float32)
+    _, rep_bf16 = run_row("bf16_merged", model_bf16, vars_m, ref=ref,
+                          taste_ref=ref["taste_in"],
+                          mel_tokens=ref["mel_tokens"],
+                          mel_tok_lens=ref["mel_tok_lens"])
+
+    def quant_row(qs):
+        head_mode = "int4"   # bench default BENCH_INT4_HEAD=1
+        # quantize on the HOST cpu device: the round/clip transients over
+        # the 1B-param tree (plus the f32 master + bf16 row copies already
+        # resident) OOM the 16 GB chip if run there
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            p_host = jax.device_put(merged, cpu)
+            p = dict(p_host)
+            slq = dict(p["spoken_lm"])
+            slq["language_model"] = quantize_llama_params(
+                slq["language_model"], include_embed=True, mode=qs,
+                embed_head_mode=head_mode, fuse_qkv=True)
+            p["spoken_lm"] = slq
+            sd = dict(p["speech_decoder"])
+            sd["llm"] = quantize_encoder_params(sd["llm"], mode=qs,
+                                                fuse_qkv=True)
+            sd["llm_decoder"] = _quantize_dense_leaf(sd["llm_decoder"], qs)
+            p["speech_decoder"] = sd
+            p = to_bf16(p)
+        p = jax.device_put(p, jax.devices()[0])
+        cfg_q = cfg_m.replace(
+            spoken_lm=cfg_m.spoken_lm.replace(
+                llama=cfg_m.spoken_lm.llama.replace(
+                    quantized_serving=qs,
+                    quantized_embed_serving="int4head",
+                    fused_qkv_serving=True)),
+            speech_decoder=cfg_m.speech_decoder.replace(
+                llm=cfg_m.speech_decoder.llm.replace(
+                    quantized_serving=qs, fused_qkv_serving=True)),
+            flow=cfg_m.flow.replace(fused_dit_serving=True),
+            hift=cfg_m.hift.replace(pallas_conv=True))
+        model_q = TasteForCausalLM(cfg_q, dtype=jnp.bfloat16,
+                                   tower_dtype=jnp.float32)
+        # quantized FROM f32, remaining float leaves stored bf16 (scales
+        # included) — byte-for-byte the bench serving layout
+        return run_row(f"{qs}_fused", model_q,
+                       {"params": p, "quantizer": q_bf16},
+                       ref=ref, taste_ref=ref["taste_in"],
+                       mel_tokens=ref["mel_tokens"],
+                       mel_tok_lens=ref["mel_tok_lens"])
+
+    # ---- rows 3-4: the bench-default int8 tier and the int4 tier ----
+    del vars_m   # free the bf16 row's device tree before the quant rows
+    _, rep_i8 = quant_row("int8")
+    _, rep_i4 = quant_row("int4")
+
+    if assert_floors and not tiny:
+        # floors set from the recorded measurement
+        # (docs/FULL_ARCH_PARITY.md serving section: bf16/int8 greedy jd
+        # and S3 trajectories agree 1.0 with the f32 model at production
+        # shapes) with safety margin.  The tf_*_decided metric is NOT
+        # gated: under int8 drift on random-weight (near-flat) logits the
+        # decidable set can be empty, which would make the gate vacuous.
+        for nm, rep, jd_floor, s3_floor in (
+                ("bf16_merged", rep_bf16, 0.98, 0.98),
+                ("int8_fused", rep_i8, 0.98, 0.95)):
+            assert rep["jd_text_trajectory_agreement"] >= jd_floor, (nm, rep)
+            assert rep["s3_trajectory_agreement"] >= s3_floor, (nm, rep)
+            assert rep["tf_taste_agreement"] >= 0.98, (nm, rep)
+            assert rep["mel_rel_err"] <= 0.05, (nm, rep)
+        # int4 (opt-in HBM-capacity tier): the text/taste channels must
+        # hold, but its greedy S3 trajectory DIVERGES (recorded 0.668,
+        # first flip at step 3) — that is the tier's documented trade-off
+        # and exactly why the serving default stays int8
+        assert rep_i4["jd_text_trajectory_agreement"] >= 0.90, rep_i4
+        assert rep_i4["tf_taste_agreement"] >= 0.95, rep_i4
+        assert rep_i4["mel_rel_err"] <= 0.10, rep_i4
+        print("serving fidelity floors: PASS", file=sys.stderr)
+
+
+def _dense_taste(jd, max_words, L):
+    n = max(int(jd["num_taste_words"][0]), 1)
+    dense = np.zeros((1, max_words, L), np.int32)
+    dense[0, :n] = np.maximum(np.asarray(jd["taste_indices"])[0, :n], 0)
+    return dense
+
+
+def _serving_agreement(ref, row, decode_steps, L):
+    """All agreement metrics of one serving row vs the f32 reference."""
+    out = {}
+    # greedy joint-decode trajectory: token-for-token over the shared span
+    n = min(int(ref["jd"]["num_tokens"][0]), int(row["jd"]["num_tokens"][0]))
+    a = np.asarray(ref["jd"]["llm_token_ids"])[0, :n]
+    b_ = np.asarray(row["jd"]["llm_token_ids"])[0, :n]
+    out["jd_tokens"] = int(row["jd"]["num_tokens"][0])
+    out["jd_text_trajectory_agreement"] = float((a == b_).mean())
+    div = np.flatnonzero(a != b_)
+    out["jd_first_divergence"] = int(div[0]) if len(div) else n
+    nw = min(int(ref["jd"]["num_taste_words"][0]),
+             int(row["jd"]["num_taste_words"][0]))
+    out["jd_words"] = int(row["jd"]["num_taste_words"][0])
+    if nw > 0:
+        ta = np.asarray(ref["jd"]["taste_indices"])[0, :nw]
+        tb = np.asarray(row["jd"]["taste_indices"])[0, :nw]
+        out["jd_taste_trajectory_agreement"] = float((ta == tb).mean())
+    else:
+        # the greedy stub-vocab trajectory can stay inside one word; the
+        # taste channel is then covered by tf_taste_agreement below
+        out["jd_taste_trajectory_agreement"] = None
+    # teacher-forced stepwise argmax (no compounding); margin-aware like
+    # the slm part: random weights flatten the 128k logits, so positions
+    # whose f32 top1-top2 margin exceeds the observed drift are the
+    # decidable ones
+    rtl, otl = ref["tf"]["text_logits"], row["tf"]["text_logits"]
+    vmask = ref["tf"]["text_labels"] != -1
+    agree = (rtl.argmax(-1) == otl.argmax(-1)) & vmask
+    out["tf_text_agreement_raw"] = float(agree.sum() / vmask.sum())
+    drift = np.abs(rtl - otl).max(-1)
+    srt = np.sort(rtl, axis=-1)
+    margin = srt[..., -1] - srt[..., -2]
+    decided = (margin > 2 * drift) & vmask
+    out["tf_text_agreement_decided"] = (
+        float(agree[decided].mean()) if decided.any() else 1.0)
+    out["tf_decided_fraction"] = float(decided.sum() / max(vmask.sum(), 1))
+    rta, ota = ref["tf"]["taste_logits"], row["tf"]["taste_logits"]
+    tmask = (ref["tf"]["taste_labels"] != -1)
+    tagree = (rta.argmax(-1) == ota.argmax(-1)) & tmask
+    out["tf_taste_agreement"] = float(tagree.sum() / max(tmask.sum(), 1))
+    # greedy S3 AR decode from the SAME taste rows
+    sa = np.asarray(ref["syn"]["speech_token_ids"])[0]
+    sb = np.asarray(row["syn"]["speech_token_ids"])[0]
+    ns = min(int(ref["syn"]["speech_token_lengths"][0]),
+             int(row["syn"]["speech_token_lengths"][0]))
+    out["s3_tokens"] = int(row["syn"]["speech_token_lengths"][0])
+    out["s3_trajectory_agreement"] = float((sa[:ns] == sb[:ns]).mean())
+    sdiv = np.flatnonzero(sa[:ns] != sb[:ns])
+    out["s3_first_divergence"] = int(sdiv[0]) if len(sdiv) else ns
+    # flow-mel on the FIXED f32 token stream: pure numerics, no trajectory
+    nf = min(ref["mel"].shape[1], row["mel"].shape[1])
+    rm, om = ref["mel"][:, :nf], row["mel"][:, :nf]
+    print(f"mel norms ref={np.linalg.norm(rm):.4f} "
+          f"row={np.linalg.norm(om):.4f} "
+          f"diff={np.linalg.norm(om - rm):.6f}", file=sys.stderr)
+    out["mel_rel_err"] = float(np.linalg.norm(om - rm)
+                               / max(np.linalg.norm(rm), 1e-9))
+    return {k: (round(v, 4) if isinstance(v, float) else v)
+            for k, v in out.items()}
+
+
+class _VocabStub:
+    """Deterministic id->subword map standing in for the llama tokenizer
+    (bench.py _VocabScan; table SHAPES and sampler behavior identical)."""
+
+    def decode(self, i):
+        r = i % 11
+        return (" the", "ing", ".", " end.", "!!", "a\nb", " word", "s",
+                ",'", " no.", "xyz")[r]
+
+
+def _fill_variables_f32(shapes):
+    """Random f32 weights ON DEVICE (bench.py _fill_variables, pinned f32:
+    these are the master weights every serving tier derives from)."""
+    import jax
+    import jax.numpy as jnp
+    counter = iter(range(10 ** 9))
+    base_key = jax.random.PRNGKey(42)
+    fill_fns = {}
+
+    def fill_fn(shape, scale):
+        key = (shape, scale)
+        if key not in fill_fns:
+            fill_fns[key] = jax.jit(functools.partial(
+                lambda k, s, sc: jax.random.normal(k, s, jnp.float32) * sc,
+                s=shape, sc=scale))
+        return fill_fns[key]
+
+    def make(path, leaf):
+        name = str(getattr(path[-1], "key", path[-1])) if path else ""
+        if leaf.dtype == jnp.bool_:
+            return jnp.full(leaf.shape, name == "initted", bool)
+        if not np.issubdtype(leaf.dtype, np.floating):
+            return jnp.zeros(leaf.shape, leaf.dtype)
+        scale = 0.02 if leaf.ndim >= 2 else 1e-3
+        k = jax.random.fold_in(base_key, next(counter))
+        return fill_fn(tuple(leaf.shape), scale)(k)
+
+    variables = jax.tree_util.tree_map_with_path(make, shapes)
+    jax.block_until_ready(variables)
+    return variables
+
+
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--part", choices=["tower", "slm"], required=True)
-    p.add_argument("--platform", default="cpu")
+    p.add_argument("--part", choices=["tower", "slm", "serving"],
+                   required=True)
+    p.add_argument("--platform", default=None)
     p.add_argument("--tmpdir", default="/tmp/full_arch_parity")
+    p.add_argument("--no-assert", action="store_true",
+                   help="serving part: measure without gating (for picking "
+                        "floors)")
     args = p.parse_args()
     os.makedirs(args.tmpdir, exist_ok=True)
     from taste_spokenlm_tpu.utils.platform import force_platform
-    force_platform(args.platform)
+    if args.part == "serving":
+        # torch-free; runs on the ambient platform (the real TPU chip —
+        # the Pallas serving kernels are native there)
+        os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                              "/root/repo/.jax_cache_tpu")
+        force_platform(args.platform)
+        import jax
+        jax.config.update("jax_default_matmul_precision", "highest")
+        try:
+            jax.config.update("jax_compilation_cache_dir",
+                              os.environ["JAX_COMPILATION_CACHE_DIR"])
+            jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                              1.0)
+        except Exception:
+            pass
+        run_serving(assert_floors=not args.no_assert)
+        return
+    force_platform(args.platform or "cpu")
     import jax
     jax.config.update("jax_default_matmul_precision", "highest")
     if args.part == "tower":

@@ -293,16 +293,20 @@ class TasteForCausalLM(nn.Module):
         self, rng, speaker_embeds, taste_indices_per_word, asr_token_ids,
         asr_token_lengths, asr_word_ids,
         max_speech_steps: int = 512, mel_len_max: int = 1024,
+        sampling_k: int = 25,
     ) -> Dict[str, jnp.ndarray]:
         """Per-word taste indices + asr tokens -> waveform: the tail of
-        inference_completion (:1742-1791)."""
+        inference_completion (:1742-1791).  `sampling_k=1` decodes the S3
+        stream greedily (deterministic — used by the serving-fidelity gate,
+        scripts/full_arch_parity.py --part serving)."""
         cb = self._cb()
         audio_unit_embeds = self.spoken_lm.get_audio_embeds_from_taste(
             cb, asr_token_lengths, asr_word_ids, taste_indices_per_word)
         rng_dec, rng_voc = jax.random.split(rng)
         gen = self.speech_decoder.generate(
             rng_dec, speaker_embeds, audio_unit_embeds, asr_token_lengths,
-            asr_token_ids, asr_token_lengths, max_steps=max_speech_steps)
+            asr_token_ids, asr_token_lengths, max_steps=max_speech_steps,
+            sampling_k=sampling_k)
         tokens = jnp.maximum(gen["speech_token_ids"], 0)
         wav, wav_lengths = self.voice_generator(
             rng_voc, tokens, gen["speech_token_lengths"], speaker_embeds,
