@@ -216,6 +216,17 @@ def main():
                                    args.process_id)
     elif os.environ.get("JAX_COORDINATOR_ADDRESS"):
         jax.distributed.initialize()
+    if jax.process_count() > 1:
+        # pre-warm the cross-process (per-process-leader) gloo clique NOW,
+        # while every process sits in lockstep right after rendezvous: the
+        # first checkpoint save runs a process_allgather (orbax v1
+        # execution.py mismatch check) whose lazy 2-rank context creation
+        # carries a hard 30 s KV deadline — under host load the processes
+        # can skew past it mid-training, which kills the whole job.  The
+        # warmed clique is cached and reused by every later collective.
+        import numpy as _np
+        from jax.experimental import multihost_utils
+        multihost_utils.process_allgather(_np.zeros((1,), _np.float32))
     import numpy as np
     import jax.numpy as jnp
     from taste_spokenlm_tpu.config import TasteConfig

@@ -195,7 +195,11 @@ class Stage1Dataset:
         files = list(self.files)
         rng.shuffle(files)
         for f in files:
-            ds = datasets.Dataset.from_file(f)
+            # numpy formatting: without it `ds[i]` converts every audio
+            # array through a PYTHON LIST (~1 s per 30 s utterance — the
+            # measured host pipeline was 24x too slow for the chip);
+            # with it the arrow buffer is sliced zero-copy
+            ds = datasets.Dataset.from_file(f).with_format("numpy")
             order = rng.permutation(len(ds))
             for i in order:
                 yield ds[int(i)]
@@ -296,7 +300,8 @@ class FlowDataset:
         files = list(self.files)
         rng.shuffle(files)
         for f in files:
-            ds = datasets.Dataset.from_file(f)
+            # zero-copy numpy reads (see Stage1Dataset._iter_raw)
+            ds = datasets.Dataset.from_file(f).with_format("numpy")
             for i in rng.permutation(len(ds)):
                 yield ds[int(i)]
 

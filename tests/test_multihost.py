@@ -57,6 +57,15 @@ def _launch_pair(workdir, steps, save_every=100, port=PORT):
     return procs
 
 
+def _is_rendezvous_flake(out: str) -> bool:
+    """Host-load-induced distributed-runtime deaths worth retrying: on a
+    saturated 1-core machine the 30 s Gloo KV deadline or a coordination
+    barrier can expire before every process gets scheduled."""
+    return any(s in out for s in
+               ("Gloo", "DEADLINE_EXCEEDED", "Barrier timed out",
+                "barrier too early or too slowly", "coordination service"))
+
+
 def _losses(workdir):
     path = os.path.join(workdir, "metrics.jsonl")
     out = {}
@@ -85,7 +94,7 @@ def test_multihost_matches_single_host_and_resumes(tmp_path):
         outs = [p.communicate(timeout=1800)[0] for p in procs]
         if all(p.returncode == 0 for p in procs):
             break
-        assert any("Gloo" in o for o in outs), outs[0][-3000:]
+        assert any(_is_rendezvous_flake(o) for o in outs), outs[0][-3000:]
     for p, o in zip(procs, outs):
         assert p.returncode == 0, o[-3000:]
     got = _losses(wd2)
@@ -142,12 +151,14 @@ def test_multihost_matches_single_host_and_resumes(tmp_path):
         outs = [p.communicate(timeout=1800)[0] for p in relaunch]
         if all(p.returncode == 0 for p in relaunch):
             break
-        assert any("Gloo" in o for o in outs), outs[0][-3000:]
+        assert any(_is_rendezvous_flake(o) for o in outs), outs[0][-3000:]
     for p, o in zip(relaunch, outs):
         assert p.returncode == 0, o[-3000:]
     assert any(f"resuming from step {k}" in o for o in outs), \
         (k, outs[0][-2000:])
-    # the resumed steps land after the checkpoint step
+    # the resumed steps land after the checkpoint step (the KILLED run may
+    # have logged a few steps past k while its next async save was still
+    # in flight, so only require that the resumed run re-reached k+2)
     resumed = _losses(wd3)
-    assert max(resumed) == k + 2 and np.isfinite(resumed[k + 2]), \
+    assert k + 2 in resumed and np.isfinite(resumed[k + 2]), \
         (k, sorted(resumed))
