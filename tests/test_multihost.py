@@ -26,7 +26,18 @@ pytestmark = pytest.mark.slow
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 TRAIN = os.path.join(REPO, "scripts", "train.py")
-PORT = 12961
+
+
+def _free_port() -> int:
+    """Fresh ephemeral coordinator port per launch: fixed port numbers
+    linger in TIME_WAIT after a SIGKILLed pair and stall the next
+    rendezvous in bind-retry for minutes."""
+    import socket
+    s = socket.socket()
+    s.bind(("", 0))
+    p = s.getsockname()[1]
+    s.close()
+    return p
 
 
 def _env(n_devices):
@@ -45,7 +56,8 @@ def _args(workdir, steps, save_every=100, extra=()):
             *extra]
 
 
-def _launch_pair(workdir, steps, save_every=100, port=PORT):
+def _launch_pair(workdir, steps, save_every=100, port=None):
+    port = port or _free_port()
     procs = []
     for pid in range(2):
         procs.append(subprocess.Popen(
@@ -90,7 +102,7 @@ def test_multihost_matches_single_host_and_resumes(tmp_path):
     # ---- 2 processes x 4 devices: same seed, same global batches ----
     wd2 = str(tmp_path / "multi")
     for attempt in range(3):   # Gloo 30 s rendezvous can flake under load
-        procs = _launch_pair(wd2, steps, port=PORT + 20 * attempt)
+        procs = _launch_pair(wd2, steps)
         outs = [p.communicate(timeout=1800)[0] for p in procs]
         if all(p.returncode == 0 for p in procs):
             break
@@ -110,44 +122,55 @@ def test_multihost_matches_single_host_and_resumes(tmp_path):
     # both processes get scheduled — a machine-load artifact, not a code
     # path under test
     wd3 = str(tmp_path / "killdrill")
-    for attempt in range(3):
-        procs = _launch_pair(wd3, steps=50, save_every=2,
-                             port=PORT + 1 + attempt)
-        ckpt_dir = os.path.join(wd3, "ckpt", "2")
-        deadline = time.time() + 1500
-        failed = None
-        while time.time() < deadline and not os.path.isdir(ckpt_dir):
-            for p in procs:
-                if p.poll() is not None:
-                    failed = p.communicate()[0][-3000:]
-            if failed:
+
+    def committed(wd):
+        d = os.path.join(wd, "ckpt")
+        if not os.path.isdir(d):
+            return []
+        # orbax GC (max_to_keep) deletes OLD steps while training runs, so
+        # wait for ANY committed step — polling for a specific step number
+        # races the garbage collector on a slow host
+        return [int(x) for x in os.listdir(d) if x.isdigit()]
+
+    try:
+        for attempt in range(3):
+            procs = _launch_pair(wd3, steps=50, save_every=2)
+            deadline = time.time() + 1500
+            failed = None
+            while time.time() < deadline and not committed(wd3):
+                for p in procs:
+                    if p.poll() is not None:
+                        failed = p.communicate()[0][-3000:]
+                if failed:
+                    break
+                time.sleep(2.0)
+            if not failed:
                 break
-            time.sleep(2.0)
-        if not failed:
-            break
-        for p in procs:
+            for p in procs:
+                if p.poll() is None:
+                    p.send_signal(signal.SIGKILL)
+                    p.wait(timeout=60)
+            print(f"killdrill launch attempt {attempt} died early, "
+                  f"retrying:\n{failed}")
+        else:
+            raise AssertionError(f"killdrill pair kept dying: {failed}")
+        assert committed(wd3), "no checkpoint appeared"
+    finally:
+        for p in procs:      # exact-pid kill — the preemption
             if p.poll() is None:
                 p.send_signal(signal.SIGKILL)
-                p.wait(timeout=60)
-        print(f"killdrill launch attempt {attempt} died early, "
-              f"retrying:\n{failed}")
-    else:
-        raise AssertionError(f"killdrill pair kept dying: {failed}")
-    assert os.path.isdir(ckpt_dir), "no step-2 checkpoint appeared"
-    for p in procs:          # exact-pid kill — the preemption
-        p.send_signal(signal.SIGKILL)
     for p in procs:
         p.wait(timeout=60)
 
     # the pair kept training (and checkpointing) until the kill landed —
     # resume from whatever the LAST committed checkpoint is and run two
-    # more steps past it
-    done = [int(d) for d in os.listdir(os.path.join(wd3, "ckpt"))
-            if d.isdigit()]
-    k = max(done)
+    # more steps past it.  A step directory could be mid-write at kill
+    # time; orbax commits atomically by rename, so digit-named dirs are
+    # complete — but the newest may have been created between our listing
+    # and the kill, so re-list after the kill.
+    k = max(committed(wd3))
     for attempt in range(3):
-        relaunch = _launch_pair(wd3, steps=k + 2, save_every=100,
-                                port=PORT + 9 + attempt)
+        relaunch = _launch_pair(wd3, steps=k + 2, save_every=100)
         outs = [p.communicate(timeout=1800)[0] for p in relaunch]
         if all(p.returncode == 0 for p in relaunch):
             break
