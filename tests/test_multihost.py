@@ -56,17 +56,34 @@ def _args(workdir, steps, save_every=100, extra=()):
             *extra]
 
 
-def _launch_pair(workdir, steps, save_every=100, port=None):
+def _launch_pair(workdir, steps, save_every=100, port=None, logdir=None):
+    """logdir=None: stdout piped (caller MUST drain via communicate()).
+    logdir set: stdout redirected to files — required for pairs that are
+    POLLED instead of drained (a filled 64 KB pipe freezes the child
+    mid-write: the killdrill pair deadlocked exactly this way)."""
     port = port or _free_port()
     procs = []
     for pid in range(2):
+        if logdir is None:
+            out = subprocess.PIPE
+        else:
+            os.makedirs(logdir, exist_ok=True)
+            out = open(os.path.join(logdir, f"proc{pid}.log"), "w")
         procs.append(subprocess.Popen(
             _args(workdir, steps, save_every,
                   extra=["--coordinator", f"localhost:{port}",
                          "--num-processes", "2", "--process-id", str(pid)]),
-            env=_env(4), cwd=REPO, stdout=subprocess.PIPE,
+            env=_env(4), cwd=REPO, stdout=out,
             stderr=subprocess.STDOUT, text=True))
     return procs
+
+
+def _logtail(logdir, pid, n=3000):
+    try:
+        with open(os.path.join(logdir, f"proc{pid}.log")) as f:
+            return f.read()[-n:]
+    except OSError:
+        return "<no log>"
 
 
 def _is_rendezvous_flake(out: str) -> bool:
@@ -134,13 +151,14 @@ def test_multihost_matches_single_host_and_resumes(tmp_path):
 
     try:
         for attempt in range(3):
-            procs = _launch_pair(wd3, steps=50, save_every=2)
+            logdir = f"{wd3}_logs{attempt}"
+            procs = _launch_pair(wd3, steps=50, save_every=2, logdir=logdir)
             deadline = time.time() + 1500
             failed = None
             while time.time() < deadline and not committed(wd3):
-                for p in procs:
+                for i, p in enumerate(procs):
                     if p.poll() is not None:
-                        failed = p.communicate()[0][-3000:]
+                        failed = _logtail(logdir, i)
                 if failed:
                     break
                 time.sleep(2.0)
