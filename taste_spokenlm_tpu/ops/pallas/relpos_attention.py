@@ -10,15 +10,20 @@ stage-1 MFU sink (scripts/profile_s3attn.py).  This kernel computes
     scores[i, j] = (q_u[i]·k[j] + q_v[i]·p[(T-1)-i+j]) / sqrt(dk)
     out = softmax(mask(scores)) @ v        with mask = (j <= i) & (j < len_b)
 
-entirely in VMEM: for each 128-row q block the `bd` term is ONE matmul
-`q_v_blk @ p[start:start+W]^T` (W = T + 128) followed by the per-row skew
+entirely in VMEM, with **block-level causal pruning**: each 128-row q block
+qi streams only the kv chunks j <= qi (a dynamic-bound `fori_loop`), so the
+strictly-upper causal half of the score rectangle is never computed — half
+the MXU score work and half the exp/VPU work of the one-shot rectangle
+(docs/TRAIN_PROFILE.md item 3).  Per chunk the `bd` term is one matmul
+`q_v_blk @ p[start+c0 : start+c0+2*BQ]^T` followed by the per-row skew
 y[r, c] = x[r, (BQ-1-r) + c], realised as log2(BQ) masked column shifts
-(binary decomposition of the row-dependent shift — no gathers).  A custom
-VJP recomputes the scores/softmax blockwise in the backward kernel (flash
-style, no stored probabilities) and accumulates dk/dv/dp across q blocks in
-VMEM-resident output blocks (the q-block grid dimension is minor, so the
-accumulator block stays resident; dp is emitted per (b, h) and reduced over
-b in XLA).
+(binary decomposition of the row-dependent shift — no gathers); the forward
+is an online softmax (running max/sum) that also emits the per-row LSE.  A
+custom VJP recomputes the chunk scores against the saved LSE in the backward
+kernel (flash style, no stored probabilities) and accumulates dk/dv/dp
+across q blocks in VMEM-resident output blocks (the q-block grid dimension
+is minor, so the accumulator block stays resident; dp is emitted per (b, h)
+and reduced over b in XLA).
 
 Replaces the torch reference's einsum rel-pos attention
 (reference: CosyVoice cosyvoice/transformer/attention.py:207-245) with a
@@ -41,6 +46,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
 BQ = 128           # q rows per block; also the skew-shift range (power of 2)
+BK = 512           # kv columns per pruning chunk (multiple of BQ)
 _N_SHIFT_BITS = BQ.bit_length() - 1  # log2(BQ); binary-decomposition skew depth
 assert (1 << _N_SHIFT_BITS) == BQ, "BQ must be a power of two"
 
@@ -84,49 +90,75 @@ def _skew_right(x: jnp.ndarray, bq: int) -> jnp.ndarray:
     return x
 
 
-def _scores_block(q_u, q_v, k, p_win, qi, length, *, scale, tp):
-    """[BQ, tp] masked scores for q block qi."""
+def _chunk_scores(q_u, q_v, k_blk, p_blk, qi, c0, lo, length, *, scale, bk):
+    """[BQ, bk] masked scores for q block qi against the kv window at column
+    c0 (the window may be clamped left of the chunk's logical range [lo,
+    lo+bk); entries with k_pos < lo belong to an earlier chunk and are
+    masked out here so nothing double-counts).
+
+    Returns (scores, mask); masked entries hold NEG_INF."""
     ac = jax.lax.dot_general(
-        q_u, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)                 # [BQ, tp]
+        q_u, k_blk, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)                 # [BQ, bk]
     x3 = jax.lax.dot_general(
-        q_v, p_win, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)                 # [BQ, W]
-    y = _skew_left(x3, BQ)[:, :tp]
+        q_v, p_blk, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)                 # [BQ, bk+BQ]
+    y = _skew_left(x3, BQ)[:, :bk]
     s = (ac + y) * scale
     q_pos = qi * BQ + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
-    k_pos = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-    mask = jnp.logical_and(k_pos <= q_pos, k_pos < length)
-    return jnp.where(mask, s, NEG_INF)
+    k_pos = c0 + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    mask = (k_pos >= lo) & (k_pos <= q_pos) & (k_pos < length)
+    return jnp.where(mask, s, NEG_INF), mask
 
 
 def _fwd_kernel(len_ref, q_u_ref, q_v_ref, k_ref, v_ref, p_ref,
-                o_ref, *, scale: float, tp: int, num_heads: int):
+                o_ref, lse_ref, *, scale: float, tp: int, num_heads: int):
     bh = pl.program_id(0)
     qi = pl.program_id(1)
     length = len_ref[bh // num_heads]
-    w = tp + BQ
     start = pl.multiple_of(tp - (qi + 1) * BQ, BQ)
-    p_win = p_ref[0, pl.ds(start, w), :]                    # [W, dk]
-    s = _scores_block(q_u_ref[0], q_v_ref[0], k_ref[0], p_win, qi, length,
-                      scale=scale, tp=tp)
-    m = jnp.max(s, axis=-1, keepdims=True)
-    e = jnp.exp(s - m)
-    l = jnp.sum(e, axis=-1, keepdims=True)
-    o = jax.lax.dot_general(
-        e.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    o_ref[0] = (o / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+    q_u = q_u_ref[0]
+    q_v = q_v_ref[0]
+    dk = q_u.shape[-1]
+    bk = min(BK, tp)
+
+    def body(j, carry):
+        m_run, l_run, acc = carry
+        lo = j * bk                       # chunk's logical column range start
+        c0 = pl.multiple_of(jnp.minimum(lo, tp - bk), BQ)   # clamped window
+        k_blk = k_ref[0, pl.ds(c0, bk), :]
+        v_blk = v_ref[0, pl.ds(c0, bk), :]
+        p_blk = p_ref[0, pl.ds(start + c0, bk + BQ), :]
+        s, mask = _chunk_scores(q_u, q_v, k_blk, p_blk, qi, c0, lo, length,
+                                scale=scale, bk=bk)
+        m_new = jnp.maximum(m_run, jnp.max(s, axis=-1, keepdims=True))
+        alpha = jnp.exp(m_run - m_new)
+        e = jnp.where(mask, jnp.exp(s - m_new), 0.0)
+        l_new = l_run * alpha + jnp.sum(e, axis=-1, keepdims=True)
+        pv = jax.lax.dot_general(
+            e.astype(v_blk.dtype), v_blk, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return m_new, l_new, acc * alpha + pv
+
+    m0 = jnp.full((BQ, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((BQ, 1), jnp.float32)
+    acc0 = jnp.zeros((BQ, dk), jnp.float32)
+    n_chunks = ((qi + 1) * BQ + bk - 1) // bk
+    m, l, acc = jax.lax.fori_loop(0, n_chunks, body, (m0, l0, acc0))
+    l = jnp.maximum(l, 1e-30)
+    o_ref[0] = (acc / l).astype(o_ref.dtype)
+    # lse block is sublane-padded to 8 rows (Mosaic min f32 tile); row 0 is
+    # the payload, the broadcast keeps the write a full-tile store
+    lse_ref[0] = jnp.broadcast_to((m + jnp.log(l)).T, (8, BQ))
 
 
 def _bwd_kernel(len_ref, q_u_ref, q_v_ref, k_ref, v_ref, p_ref,
-                do_ref, o_ref,
+                do_ref, o_ref, lse_ref,
                 dqu_ref, dqv_ref, dk_ref, dv_ref, dp_ref,
                 *, scale: float, tp: int, num_heads: int):
     bh = pl.program_id(0)
     qi = pl.program_id(1)
     length = len_ref[bh // num_heads]
-    w = tp + BQ
     start = pl.multiple_of(tp - (qi + 1) * BQ, BQ)
 
     @pl.when(qi == 0)
@@ -137,49 +169,62 @@ def _bwd_kernel(len_ref, q_u_ref, q_v_ref, k_ref, v_ref, p_ref,
 
     q_u = q_u_ref[0]
     q_v = q_v_ref[0]
-    k = k_ref[0]
-    v = v_ref[0]
-    p_win = p_ref[0, pl.ds(start, w), :]
     do = do_ref[0]                                          # [BQ, dk]
     o = o_ref[0]
-
-    # recompute the fwd softmax blockwise (bitwise-same scores path)
-    s = _scores_block(q_u, q_v, k, p_win, qi, length, scale=scale, tp=tp)
-    m = jnp.max(s, axis=-1, keepdims=True)
-    e = jnp.exp(s - m)
-    l = jnp.maximum(jnp.sum(e, axis=-1, keepdims=True), 1e-30)
-    prob = e / l                                            # [BQ, tp] f32
+    lse = lse_ref[0][0, :][:, None]                         # [BQ, 1]
+    dk = q_u.shape[-1]
 
     do_f = do.astype(jnp.float32)
     delta = jnp.sum(do_f * o.astype(jnp.float32), axis=-1, keepdims=True)
-    # dscores (wrt the pre-scale ac + y): g = P * (dO·v^T - delta) * scale
-    dpv = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
-                              preferred_element_type=jnp.float32)
-    g = prob * (dpv - delta) * scale                        # [BQ, tp] f32
-    prob_lp = prob.astype(v.dtype)
-    g_lp = g.astype(k.dtype)
 
-    dqu_ref[0] = jax.lax.dot_general(
-        g_lp, k, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32).astype(dqu_ref.dtype)
-    dv_ref[0] += jax.lax.dot_general(
-        prob_lp, do, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)                 # [tp, dk]
-    dk_ref[0] += jax.lax.dot_general(
-        g_lp, q_u, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)                 # [tp, dk]
+    bk = min(BK, tp)
 
-    # scatter dscores back to the q_v @ p_window layout and contract
-    gw = jnp.concatenate(
-        [g, jnp.zeros((BQ, w - tp), jnp.float32)], axis=1)  # [BQ, W]
-    dx3 = _skew_right(gw, BQ)
-    dx3_lp = dx3.astype(k.dtype)
-    dqv_ref[0] = jax.lax.dot_general(
-        dx3_lp, p_win, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32).astype(dqv_ref.dtype)
-    dp_ref[0, pl.ds(start, w), :] += jax.lax.dot_general(
-        dx3_lp, q_v, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)                 # [W, dk]
+    def body(j, carry):
+        acc_dqu, acc_dqv = carry
+        lo = j * bk
+        c0 = pl.multiple_of(jnp.minimum(lo, tp - bk), BQ)
+        k_blk = k_ref[0, pl.ds(c0, bk), :]
+        v_blk = v_ref[0, pl.ds(c0, bk), :]
+        p_blk = p_ref[0, pl.ds(start + c0, bk + BQ), :]
+        # recompute chunk scores against the saved fwd LSE (same normalizer)
+        s, mask = _chunk_scores(q_u, q_v, k_blk, p_blk, qi, c0, lo, length,
+                                scale=scale, bk=bk)
+        prob = jnp.where(mask, jnp.exp(s - lse), 0.0)       # [BQ, bk] f32
+        # dscores (wrt the pre-scale ac + y): g = P * (dO·v^T - delta) * scale
+        dpv = jax.lax.dot_general(do, v_blk, (((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        g = prob * (dpv - delta) * scale                    # [BQ, bk] f32
+        prob_lp = prob.astype(v_blk.dtype)
+        g_lp = g.astype(k_blk.dtype)
+
+        acc_dqu += jax.lax.dot_general(
+            g_lp, k_blk, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dv_ref[0, pl.ds(c0, bk), :] += jax.lax.dot_general(
+            prob_lp, do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)             # [bk, dk]
+        dk_ref[0, pl.ds(c0, bk), :] += jax.lax.dot_general(
+            g_lp, q_u, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)             # [bk, dk]
+
+        # scatter chunk dscores back to the q_v @ p_window layout and contract
+        gw = jnp.concatenate(
+            [g, jnp.zeros((BQ, BQ), jnp.float32)], axis=1)  # [BQ, bk+BQ]
+        dx3 = _skew_right(gw, BQ)
+        dx3_lp = dx3.astype(k_blk.dtype)
+        acc_dqv += jax.lax.dot_general(
+            dx3_lp, p_blk, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dp_ref[0, pl.ds(start + c0, bk + BQ), :] += jax.lax.dot_general(
+            dx3_lp, q_v, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)             # [bk+BQ, dk]
+        return acc_dqu, acc_dqv
+
+    z = jnp.zeros((BQ, dk), jnp.float32)
+    n_chunks = ((qi + 1) * BQ + bk - 1) // bk
+    acc_dqu, acc_dqv = jax.lax.fori_loop(0, n_chunks, body, (z, z))
+    dqu_ref[0] = acc_dqu.astype(dqu_ref.dtype)
+    dqv_ref[0] = acc_dqv.astype(dqv_ref.dtype)
 
 
 def _pad_t(x, tp):
@@ -225,16 +270,22 @@ def _fwd_call(q_u, q_v, k, v, p, lengths):
             pl.BlockSpec((1, 2 * tp, dk),
                          lambda i, j, *_: (i % h, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, BQ, dk), lambda i, j, *_: (i, j, 0)),
+        out_specs=[
+            pl.BlockSpec((1, BQ, dk), lambda i, j, *_: (i, j, 0)),
+            pl.BlockSpec((1, 8, BQ), lambda i, j, *_: (i, 0, j)),
+        ],
     )
-    out = _pcall(
+    out, lse = _pcall(
         kern,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((bh, tp, dk), q_u.dtype),
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, tp, dk), q_u.dtype),
+            jax.ShapeDtypeStruct((bh, 8, tp), jnp.float32),
+        ],
         interpret=_interpret(),
     )(lens, qb, qvb, kb, vb, p2)
     o = out.reshape(b, h, tp, dk).transpose(0, 2, 1, 3)[:, :t]
-    return o, (qb, qvb, kb, vb, p2, lens, out)
+    return o, (qb, qvb, kb, vb, p2, lens, out, lse)
 
 
 def relpos_causal_attention(q_u, q_v, k, v, p, lengths=None):
@@ -263,7 +314,7 @@ def _vjp_fwd(q_u, q_v, k, v, p, lengths):
 
 
 def _vjp_bwd(res, do):
-    qb, qvb, kb, vb, p2, lens, ob = res
+    qb, qvb, kb, vb, p2, lens, ob, lse = res
     h = p2.shape[0]
     b = qb.shape[0] // h
     dk = qb.shape[2]
@@ -288,6 +339,7 @@ def _vjp_bwd(res, do):
             pl.BlockSpec((1, 2 * tp, dk), lambda i, j, *_: (i % h, 0, 0)),
             pl.BlockSpec((1, BQ, dk), lambda i, j, *_: (i, j, 0)),
             pl.BlockSpec((1, BQ, dk), lambda i, j, *_: (i, j, 0)),
+            pl.BlockSpec((1, 8, BQ), lambda i, j, *_: (i, 0, j)),
         ],
         out_specs=[
             pl.BlockSpec((1, BQ, dk), lambda i, j, *_: (i, j, 0)),
@@ -308,7 +360,7 @@ def _vjp_bwd(res, do):
             jax.ShapeDtypeStruct((bh, 2 * tp, dk), jnp.float32),
         ],
         interpret=_interpret(),
-    )(lens, qb, qvb, kb, vb, p2, dob, ob)
+    )(lens, qb, qvb, kb, vb, p2, dob, ob, lse)
 
     def from_bh(x, dtype):
         return x.reshape(b, h, tp, dk).transpose(0, 2, 1, 3)[:, :t] \

@@ -89,6 +89,30 @@ def test_gradients_match_xla_path():
         assert err < 3e-4 * max(1.0, scale), (name, err, scale)
 
 
+def test_multichunk_clamped_window():
+    """T large enough that a q block spans several BK-wide pruning chunks and
+    the last chunk's kv window is clamped left of its logical range (tp=640,
+    BK=512: chunk j=1 of q block 4 reads window start 128 for logical columns
+    [512, 640) — the dedup mask must drop the overlap)."""
+    t = 630
+    q_u, q_v, k, v, p = _make_inputs(b=1, t=t, h=1)
+    lengths = jnp.asarray([600], jnp.int32)
+    o_ref = _ref_attn(q_u, q_v, k, v, p, lengths)
+    o_ker = RP.relpos_causal_attention(q_u, q_v, k, v, p, lengths)
+    np.testing.assert_allclose(np.asarray(o_ref), np.asarray(o_ker),
+                               atol=2e-5, rtol=1e-5)
+    w = jnp.asarray(np.random.RandomState(3).randn(1, t, 1, 128), jnp.float32)
+    g_ref = jax.grad(lambda *a: jnp.sum(_ref_attn(*a, lengths) * w),
+                     argnums=(0, 1, 2, 3, 4))(q_u, q_v, k, v, p)
+    g_ker = jax.grad(
+        lambda *a: jnp.sum(RP.relpos_causal_attention(*a, lengths) * w),
+        argnums=(0, 1, 2, 3, 4))(q_u, q_v, k, v, p)
+    for name, a, b in zip("q_u q_v k v p".split(), g_ref, g_ker):
+        scale = float(jnp.max(jnp.abs(a))) + 1e-9
+        err = float(jnp.max(jnp.abs(a - b)))
+        assert err < 3e-4 * max(1.0, scale), (name, err, scale)
+
+
 def test_bf16_forward_close():
     q_u, q_v, k, v, p = _make_inputs(dtype=jnp.bfloat16)
     lengths = jnp.asarray([200, 180], jnp.int32)
