@@ -166,6 +166,12 @@ class QuantizerConfig(_Base):
     quantize_dropout: bool = True
     quantize_dropout_cutoff_index: int = 1
     commitment_weight: float = 1.0
+    # stochastic (gumbel) code sampling during training
+    # (vector_quantize_pytorch.py:86-105; eval stays greedy argmin)
+    stochastic_sample_codes: bool = False
+    sample_codebook_temp: float = 1.0
+    # feature-dim groups for GroupedResidualVQ (residual_vq.py:494-560)
+    groups: int = 1
 
     @classmethod
     def tiny(cls) -> "QuantizerConfig":

@@ -126,10 +126,20 @@ def kmeans(rng: jax.Array, samples: jnp.ndarray, k: int, iters: int,
     return centroids, sizes
 
 
-def _nearest(residual: jnp.ndarray, codebook: jnp.ndarray) -> jnp.ndarray:
-    """[N, D] x [K, D] -> [N] argmin indices by euclidean distance."""
+def _nearest(residual: jnp.ndarray, codebook: jnp.ndarray,
+             sample_rng: Optional[jax.Array] = None,
+             temp: float = 0.0) -> jnp.ndarray:
+    """[N, D] x [K, D] -> [N] argmin indices by euclidean distance.
+
+    With `sample_rng` and `temp > 0`: stochastic (gumbel) code sampling
+    (vector_quantize_pytorch.py:86-105) — argmax over scores/temp + gumbel
+    noise.  `scores` differs from the reference's -dist logits only by the
+    per-row constant ||x||^2, which shifts every logit of a row equally and
+    therefore leaves the gumbel-argmax sampling distribution unchanged."""
     # ||x - e||^2 = ||x||^2 - 2 x.e + ||e||^2 ; ||x||^2 constant over K
     scores = 2.0 * residual @ codebook.T - jnp.sum(codebook ** 2, -1)[None, :]
+    if sample_rng is not None and temp > 0:
+        scores = scores / temp + jax.random.gumbel(sample_rng, scores.shape)
     return jnp.argmax(scores, axis=-1)
 
 
@@ -168,10 +178,15 @@ class ResidualVQ(nn.Module):
     # encode / decode primitives
     # ------------------------------------------------------------------
 
-    def _encode_residual(self, z: jnp.ndarray, drop_after: Optional[jnp.ndarray]
+    def _encode_residual(self, z: jnp.ndarray, drop_after: Optional[jnp.ndarray],
+                         sample_rng: Optional[jax.Array] = None
                          ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
         """z: [B, T, Dc] already in codebook space.  Returns
-        (quantized [B,T,Dc], indices [B,T,Q], residuals [Q,B,T,Dc])."""
+        (quantized [B,T,Dc], indices [B,T,Q], residuals [Q,B,T,Dc]).
+
+        `sample_rng` enables stochastic (gumbel) code selection per level;
+        the sampled code feeds the residual chain, so later levels see the
+        sampled trajectory exactly as in the reference."""
         cfg = self.config
         b, t, dc = z.shape
         embed = self.embed.value.astype(jnp.float32)
@@ -180,7 +195,11 @@ class ResidualVQ(nn.Module):
         indices, residuals, quants = [], [], []
         for qi in range(cfg.num_quantizers):
             residuals.append(residual)
-            idx = _nearest(residual.reshape(-1, dc), embed[qi]).reshape(b, t)
+            idx = _nearest(
+                residual.reshape(-1, dc), embed[qi],
+                None if sample_rng is None
+                else jax.random.fold_in(sample_rng, qi),
+                cfg.sample_codebook_temp).reshape(b, t)
             quant = embed[qi][idx]
             if drop_after is not None:
                 keep = qi <= drop_after
@@ -210,7 +229,13 @@ class ResidualVQ(nn.Module):
                 dropout_rng, (), cfg.quantize_dropout_cutoff_index,
                 cfg.num_quantizers)
 
-        quantized, indices, residuals, quants = self._encode_residual(z, drop_after)
+        sample_rng = None
+        if (train and cfg.stochastic_sample_codes
+                and cfg.sample_codebook_temp > 0 and dropout_rng is not None):
+            sample_rng = jax.random.fold_in(dropout_rng, 104729)
+
+        quantized, indices, residuals, quants = self._encode_residual(
+            z, drop_after, sample_rng)
 
         # per-level masked-MSE commit loss, summed over levels
         # (vector_quantize_pytorch masked mse; audio_quantizer.py:118-121 sums)
@@ -229,7 +254,7 @@ class ResidualVQ(nn.Module):
         quantized_st = z + jax.lax.stop_gradient(quantized - z)
 
         if train:
-            self._ema_update(z, indices, mask, dropout_rng)
+            self._ema_update(z, indices, mask, dropout_rng, residuals)
 
         out = self.project_out(quantized_st.astype(x.dtype)) \
             if self.needs_projection else quantized_st.astype(x.dtype)
@@ -239,13 +264,17 @@ class ResidualVQ(nn.Module):
             "commit_loss": commit,
         }
 
-    def _ema_update(self, z, indices, mask, rng):
+    def _ema_update(self, z, indices, mask, rng, residuals):
         """EMA codebook update as a pure function of the (global) batch.
 
         Under pjit with a batch sharded over the data axis, the one_hot
         matmuls below are global sums — XLA inserts the cross-chip
         reduction, which is the TPU-native replacement for the reference's
         all_reduce EMA sync (vector_quantize_pytorch.py:546-551).
+
+        `residuals` [Q, B, T, Dc] are the forward's ACTUAL per-level
+        residual inputs — required so stochastic code sampling feeds the
+        EMA the sampled trajectory (a greedy recompute would diverge).
         """
         cfg = self.config
         decay, eps = cfg.decay, cfg.epsilon
@@ -260,9 +289,8 @@ class ResidualVQ(nn.Module):
             valid = maskf * (idx >= 0)
             onehot = jax.nn.one_hot(jnp.maximum(idx, 0), cfg.codebook_size) * valid[:, None]
             counts = onehot.sum(0)                                     # [K]
-            # residual input to this level:
-            sums = onehot.T @ self._residual_at(zf.reshape(b, t, dc), qi,
-                                                embed).reshape(-1, dc)  # [K, Dc]
+            # residual input to this level (from the forward encode):
+            sums = onehot.T @ residuals[qi].reshape(-1, dc)            # [K, Dc]
             size = self.cluster_size.value[qi] * decay + counts * (1 - decay)
             avg = self.embed_avg.value[qi] * decay + sums * (1 - decay)
             n = size.sum()
@@ -281,8 +309,7 @@ class ResidualVQ(nn.Module):
                                   jnp.full_like(valid, 1.0 / valid.shape[0]))
                 pick = jax.random.choice(sub, zf.shape[0],
                                          (cfg.codebook_size,), p=probs)
-                replacement = self._residual_at(
-                    zf.reshape(b, t, dc), qi, embed).reshape(-1, dc)[pick]
+                replacement = residuals[qi].reshape(-1, dc)[pick]
                 dead = size < cfg.threshold_ema_dead_code
                 emb = jnp.where(dead[:, None], replacement, emb)
                 avg = jnp.where(dead[:, None], replacement, avg)
@@ -293,15 +320,6 @@ class ResidualVQ(nn.Module):
         self.embed.value = jnp.stack(new_embed)
         self.embed_avg.value = jnp.stack(new_avg)
         self.cluster_size.value = jnp.stack(new_size)
-
-    def _residual_at(self, z, qi, embed):
-        """Residual entering quantizer level qi (recomputed; cheap matmuls)."""
-        residual = z.astype(jnp.float32)
-        dc = z.shape[-1]
-        for j in range(qi):
-            idx = _nearest(residual.reshape(-1, dc), embed[j]).reshape(z.shape[:2])
-            residual = residual - embed[j][idx]
-        return residual
 
     # ------------------------------------------------------------------
     # TASTE extension APIs (residual_vq.py:239-357)
@@ -402,6 +420,60 @@ class VectorQuantizer(nn.Module):
         return self.rvq(x, mask=mask, train=train, dropout_rng=dropout_rng)
 
 
+class GroupedResidualVQ(nn.Module):
+    """Feature-dim grouped residual VQ (residual_vq.py:494-560): the input's
+    last dim is split into `config.groups` equal chunks, each quantized by
+    an independent ResidualVQ over dim/groups; outputs are concatenated
+    back along the feature dim.  All sub-RVQs run the same batch, so under
+    pjit their EMA global sums ride the same collectives as the flat RVQ.
+    """
+
+    config: QuantizerConfig
+
+    def setup(self):
+        cfg = self.config
+        if cfg.dim % cfg.groups:
+            raise ValueError(f"dim {cfg.dim} not divisible by groups "
+                             f"{cfg.groups}")
+        sub = cfg.replace(dim=cfg.dim // cfg.groups, groups=1)
+        self.rvqs = [ResidualVQ(sub, name=f"rvq_{g}")
+                     for g in range(cfg.groups)]
+
+    def _split(self, x):
+        return jnp.split(x, self.config.groups, axis=-1)
+
+    def __call__(self, x, mask=None, train=False, dropout_rng=None):
+        """x: [B, T, dim].  Returns the zoo dict with
+        quantized_feats [B, T, dim] (feature-concat of group outputs),
+        quantized_indices [B, T, G, Q] (batch-major layout of the
+        reference's stacked [G, B, T, Q]), commit_loss = sum over groups."""
+        outs = []
+        for g, (rvq, xg) in enumerate(zip(self.rvqs, self._split(x))):
+            rng_g = None if dropout_rng is None \
+                else jax.random.fold_in(dropout_rng, g)
+            outs.append(rvq(xg, mask=mask, train=train, dropout_rng=rng_g))
+        return {
+            "quantized_feats": jnp.concatenate(
+                [o["quantized_feats"] for o in outs], axis=-1),
+            "quantized_indices": jnp.stack(
+                [o["quantized_indices"] for o in outs], axis=2),
+            "commit_loss": sum(o["commit_loss"] for o in outs),
+        }
+
+    def get_codes_from_indices(self, indices: jnp.ndarray) -> jnp.ndarray:
+        """[B, T, G, Q] -> per-group per-level codes [G, Q, B, T, Dc]."""
+        return jnp.stack(
+            [rvq.get_codes_from_indices(indices[:, :, g])
+             for g, rvq in enumerate(self.rvqs)], axis=0)
+
+    def get_output_from_indices(self, indices: jnp.ndarray) -> jnp.ndarray:
+        """[B, T, G, Q] -> model-space vectors [B, T, dim]
+        (residual_vq.py:530-532: per-group decode, feature concat)."""
+        return jnp.concatenate(
+            [rvq.get_output_from_indices(indices[:, :, g])
+             for g, rvq in enumerate(self.rvqs)], axis=-1)
+
+
 class KmeansQuantizer(nn.Module):
     """Frozen external codebook nearest-neighbour quantizer
     (audio_quantizer.py:155-208).  Codebook rows are a (frozen) param loaded
@@ -461,6 +533,7 @@ class NoQuantizer(nn.Module):
 
 QUANTIZER_CLASSES = {
     "rvq": ResidualVQ,
+    "grouped_rvq": GroupedResidualVQ,
     "vq": VectorQuantizer,
     "kmeans": KmeansQuantizer,
     "no": NoQuantizer,

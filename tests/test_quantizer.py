@@ -165,3 +165,110 @@ def test_dead_code_expiry_reseeds():
     assert np.abs(after - before).max() > 1e-3
     new_size = np.asarray(mutated["quantizer"]["cluster_size"])[0]
     assert (new_size[: cfg.codebook_size // 2] >= 0.9).all()
+
+
+# ---------------------------------------------------------------------------
+# GroupedResidualVQ (reference residual_vq.py:494-560)
+# ---------------------------------------------------------------------------
+
+
+def test_grouped_rvq_matches_per_group_rvq():
+    """Each group must reproduce a standalone ResidualVQ on its feature
+    slice exactly (same deterministic codebook init, no projection)."""
+    from taste_spokenlm_tpu.models.quantizer import GroupedResidualVQ
+
+    cfg = QuantizerConfig(dim=32, codebook_dim=16, codebook_size=16,
+                          num_quantizers=2, groups=2, kmeans_iters=4)
+    g = GroupedResidualVQ(cfg)
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 5, 32), jnp.float32)
+    vars_g = g.init(jax.random.PRNGKey(0), x)
+    out = g.apply(vars_g, x)
+    assert out["quantized_feats"].shape == (2, 5, 32)
+    assert out["quantized_indices"].shape == (2, 5, 2, 2)
+
+    sub = cfg.replace(dim=16, groups=1)
+    for gi in range(2):
+        rvq = ResidualVQ(sub)
+        xg = x[..., gi * 16:(gi + 1) * 16]
+        vars_s = rvq.init(jax.random.PRNGKey(0), xg)
+        out_s = rvq.apply(vars_s, xg)
+        np.testing.assert_array_equal(
+            np.asarray(out["quantized_indices"][:, :, gi]),
+            np.asarray(out_s["quantized_indices"]))
+        np.testing.assert_allclose(
+            np.asarray(out["quantized_feats"][..., gi * 16:(gi + 1) * 16]),
+            np.asarray(out_s["quantized_feats"]), atol=1e-6)
+
+
+def test_grouped_rvq_output_from_indices_roundtrip():
+    from taste_spokenlm_tpu.models.quantizer import GroupedResidualVQ
+
+    cfg = QuantizerConfig(dim=32, codebook_dim=16, codebook_size=16,
+                          num_quantizers=2, groups=2, kmeans_iters=4)
+    g = GroupedResidualVQ(cfg)
+    x = jnp.asarray(np.random.RandomState(1).randn(1, 4, 32), jnp.float32)
+    variables = g.init(jax.random.PRNGKey(0), x)
+    out = g.apply(variables, x)
+    rec = g.apply(variables, out["quantized_indices"],
+                  method=GroupedResidualVQ.get_output_from_indices)
+    # eval-mode straight-through equals the quantized value exactly
+    np.testing.assert_allclose(np.asarray(rec),
+                               np.asarray(out["quantized_feats"]), atol=1e-6)
+    codes = g.apply(variables, out["quantized_indices"],
+                    method=GroupedResidualVQ.get_codes_from_indices)
+    assert codes.shape == (2, 2, 1, 4, 16)
+
+
+def test_grouped_rvq_train_updates_all_groups():
+    from taste_spokenlm_tpu.models.quantizer import GroupedResidualVQ
+
+    cfg = QuantizerConfig(dim=32, codebook_dim=16, codebook_size=16,
+                          num_quantizers=2, groups=2, kmeans_iters=4,
+                          quantize_dropout=False, threshold_ema_dead_code=0)
+    g = GroupedResidualVQ(cfg)
+    x = jnp.asarray(np.random.RandomState(2).randn(2, 6, 32), jnp.float32)
+    variables = g.init(jax.random.PRNGKey(0), x)
+    out, mut = g.apply(variables, x, train=True,
+                       dropout_rng=jax.random.PRNGKey(3),
+                       mutable=["quantizer"])
+    assert np.isfinite(float(out["commit_loss"]))
+    for gi in range(2):
+        before = variables["quantizer"][f"rvq_{gi}"]["embed"]
+        after = mut["quantizer"][f"rvq_{gi}"]["embed"]
+        assert float(jnp.abs(after - before).max()) > 0
+
+
+# ---------------------------------------------------------------------------
+# Stochastic (gumbel) code sampling (vector_quantize_pytorch.py:86-105)
+# ---------------------------------------------------------------------------
+
+
+def test_stochastic_sampling_properties():
+    cfg = _cfg(stochastic_sample_codes=True, sample_codebook_temp=10.0,
+               quantize_dropout=False, threshold_ema_dead_code=0)
+    rvq, variables, x = _make(cfg)
+    rng = jax.random.PRNGKey(5)
+    out1, _ = rvq.apply(variables, x, None, True, rng, mutable=["quantizer"])
+    out2, _ = rvq.apply(variables, x, None, True, rng, mutable=["quantizer"])
+    idx1 = np.asarray(out1["quantized_indices"])
+    # deterministic given the rng
+    np.testing.assert_array_equal(idx1, np.asarray(out2["quantized_indices"]))
+    assert (idx1 >= 0).all() and (idx1 < cfg.codebook_size).all()
+    # at high temperature the sampled trajectory must differ from greedy
+    greedy = np.asarray(rvq.apply(variables, x)["quantized_indices"])
+    assert (idx1 != greedy).any()
+    # eval stays greedy even with the flag on (reference: training-only)
+    ev = np.asarray(rvq.apply(variables, x)["quantized_indices"])
+    np.testing.assert_array_equal(ev, greedy)
+    assert np.isfinite(float(out1["commit_loss"]))
+
+
+def test_stochastic_low_temp_matches_greedy():
+    cfg = _cfg(stochastic_sample_codes=True, sample_codebook_temp=1e-6,
+               quantize_dropout=False, threshold_ema_dead_code=0)
+    rvq, variables, x = _make(cfg)
+    out, _ = rvq.apply(variables, x, None, True, jax.random.PRNGKey(5),
+                       mutable=["quantizer"])
+    greedy = np.asarray(rvq.apply(variables, x)["quantized_indices"])
+    np.testing.assert_array_equal(np.asarray(out["quantized_indices"]),
+                                  greedy)
